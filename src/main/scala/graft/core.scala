@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine capability: a Spark query over the fixture tables plus (when
+  * SQL-expressible) an equivalent DuckDB oracle for the driver's
+  * differential check (SURVEY §5 — the analog of the reference's
+  * regression harness, kafka-client-examples/e2e-test regression/).
+  *
+  * Contract notes:
+  *  - Column names MUST match between `fn`'s output and `oracle`.
+  *  - Never emit raw TIMESTAMP columns (parquet ns vs µs mismatch between
+  *    DuckDB and Spark); emit epoch seconds as BIGINT instead.
+  *  - Round every DOUBLE aggregate (ulp-order summation differences).
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = ""
+)
+
+/** Fixture table loaders (TESTDATA.md). All reads go through here so
+  * that scan options stay in one place. At 100 TB these parquet dirs
+  * would be partitioned tables; the loaders are the seam where
+  * partition pruning / bucketing metadata would attach.
+  */
+object Tables {
+  /** Parquet TIMESTAMP(NANOS) columns per table. Spark has no ns
+    * timestamp type; we read them as raw ns longs
+    * (spark.sql.legacy.parquet.nanosAsLong) and truncate to µs
+    * TimestampType — the same truncation DuckDB applies reading the
+    * same files, so oracle comparisons agree exactly. */
+  private val tsCols: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"),
+    "events" -> Seq("ts"))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.LongType
+    tsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+      df.schema(c).dataType match {
+        case LongType => // TIMESTAMP(NANOS) read as raw ns
+          df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        case _ => // µs TIMESTAMP_NTZ → session-TZ (UTC) TimestampType
+          df.withColumn(c, col(c).cast("timestamp"))
+      }
+    }
+  }
+
+  def region(s: SparkSession, d: String)    = load(s, d, "region")
+  def nation(s: SparkSession, d: String)    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String)  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String)  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String)      = load(s, d, "part")
+  def orders(s: SparkSession, d: String)    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String)  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String)    = load(s, d, "events")
+  def documents(s: SparkSession, d: String) = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = load(s, d, "embeddings")
+}

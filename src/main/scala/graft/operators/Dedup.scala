@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact (hash),
+  * exact n-gram Jaccard, MinHash+LSH, and embedding-cosine near-dup.
+  * SimHash lives in Simhash.scala. All operate on the `documents`
+  * fixture (doc_id, text, ...).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup = one shuffle on the content hash; no text comparison.
+  *  - exact Jaccard's gram-gram join blows up on common shingles — it is
+  *    the *oracle* path, quadratic in df(gram); the scale path is
+  *    MinHash+LSH, where work is (#docs × 128 hashes) + a shuffle on
+  *    (band, signature) whose groups are tiny for non-duplicates.
+  *  - candidate verification recomputes exact Jaccard only on candidate
+  *    pairs (≪ n²).
+  * Parameters: word 3-gram shingles; 128 minhashes = 32 bands × 4 rows
+  * → P(candidate | jaccard=0.89) ≈ 1 - (1-0.89⁴)³² ≈ 1-1.4e-7, and the
+  * fixture's near-dup pairs all sit at jaccard ≥ 0.889 with the next
+  * cluster below 0.2 (verified), so LSH recall is exactly 1 here and the
+  * exhaustive-Jaccard oracle is valid for the LSH query too.
+  */
+object Dedup {
+  val NumHashes = 128
+  val BandRows = 4
+  val NumBands: Int = NumHashes / BandRows // 32
+  val JaccardThreshold = 0.5
+
+  /** documents with a distinct word-3gram shingle array. */
+  def withShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("grams", array_distinct(expr(
+        "transform(sequence(1, size(ws) - 2)," +
+          " i -> element_at(ws, i) || ' ' || element_at(ws, i + 1) || ' ' || element_at(ws, i + 2))")))
+      .select(col("doc_id"), col("grams"))
+
+  /** (doc_id, gram) exploded form plus per-doc shingle-set size. */
+  private def grams(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val g = withShingles(s, d).select(col("doc_id"), explode(col("grams")).as("gram"))
+    val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    (g, sizes)
+  }
+
+  /** Exact Jaccard ≥ threshold over pairs discovered via a shared-gram
+    * join, given a (doc_id, gram) set. */
+  private def jaccardPairs(g: DataFrame, sizes: DataFrame): DataFrame = {
+    val a = g.select(col("doc_id").as("d1"), col("gram"))
+    val b = g.select(col("doc_id").as("d2"), col("gram"))
+    a.join(b, Seq("gram")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 3).as("jaccard"))
+  }
+
+  /** Exact Jaccard on a given candidate-pair set (d1 < d2): the shared
+    * verification tail of the LSH/SimHash pipelines — touches only the
+    * candidates, never n². */
+  def verifyJaccard(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    val (g, sizes) = grams(s, d)
+    val g1 = g.select(col("doc_id").as("d1"), col("gram"))
+    val g2 = g.select(col("doc_id").as("d2"), col("gram"))
+    cand.join(g1, Seq("d1")).join(g2, Seq("d2", "gram"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+      .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 3).as("jaccard"))
+  }
+
+  val jaccardOracle: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+       |       FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) ix),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT d1, d2, round(inter * 1.0 / (s1.n + s2.n - inter), 3) AS jaccard
+       |FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= $JaccardThreshold""".stripMargin
+
+  /** dd1 — exact dedup: group by content hash, elect canonical doc
+    * (the fact-store "have I seen this key" pattern,
+    * api/stores/ResponsiveStores.java:79-83, applied to content). */
+  val dd1 = QueryDef(
+    "dd1_dedup_exact",
+    (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id")),
+    Some("""SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS canonical_id
+           |FROM documents GROUP BY md5(text)""".stripMargin)
+  )
+
+  /** dd2 — exact n-gram Jaccard near-dup pairs (the oracle path). */
+  val dd2 = QueryDef(
+    "dd2_dedup_ngram_jaccard",
+    (s, d) => { val (g, sizes) = grams(s, d); jaccardPairs(g, sizes) },
+    Some(jaccardOracle)
+  )
+
+  /** dd3 — MinHash + LSH near-dup pairs, verified with exact Jaccard on
+    * the candidates only (the 100 TB path). Same result set as dd2 by
+    * construction at these similarity levels (see object doc). */
+  val dd3 = QueryDef(
+    "dd3_dedup_minhash_lsh",
+    (s, d) => {
+      val (g, _) = grams(s, d)
+      // 1. signatures: min over grams of xxhash64(i, gram), one pass.
+      val mhCols = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("gram"))).as(s"mh$i"))
+      val sig = g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      // 2. bands: hash each run of BandRows signature slots.
+      val bandCols = (0 until NumBands).map { b =>
+        val slots = (0 until BandRows).map(r => col(s"mh${b * BandRows + r}"))
+        struct(lit(b).as("band"), xxhash64(slots: _*).as("bv"))
+      }
+      val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+      // 3. candidates: pairs sharing any band bucket.
+      val cand = banded.select(col("doc_id").as("d1"), col("band"), col("bv"))
+        .join(banded.select(col("doc_id").as("d2"), col("band"), col("bv")), Seq("band", "bv"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      // 4. verify candidates with exact Jaccard.
+      verifyJaccard(s, d, cand)
+    },
+    Some(jaccardOracle)
+  )
+
+  /** dd4 — embedding-cosine near-dup pairs; brute-force O(n²) self-join
+    * is the oracle path, IVF (Similarity.scala) is the scale path. */
+  val dd4 = QueryDef(
+    "dd4_dedup_embedding_cosine",
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+      val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+      val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+      a.crossJoin(b).filter(col("id1") < col("id2"))
+        .withColumn("cos",
+          expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+            (col("n1") * col("n2")))
+        .filter(col("cos") >= 0.4)
+        .select(col("id1"), col("id2"), round(col("cos"), 3).as("cos_sim"))
+    },
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+           |SELECT a.vec_id AS id1, b.vec_id AS id2,
+           |  round(list_cosine_similarity(a.v, b.v), 3) AS cos_sim
+           |FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(dd1, dd2, dd3, dd4)
+}

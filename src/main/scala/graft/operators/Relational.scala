@@ -1,0 +1,317 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational surface: scans, filters, projections, joins (inner / semi /
+  * anti / broadcast), aggregations, sorts, limits, set ops, SQL window
+  * functions, scalar functions.
+  *
+  * The reference (responsive-pub) delegates all of this to the Kafka
+  * Streams DSL (filter/map/selectKey — see
+  * /root/reference/tools/README.md analyzer surface and
+  * kafka-client-examples .../regression/tests/STJoinExample.java:54-101);
+  * here each op is a declarative Spark plan so Catalyst performs
+  * pushdown / pruning / join selection / codegen (SURVEY §4).
+  *
+  * Scale notes (100 TB): every query below either broadcasts its dimension
+  * side (nation/region/customer/supplier are small in TPC-H proportions)
+  * or shuffles on the aggregation/join key exactly once; no driver-side
+  * collection anywhere.
+  */
+object Relational {
+
+  private def ts(lit0: String) = to_timestamp(lit(lit0))
+
+  /** Q1 — scan + filter + project; filter and 4-column pruning reach the
+    * parquet scan (PushedFilters in .explain). */
+  val q01 = QueryDef(
+    "q01_filter_project",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("net_price"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  round(l_extendedprice * (1 - l_discount), 4) AS net_price
+           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'""".stripMargin)
+  )
+
+  /** Q2 — unwindowed grouped aggregation (TPC-H Q1 shape); map-side
+    * partial aggregation then one shuffle on the (tiny) group key. */
+  val q02 = QueryDef(
+    "q02_agg",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  round(sum(l_quantity), 2) AS sum_qty,
+           |  round(sum(l_extendedprice), 4) AS sum_base_price,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           |  round(avg(l_quantity), 4) AS avg_qty,
+           |  round(avg(l_extendedprice), 4) AS avg_price,
+           |  count(*) AS count_order
+           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+  )
+
+  /** Q3 — stream–table equi join (STJoinExample.java:68-77 analog:
+    * orders enriched with customer). Customer is the "table" side and is
+    * broadcast — the GlobalKTable pattern at Spark scale. */
+  val q03 = QueryDef(
+    "q03_stream_table_join",
+    (s, d) => {
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+          round(col("o_totalprice"), 2).as("total"))
+    },
+    Some("""SELECT o_orderkey, c_name, c_mktsegment, round(o_totalprice, 2) AS total
+           |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin)
+  )
+
+  /** Q4 — FK join chain (TPC-H Q5 shape). lineitem shuffles once on
+    * l_orderkey; customer/nation/region are broadcast; Catalyst reorders
+    * the dim joins behind the fact join. */
+  val q04 = QueryDef(
+    "q04_join_chain",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+                col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+    },
+    Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           |GROUP BY n_name""".stripMargin)
+  )
+
+  /** Q5a — left-semi join (EXISTS). */
+  val q05a = QueryDef(
+    "q05_semi_join",
+    (s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders
+           |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin)
+  )
+
+  /** Q5b — left-anti join (NOT EXISTS). */
+  val q05b = QueryDef(
+    "q05_anti_join",
+    (s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders
+           |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin)
+  )
+
+  /** Q6 — global-table / broadcast join (GlobalOperations.java:36-75
+    * analog): fact stream joined to two replicated dims with zero fact
+    * shuffle before aggregation. */
+  val q06 = QueryDef(
+    "q06_broadcast_join",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    },
+    Some("""SELECT n_name, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+           |FROM lineitem
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |GROUP BY n_name""".stripMargin)
+  )
+
+  /** Q15 — key range + prefix scan (PartitionedOperations.java:393-424
+    * range/prefixScan analog, expressed as pushed-down predicates). */
+  val q15 = QueryDef(
+    "q15_range_prefix",
+    (s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey").between(50, 150) && col("p_name").startsWith("small"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    },
+    Some("""SELECT p_partkey, p_name, p_brand FROM part
+           |WHERE p_partkey BETWEEN 50 AND 150 AND p_name LIKE 'small%'""".stripMargin)
+  )
+
+  /** Q16 — reverseRange (the reference throws UnsupportedOperation,
+    * ResponsiveKeyValueStore.java:413-417; we support it). */
+  val q16 = QueryDef(
+    "q16_reverse_range",
+    (s, d) =>
+      Tables.customer(s, d)
+        .orderBy(col("c_custkey").desc)
+        .limit(20)
+        .select(col("c_custkey"), col("c_name")),
+    Some("SELECT c_custkey, c_name FROM customer ORDER BY c_custkey DESC LIMIT 20")
+  )
+
+  /** Q17 — top-k by aggregate (sort + limit with deterministic
+    * tiebreak). Spark plans this as TakeOrderedAndProject — no global
+    * sort at scale. */
+  val q17 = QueryDef(
+    "q17_topk",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_custkey"))
+        .limit(10),
+    Some("""SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+           |FROM orders GROUP BY o_custkey
+           |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin)
+  )
+
+  /** Q18 — set ops: UNION / INTERSECT / EXCEPT. */
+  val q18 = QueryDef(
+    "q18_setops",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_totalprice") > 250000.0).select(col("o_orderkey"))
+      val b = o.filter(col("o_totalprice") < 10000.0).select(col("o_orderkey"))
+      val c = o.filter(col("o_orderstatus").isin("F", "O")).select(col("o_orderkey"))
+      val dd = o.filter(col("o_orderstatus") === "O").select(col("o_orderkey"))
+      a.union(b).intersect(c).except(dd)
+    },
+    Some("""(SELECT o_orderkey FROM orders WHERE o_totalprice > 250000
+           | UNION
+           | SELECT o_orderkey FROM orders WHERE o_totalprice < 10000)
+           |INTERSECT
+           |SELECT o_orderkey FROM orders WHERE o_orderstatus IN ('F','O')
+           |EXCEPT
+           |SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin)
+  )
+
+  /** Q19 — SQL window functions: rank / row_number / running sum / lag
+    * (declared engine surface, SURVEY §2.6 note). One shuffle on the
+    * partition key; frames evaluated within partitions. */
+  val q19 = QueryDef(
+    "q19_window_functions",
+    (s, d) => {
+      val wRank = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+      val wDet = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        rank().over(wRank).as("rk"),
+        row_number().over(wDet).as("rn"),
+        round(sum(col("o_totalprice"))
+          .over(wDet.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total"),
+        round(coalesce(lag(col("o_totalprice"), 1).over(wDet), lit(0.0)), 2).as("prev_price"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+           |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk,
+           |  row_number() OVER w AS rn,
+           |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           |  round(coalesce(lag(o_totalprice, 1) OVER w, 0), 2) AS prev_price
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin)
+  )
+
+  /** Q20 — scalar function surface: string / date / math / JSON access
+    * (events.props is a JSON payload, FIXTURES.md). All codegen'd
+    * built-ins, no UDFs. */
+  val q20 = QueryDef(
+    "q20_scalar_functions",
+    (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        upper(col("event_type")).as("et_upper"),
+        substring(col("event_type"), 1, 3).as("et3"),
+        concat(col("event_type"), lit("_"), col("user_id").cast("string")).as("tag"),
+        hour(col("ts")).as("h"),
+        date_trunc("day", col("ts")).cast("long").as("day_start"),
+        (col("ts") + expr("INTERVAL 1 DAY")).cast("long").as("next_day_sec"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        floor(col("value")).cast("long").as("v_floor"),
+        round(abs(col("value")), 2).as("v_round")),
+    Some("""SELECT event_id,
+           |  upper(event_type) AS et_upper,
+           |  substring(event_type, 1, 3) AS et3,
+           |  event_type || '_' || CAST(user_id AS VARCHAR) AS tag,
+           |  CAST(date_part('hour', ts) AS INTEGER) AS h,
+           |  CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_start,
+           |  CAST(floor(epoch(ts + INTERVAL 1 DAY)) AS BIGINT) AS next_day_sec,
+           |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           |  CAST(floor(value) AS BIGINT) AS v_floor,
+           |  round(abs(value), 2) AS v_round
+           |FROM events""".stripMargin)
+  )
+
+  /** Q23 — approximate distinct count (approximateNumEntries analog,
+    * RemoteKVTable.java:89-96). HLL sketches differ across engines, so
+    * the checked contract is the 5%-tolerance flag plus the exact count. */
+  val q23 = QueryDef(
+    "q23_approx_count",
+    (s, d) =>
+      Tables.orders(s, d).agg(
+        countDistinct(col("o_custkey")).as("exact_cnt"),
+        when(abs(approx_count_distinct(col("o_custkey"), 0.01) - countDistinct(col("o_custkey")))
+          <= countDistinct(col("o_custkey")) * 0.05, lit(1)).otherwise(lit(0)).as("ok")),
+    Some("SELECT count(DISTINCT o_custkey) AS exact_cnt, 1 AS ok FROM orders")
+  )
+
+  /** Q24 — table–table FK join + re-key (ResponsiveForeignKeyJoin
+    * IntegrationTest.java:150-157 analog): orders re-keyed through
+    * customer's nation FK, aggregated per nation. */
+  val q24 = QueryDef(
+    "q24_fk_join",
+    (s, d) => {
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_orders"), col("total"))
+    },
+    Some("""SELECT n_name, n_orders, total FROM (
+           |  SELECT c_nationkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+           |  FROM orders JOIN customer ON o_custkey = c_custkey
+           |  GROUP BY c_nationkey) agg
+           |JOIN nation ON c_nationkey = n_nationkey""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] =
+    Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24)
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` fixture
+  * (vec_id, embedding: Array[Float], label).
+  *
+  *  - sim1: brute-force cosine top-k — the exactness baseline. The query
+  *    side (10 vectors) is broadcast, so the "scan side" streams once
+  *    with no shuffle of the corpus: exactly the shape a 100 TB corpus
+  *    needs (queries broadcast, corpus partition-local scoring, per-query
+  *    top-k via partial aggregation in TakeOrdered).
+  *  - sim2: IVF-style ANN — corpus assigned to nearest of 16 coarse
+  *    anchor centroids (deterministic: the first 16 vectors), queries
+  *    probe their 4 nearest anchors only → ~4/16 of the corpus scored.
+  *    Spark-only (approximate by construction); recall vs sim1 is
+  *    asserted in SimilaritySpec.
+  */
+object Similarity {
+  val TopK = 5
+  val NumQueries = 10
+  val NumAnchors = 16
+  val NProbe = 4
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+
+  private val dotExpr = "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  /** sim1 — brute-force cosine top-5 for query vectors vec_id < 10. */
+  val sim1 = QueryDef(
+    "sim1_ann_brute_topk",
+    (s, d) => {
+      val e = withNorm(Tables.embeddings(s, d))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos", expr(dotExpr) / (col("nrm") * col("qn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            |scored AS (
+            |  SELECT a.vec_id AS qid, b.vec_id AS neighbor_id,
+            |    row_number() OVER (PARTITION BY a.vec_id
+            |                       ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id) AS rank
+            |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+            |  WHERE a.vec_id < $NumQueries)
+            |SELECT qid, rank, neighbor_id FROM scored WHERE rank <= $TopK""".stripMargin)
+  )
+
+  /** sim2 — IVF-bucketed ANN (Spark-only; recall asserted in tests). */
+  val sim2 = QueryDef(
+    "sim2_ann_ivf_topk",
+    (s, d) => {
+      val e = withNorm(Tables.embeddings(s, d))
+      val anchors = e.filter(col("vec_id") < NumAnchors)
+        .select(col("vec_id").as("aid"), col("v").as("qv"), col("nrm").as("qn"))
+      // corpus → nearest anchor (coarse quantization)
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("acos").desc, col("aid"))
+      val assigned = e.crossJoin(broadcast(anchors))
+        .withColumn("acos", expr(dotExpr) / (col("nrm") * col("qn")))
+        .withColumn("arank", row_number().over(wAssign))
+        .filter(col("arank") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"), col("aid").as("cell"))
+      // queries probe their NProbe nearest anchors
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("v").as("probe_v"), col("nrm").as("probe_n"))
+      val wProbe = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("aid"))
+      val probes = q.crossJoin(broadcast(anchors))
+        .withColumn("acos",
+          expr("aggregate(zip_with(probe_v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+            (col("probe_n") * col("qn")))
+        .withColumn("prank", row_number().over(wProbe))
+        .filter(col("prank") <= NProbe)
+        .select(col("qid"), col("probe_v"), col("probe_n"), col("aid").as("cell"))
+      // score only within probed cells
+      val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("cos",
+          expr("aggregate(zip_with(v, probe_v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+            (col("nrm") * col("probe_n")))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"))
+    },
+    None,
+    doc = "IVF ANN (approximate; recall vs sim1 asserted in SimilaritySpec)"
+  )
+
+  val all: Seq[QueryDef] = Seq(sim1, sim2)
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.XorChecksum
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** State-shaped operators with batch oracles: interval join, KV upsert +
+  * TTL (default and row-level), dedup/fact store, checksum UDAF, and
+  * batch-by-key flush. Streaming variants of the same semantics live in
+  * graft.streaming and are asserted stream==batch in the test suite
+  * (SURVEY §7 step 3).
+  */
+object StatefulOps {
+
+  /** Q10 — stream-stream windowed join (ResponsiveWindowStore
+    * IntegrationTest.java:309-326: JoinWindows.ofTimeDifferenceWithNoGrace;
+    * duplicates retained via the STREAM schema / DuplicateKeyBuffer).
+    * Purchases join errors of the same user within ±10 minutes.
+    * Scale: equi-key on user_id makes this a hash join + time filter,
+    * NOT a cartesian; state ∝ 2×window×rate per key in streaming. */
+  val q10 = QueryDef(
+    "q10_interval_join",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      val r = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("r_user_id"), col("ts").as("e_ts"), col("event_id").as("error_id"))
+      l.join(r, col("user_id") === col("r_user_id") &&
+          col("e_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("e_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("purchase_id"), col("error_id"), col("user_id"))
+    },
+    Some("""SELECT a.event_id AS purchase_id, b.event_id AS error_id, a.user_id AS user_id
+           |FROM events a JOIN events b
+           |  ON a.user_id = b.user_id
+           | AND a.event_type = 'purchase' AND b.event_type = 'error'
+           | AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts + INTERVAL 10 MINUTE""".stripMargin)
+  )
+
+  /** Latest row per user — the batch materialization of a KV store after
+    * replaying upserts (builder.table semantics; last-write-wins,
+    * SchemaTypes.java KEY_VALUE). */
+  private def latestPerUser(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  private val latestSql =
+    """latest AS (
+      |  SELECT * FROM (
+      |    SELECT e.*, row_number() OVER (PARTITION BY user_id
+      |                                   ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events e) WHERE rn = 1),
+      |mx AS (SELECT max(ts) AS m FROM events)""".stripMargin
+
+  /** Q12 — store-default TTL (TtlProvider.withDefault,
+    * api/stores/TtlProvider.java:32-38): KV rows expire 6h after their
+    * last write, judged against final stream time. */
+  val q12 = QueryDef(
+    "q12_ttl_default",
+    (s, d) => {
+      val maxTs = Tables.events(s, d).agg(max(col("ts")).as("m"))
+      latestPerUser(s, d).crossJoin(broadcast(maxTs))
+        .filter(col("ts") >= col("m") - expr("INTERVAL 6 HOURS"))
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 2).as("value"),
+          col("ts").cast("long").as("ts_sec"))
+    },
+    Some(s"""WITH $latestSql
+            |SELECT user_id, event_id, round(value, 2) AS value,
+            |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+            |FROM latest, mx WHERE ts >= m - INTERVAL 6 HOUR""".stripMargin)
+  )
+
+  /** Q13 — row-level TTL from the value (TtlProvider.fromValue,
+    * TtlProvider.java:63-113, infinite override supported): purchases
+    * never expire, signups live 72h, everything else 12h. */
+  val q13 = QueryDef(
+    "q13_ttl_row_level",
+    (s, d) => {
+      val maxTs = Tables.events(s, d).agg(max(col("ts")).as("m"))
+      latestPerUser(s, d).crossJoin(broadcast(maxTs))
+        .filter(
+          col("event_type") === "purchase" ||
+          (col("event_type") === "signup" && col("ts") >= col("m") - expr("INTERVAL 72 HOURS")) ||
+          (!col("event_type").isin("purchase", "signup") &&
+            col("ts") >= col("m") - expr("INTERVAL 12 HOURS")))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("ts_sec"))
+    },
+    Some(s"""WITH $latestSql
+            |SELECT user_id, event_id, event_type,
+            |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+            |FROM latest, mx
+            |WHERE event_type = 'purchase'
+            |   OR (event_type = 'signup' AND ts >= m - INTERVAL 72 HOUR)
+            |   OR (event_type NOT IN ('purchase','signup') AND ts >= m - INTERVAL 12 HOUR)""".stripMargin)
+  )
+
+  /** Q14 — dedup / fact store ("records whether or not a key has been
+    * seen", api/stores/ResponsiveStores.java:79-83): keep the first
+    * arrival per (user_id, event_type), deterministically (dropDuplicates
+    * has no ordering guarantee, so this is the row_number form — same
+    * single shuffle). */
+  val q14 = QueryDef(
+    "q14_dedup_first",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts").cast("long").as("ts_sec"))
+    },
+    Some("""SELECT user_id, event_type, event_id,
+           |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+           |FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id, event_type
+           |                                     ORDER BY ts, event_id) AS rn
+           |      FROM events e) WHERE rn = 1""".stripMargin)
+  )
+
+  /** Q21 — custom UDAF: order-insensitive XOR checksum per key
+    * (AccumulatingChecksum analog, e2etest/AccumulatingChecksum.java used
+    * at E2ETestApplication.java:182-197; the reference's digest folds
+    * offsets and is order-sensitive — Spark has no stable per-key offsets,
+    * so ours is commutative; documented deviation, SURVEY §7). */
+  val q21 = QueryDef(
+    "q21_checksum_udaf",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(XorChecksum.column(col("event_id")).as("checksum"),
+          count(lit(1)).as("n")),
+    Some("""SELECT user_id,
+           |  bit_xor(xor(xor(event_id, event_id << 13), event_id >> 7)) AS checksum,
+           |  count(*) AS n
+           |FROM events GROUP BY user_id""".stripMargin)
+  )
+
+  /** Q22 — batch-by-key with a flush trigger (KeyBatchExample.java:126-219:
+    * collect per-key, emit when the batch fills; trigger replayed here as
+    * every-20-events in arrival order). The streaming twin uses
+    * flatMapGroupsWithState (graft.streaming.BatchByKey). */
+  val q22 = QueryDef(
+    "q22_batch_by_key",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("batch_id", floor((col("rn") - 1) / 20).cast("long"))
+        .groupBy(col("user_id"), col("batch_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"),
+          expr("min_by(event_id, rn)").as("first_event"),
+          expr("max_by(event_id, rn)").as("last_event"))
+    },
+    Some("""WITH t AS (SELECT e.*, row_number() OVER (PARTITION BY user_id
+           |                                          ORDER BY ts, event_id) AS rn
+           |           FROM events e)
+           |SELECT user_id, CAST(floor((rn - 1) / 20.0) AS BIGINT) AS batch_id,
+           |  count(*) AS n_events, round(sum(value), 2) AS sum_value,
+           |  min_by(event_id, rn) AS first_event, max_by(event_id, rn) AS last_event
+           |FROM t GROUP BY 1, 2""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q10, q12, q13, q14, q21, q22)
+}

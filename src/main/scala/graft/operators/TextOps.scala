@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.RollingHash
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines over `documents`:
+  * token/char statistics, n-gram classification (language-ID-shaped
+  * scoring over the fixture's synthetic vocabulary), quality scoring,
+  * and rolling-hash fingerprinting.
+  *
+  * Everything is a per-row projection — embarrassingly parallel, no
+  * shuffle, stays inside whole-stage codegen (tx4's fingerprint is a
+  * custom Catalyst expression with doGenCode for exactly that reason).
+  */
+object TextOps {
+
+  /** tx1 — token counting: whitespace tokens, distinct vocab, average
+    * token length, and a BPE-ish size estimate (≈ chars/4, the common
+    * tokens-per-byte heuristic). */
+  val tx1 = QueryDef(
+    "tx1_token_stats",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("int").as("len_chars"),
+          (length(col("text")) - col("n_alpha") + 1).cast("int").as("n_tokens"),
+          size(array_distinct(col("ws"))).as("n_distinct"),
+          round(col("n_alpha") / (length(col("text")) - col("n_alpha") + 1), 4).as("avg_token_len"),
+          ceil(length(col("text")) / 4.0).cast("long").as("bpe_est")),
+    Some("""SELECT doc_id,
+           |  CAST(length(text) AS INTEGER) AS len_chars,
+           |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INTEGER) AS n_tokens,
+           |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+           |  round(length(replace(text, ' ', '')) * 1.0 /
+           |        (length(text) - length(replace(text, ' ', '')) + 1), 4) AS avg_token_len,
+           |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est
+           |FROM documents""".stripMargin)
+  )
+
+  /** Marker-word count: occurrences of `w` in the split text. */
+  private def cnt(w: String) = s"size(filter(ws, x -> x = '$w'))"
+  private def cntSql(w: String) = s"len(list_filter(ws, x -> x = '$w'))"
+
+  private val classes: Seq[(String, Seq[String])] = Seq(
+    "cls_join"   -> Seq("join", "merge", "hash"),
+    "cls_stream" -> Seq("window", "stream", "batch"),
+    "cls_table"  -> Seq("table", "row", "column"),
+    "cls_scan"   -> Seq("filter", "scan", "sort"))
+
+  /** tx2 — n-gram-frequency classifier (the language-ID heuristic shape:
+    * per-class marker counts → argmax with a deterministic tiebreak).
+    * The fixture vocabulary is synthetic, so classes are topic buckets
+    * rather than natural languages; the operator is the same. */
+  val tx2 = QueryDef(
+    "tx2_langid_ngram",
+    (s, d) => {
+      var df = Tables.documents(s, d).withColumn("ws", split(col("text"), " "))
+      for ((name, words) <- classes)
+        df = df.withColumn(name, expr(words.map(cnt).mkString(" + ")))
+      val Seq(a, b, c, dd) = classes.map(_._1)
+      df.select(
+        col("doc_id"),
+        col(a), col(b), col(c), col(dd),
+        expr(s"""CASE WHEN $a >= $b AND $a >= $c AND $a >= $dd THEN '$a'
+                |     WHEN $b >= $c AND $b >= $dd THEN '$b'
+                |     WHEN $c >= $dd THEN '$c' ELSE '$dd' END""".stripMargin).as("predicted"))
+    },
+    Some {
+      val cols = classes.map { case (name, words) =>
+        s"  ${words.map(cntSql).mkString(" + ")} AS $name"
+      }.mkString(",\n")
+      val Seq(a, b, c, dd) = classes.map(_._1)
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |scored AS (SELECT doc_id,\n$cols\nFROM w)
+         |SELECT doc_id, $a, $b, $c, $dd,
+         |  CASE WHEN $a >= $b AND $a >= $c AND $a >= $dd THEN '$a'
+         |       WHEN $b >= $c AND $b >= $dd THEN '$b'
+         |       WHEN $c >= $dd THEN '$c' ELSE '$dd' END AS predicted
+         |FROM scored""".stripMargin
+    }
+  )
+
+  /** tx3 — quality scoring: length saturation, vocabulary richness, and
+    * stopword ratio combined into one [0,1] score (the usual heuristic
+    * pre-filter before expensive model-based quality scoring). */
+  val tx3 = QueryDef(
+    "tx3_quality_score",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_tok", size(col("ws")))
+        .withColumn("n_dis", size(array_distinct(col("ws"))))
+        .withColumn("n_stop", expr(cnt("the")) + expr(cnt("a")))
+        .select(
+          col("doc_id"),
+          round(least(col("n_tok") / 50.0, lit(1.0)), 4).as("len_score"),
+          round(col("n_dis") / col("n_tok"), 4).as("richness"),
+          round(col("n_stop") / col("n_tok"), 4).as("stop_ratio"),
+          round(least(col("n_tok") / 50.0, lit(1.0)) * 0.4 +
+            (col("n_dis") / col("n_tok")) * 0.4 +
+            (lit(1.0) - col("n_stop") / col("n_tok")) * 0.2, 4).as("quality")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |t AS (SELECT doc_id, len(ws) AS n_tok,
+           |        len(list_distinct(ws)) AS n_dis,
+           |        len(list_filter(ws, x -> x = 'the')) +
+           |        len(list_filter(ws, x -> x = 'a')) AS n_stop
+           |      FROM w)
+           |SELECT doc_id,
+           |  round(least(n_tok / 50.0, 1.0), 4) AS len_score,
+           |  round(n_dis * 1.0 / n_tok, 4) AS richness,
+           |  round(n_stop * 1.0 / n_tok, 4) AS stop_ratio,
+           |  round(least(n_tok / 50.0, 1.0) * 0.4 + (n_dis * 1.0 / n_tok) * 0.4 +
+           |        (1.0 - n_stop * 1.0 / n_tok) * 0.2, 4) AS quality
+           |FROM t""".stripMargin)
+  )
+
+  /** tx4 — document fingerprint: 31-ary rolling hash mod (2³¹−1) over
+    * the text, as a custom codegen'd Catalyst expression, plus md5 for a
+    * portable exact fingerprint. */
+  val tx4 = QueryDef(
+    "tx4_fingerprint",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        RollingHash.column(col("text")).as("rhash"),
+        md5(col("text")).as("md5_hex")),
+    Some("""SELECT doc_id,
+           |  list_reduce(
+           |    list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split_regex(text, ''), c -> unicode(c))),
+           |    (a, b) -> (a * 31 + b) % 2147483647) AS rhash,
+           |  md5(text) AS md5_hex
+           |FROM documents""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(tx1, tx2, tx3, tx4)
+}

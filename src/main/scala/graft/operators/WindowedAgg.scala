@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-windowed aggregation surface: tumbling / hopping / session
+  * windows and grace-period (late data) semantics.
+  *
+  * Reference semantics recreated (SURVEY §2.5, §2.9):
+  *  - tumbling/hopping: window store keyed by WindowedKey(key, windowStart)
+  *    (/root/reference/kafka-client/src/main/java/dev/responsive/kafka/internal/utils/WindowedKey.java:18-31;
+  *    agg usage ResponsiveWindowStoreIntegrationTest.java:112-114, 262-264)
+  *  - session: sessions merge within the inactivity gap
+  *    (internal/stores/ResponsiveSessionStore.java:131-163)
+  *  - late data: writes below minValidTimestamp = observedStreamTime -
+  *    retention + 1 are dropped (ResponsiveWindowStore.java:148-152,
+  *    214-216). Reference stream-time is **per-partition** max observed ts
+  *    (PartitionedOperations.java:333-336); we model it per-key with
+  *    arrival order = event_id, which is deterministic and
+  *    partition-parallel.
+  *
+  * All window starts are emitted as epoch **seconds** (BIGINT) so the
+  * DuckDB oracle compares exactly (parquet ns vs Spark µs timestamps).
+  *
+  * Scale: each query is a single shuffle on (window bucket, key); Spark's
+  * windowed aggregation does map-side partial aggregation first. Hopping
+  * windows fan each row out size/slide = 4× before the partial agg — the
+  * same cost the reference pays writing each record to every overlapping
+  * window's store row.
+  */
+object WindowedAgg {
+
+  /** Q7 — tumbling 1h window per user (TimeWindows.ofSizeWithNoGrace). */
+  val q07 = QueryDef(
+    "q07_tumbling_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("long").as("window_start"),
+          col("user_id"), col("n"), col("sum_value")),
+    Some("""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           |  user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM events GROUP BY 1, 2""".stripMargin)
+  )
+
+  /** Q8 — hopping window, size 1h advance 15m
+    * (TimeWindows.ofSizeAndGrace(...).advanceBy, integration test :262-264).
+    * Each event lands in 4 windows; the oracle enumerates them with a
+    * 0..3 cross join on the slide grid. */
+  val q08 = QueryDef(
+    "q08_hopping_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("long").as("window_start"),
+          col("user_id"), col("n"), col("sum_value")),
+    Some("""SELECT CAST(floor(epoch(ts) / 900) * 900 - k * 900 AS BIGINT) AS window_start,
+           |  user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) ks
+           |GROUP BY 1, 2""".stripMargin)
+  )
+
+  /** Q9 — session window, 30 min inactivity gap
+    * (SessionWindows.ofInactivityGapAndGrace,
+    * ResponsiveSessionStoreIntegrationTest.java:117-158). Oracle is the
+    * classic gaps-and-islands rewrite. */
+  val q09 = QueryDef(
+    "q09_session_window",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("session_window.start").cast("long").as("session_start"),
+          col("user_id"), col("n"), col("sum_value")),
+    Some("""WITH o AS (
+           |  SELECT user_id, ts, event_id, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sess AS (
+           |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                           ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM o)
+           |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           |  user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM sess GROUP BY user_id, sid""".stripMargin)
+  )
+
+  /** Q11 — grace-period / late-data drop: per-key stream time advances in
+    * arrival order (event_id); rows older than streamTime - 10 min are
+    * dropped before the Q7 aggregation (ResponsiveWindowStore.java:148-152
+    * minValidTimestamp semantics). */
+  val q11 = QueryDef(
+    "q11_late_data_grace",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("stream_time", max(col("ts")).over(w))
+        .filter(col("ts") >= col("stream_time") - expr("INTERVAL 10 MINUTES"))
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("long").as("window_start"),
+          col("user_id"), col("n"), col("sum_value"))
+    },
+    Some("""WITH t AS (
+           |  SELECT *, max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+           |                          ROWS UNBOUNDED PRECEDING) AS stream_time
+           |  FROM events)
+           |SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           |  user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM t WHERE ts >= stream_time - INTERVAL 10 MINUTE
+           |GROUP BY 1, 2""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q07, q08, q09, q11)
+}
