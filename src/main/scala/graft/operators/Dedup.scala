@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.VectorExprs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,7 +17,11 @@ import org.apache.spark.sql.functions._
   *    MinHash+LSH, where work is (#docs × 128 hashes) + a shuffle on
   *    (band, signature) whose groups are tiny for non-duplicates.
   *  - candidate verification recomputes exact Jaccard only on candidate
-  *    pairs (≪ n²).
+  *    pairs (≪ n²), joining on 64-bit gram hashes (not strings) to keep
+  *    shuffles narrow; collision probability over ~10⁶ distinct grams is
+  *    ~10⁻⁷ — semantics preserved.
+  *  - signature tables are tiny (docs × 128 longs) and broadcast to the
+  *    candidate side; candidates never drag arrays through a shuffle.
   * Parameters: word 3-gram shingles; 128 minhashes = 32 bands × 4 rows
   * → P(candidate | jaccard=0.89) ≈ 1 - (1-0.89⁴)³² ≈ 1-1.4e-7, and the
   * fixture's near-dup pairs all sit at jaccard ≥ 0.889 with the next
@@ -29,7 +34,14 @@ object Dedup {
   val NumBands: Int = NumHashes / BandRows // 32
   val JaccardThreshold = 0.5
 
-  /** documents with a distinct word-3gram shingle array. */
+  /** MinHash agreement count below which a pair cannot plausibly clear
+    * the Jaccard threshold (0.3 · 128; a true ≥0.5-Jaccard pair fails
+    * this with probability < 1e-30). Used as a cheap prefilter before
+    * exact verification. */
+  val MinEstAgree = 38
+
+  /** documents with a distinct word-3gram shingle array (string form —
+    * used by specs; the pipelines below hash shingles to longs). */
   def withShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("ws", split(col("text"), " "))
@@ -38,25 +50,22 @@ object Dedup {
           " i -> element_at(ws, i) || ' ' || element_at(ws, i + 1) || ' ' || element_at(ws, i + 2))")))
       .select(col("doc_id"), col("grams"))
 
-  /** (doc_id, gram) exploded form plus per-doc shingle-set size. */
+  /** (doc_id, gh) exploded 64-bit-hashed shingles plus per-doc set size. */
   private def grams(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val g = withShingles(s, d).select(col("doc_id"), explode(col("grams")).as("gram"))
+    val g = withShingles(s, d)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
     val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     (g, sizes)
   }
 
-  /** Exact Jaccard ≥ threshold over pairs discovered via a shared-gram
-    * join, given a (doc_id, gram) set. */
-  private def jaccardPairs(g: DataFrame, sizes: DataFrame): DataFrame = {
-    val a = g.select(col("doc_id").as("d1"), col("gram"))
-    val b = g.select(col("doc_id").as("d2"), col("gram"))
-    a.join(b, Seq("gram")).filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
-      .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
-      .filter(col("jac") >= JaccardThreshold)
-      .select(col("d1"), col("d2"), round(col("jac"), 3).as("jaccard"))
+  /** 128-slot MinHash signatures as one array<bigint> per doc, via the
+    * MinHashAgg TypedImperativeAggregate: one partial-agg shuffle of
+    * (docs × 1 KB) buffers. Shared by dd3 and Simhash.dd5. */
+  def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val (g, _) = grams(s, d)
+    g.groupBy("doc_id")
+      .agg(graft.functions.SketchAggs.minhash(col("gh"), NumHashes).as("mh"))
   }
 
   /** Exact Jaccard on a given candidate-pair set (d1 < d2): the shared
@@ -64,15 +73,27 @@ object Dedup {
     * candidates, never n². */
   def verifyJaccard(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
     val (g, sizes) = grams(s, d)
-    val g1 = g.select(col("doc_id").as("d1"), col("gram"))
-    val g2 = g.select(col("doc_id").as("d2"), col("gram"))
-    cand.join(g1, Seq("d1")).join(g2, Seq("d2", "gram"))
+    val g1 = g.select(col("doc_id").as("d1"), col("gh"))
+    val g2 = g.select(col("doc_id").as("d2"), col("gh"))
+    cand.join(g1, Seq("d1")).join(g2, Seq("d2", "gh"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
       .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
       .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jac") >= JaccardThreshold)
       .select(col("d1"), col("d2"), round(col("jac"), 3).as("jaccard"))
+  }
+
+  /** MinHash-estimate prefilter: keep candidate pairs whose signatures
+    * agree on ≥ MinEstAgree slots. Signatures are broadcast (docs × 1 KB)
+    * so the candidate stream never shuffles arrays. */
+  def minhashPrefilter(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    val sigs = minhashSigs(s, d)
+    cand
+      .join(broadcast(sigs.select(col("doc_id").as("d1"), col("mh").as("mh1"))), Seq("d1"))
+      .join(broadcast(sigs.select(col("doc_id").as("d2"), col("mh").as("mh2"))), Seq("d2"))
+      .filter(VectorExprs.eqCount(col("mh1"), col("mh2")) >= MinEstAgree)
+      .select("d1", "d2")
   }
 
   val jaccardOracle: String =
@@ -100,10 +121,22 @@ object Dedup {
            |FROM documents GROUP BY md5(text)""".stripMargin)
   )
 
-  /** dd2 — exact n-gram Jaccard near-dup pairs (the oracle path). */
+  /** dd2 — exact n-gram Jaccard near-dup pairs (the oracle path:
+    * exhaustive shared-gram join). */
   val dd2 = QueryDef(
     "dd2_dedup_ngram_jaccard",
-    (s, d) => { val (g, sizes) = grams(s, d); jaccardPairs(g, sizes) },
+    (s, d) => {
+      val (g, sizes) = grams(s, d)
+      g.select(col("doc_id").as("d1"), col("gh"))
+        .join(g.select(col("doc_id").as("d2"), col("gh")), Seq("gh"))
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
+        .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+        .filter(col("jac") >= JaccardThreshold)
+        .select(col("d1"), col("d2"), round(col("jac"), 3).as("jaccard"))
+    },
     Some(jaccardOracle)
   )
 
@@ -113,42 +146,34 @@ object Dedup {
   val dd3 = QueryDef(
     "dd3_dedup_minhash_lsh",
     (s, d) => {
-      val (g, _) = grams(s, d)
-      // 1. signatures: min over grams of xxhash64(i, gram), one pass.
-      val mhCols = (0 until NumHashes).map(i => min(xxhash64(lit(i), col("gram"))).as(s"mh$i"))
-      val sig = g.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-      // 2. bands: hash each run of BandRows signature slots.
-      val bandCols = (0 until NumBands).map { b =>
-        val slots = (0 until BandRows).map(r => col(s"mh${b * BandRows + r}"))
-        struct(lit(b).as("band"), xxhash64(slots: _*).as("bv"))
-      }
-      val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      val sig = minhashSigs(s, d)
+      // bands: hash each run of BandRows signature slots.
+      val banded = sig.select(col("doc_id"),
+          explode(expr(s"transform(sequence(0, ${NumBands - 1})," +
+            s" b -> struct(b AS band, xxhash64(slice(mh, b * $BandRows + 1, $BandRows)) AS bv))")).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-      // 3. candidates: pairs sharing any band bucket.
       val cand = banded.select(col("doc_id").as("d1"), col("band"), col("bv"))
         .join(banded.select(col("doc_id").as("d2"), col("band"), col("bv")), Seq("band", "bv"))
         .filter(col("d1") < col("d2"))
         .select("d1", "d2").distinct()
-      // 4. verify candidates with exact Jaccard.
       verifyJaccard(s, d, cand)
     },
     Some(jaccardOracle)
   )
 
   /** dd4 — embedding-cosine near-dup pairs; brute-force O(n²) self-join
-    * is the oracle path, IVF (Similarity.scala) is the scale path. */
+    * with a codegen'd dot product is the oracle path, IVF
+    * (Similarity.scala) is the scale path. */
   val dd4 = QueryDef(
     "dd4_dedup_embedding_cosine",
     (s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+        .withColumn("nrm", sqrt(VectorExprs.dot(col("v"), col("v"))))
       val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
       val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
-      a.crossJoin(b).filter(col("id1") < col("id2"))
-        .withColumn("cos",
-          expr("aggregate(zip_with(v1, v2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-            (col("n1") * col("n2")))
+      a.join(broadcast(b), col("id1") < col("id2"))
+        .withColumn("cos", VectorExprs.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
         .filter(col("cos") >= 0.4)
         .select(col("id1"), col("id2"), round(col("cos"), 3).as("cos_sim"))
     },

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.VectorExprs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -27,9 +28,7 @@ object Similarity {
 
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
-
-  private val dotExpr = "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+      .withColumn("nrm", sqrt(VectorExprs.dot(col("v"), col("v"))))
 
   /** sim1 — brute-force cosine top-5 for query vectors vec_id < 10. */
   val sim1 = QueryDef(
@@ -40,7 +39,7 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       e.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("cos", expr(dotExpr) / (col("nrm") * col("qn")))
+        .withColumn("cos", VectorExprs.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"))
@@ -65,7 +64,7 @@ object Similarity {
       // corpus → nearest anchor (coarse quantization)
       val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("acos").desc, col("aid"))
       val assigned = e.crossJoin(broadcast(anchors))
-        .withColumn("acos", expr(dotExpr) / (col("nrm") * col("qn")))
+        .withColumn("acos", VectorExprs.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
         .withColumn("arank", row_number().over(wAssign))
         .filter(col("arank") === 1)
         .select(col("vec_id"), col("v"), col("nrm"), col("aid").as("cell"))
@@ -75,7 +74,7 @@ object Similarity {
       val wProbe = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("aid"))
       val probes = q.crossJoin(broadcast(anchors))
         .withColumn("acos",
-          expr("aggregate(zip_with(probe_v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          VectorExprs.dot(col("probe_v"), col("qv")) /
             (col("probe_n") * col("qn")))
         .withColumn("prank", row_number().over(wProbe))
         .filter(col("prank") <= NProbe)
@@ -85,7 +84,7 @@ object Similarity {
       assigned.join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("cos",
-          expr("aggregate(zip_with(v, probe_v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          VectorExprs.dot(col("v"), col("probe_v")) /
             (col("nrm") * col("probe_n")))
         .withColumn("rank", row_number().over(wTop))
         .filter(col("rank") <= TopK)
