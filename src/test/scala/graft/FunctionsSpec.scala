@@ -1,0 +1,61 @@
+package graft
+
+import graft.functions.{RollingHash, SketchAggs, VectorExprs, XorChecksum}
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("RollingHash matches the reference fold, including codegen path") {
+    def ref(s: String): Long = {
+      var h = 0L
+      s.codePoints().toArray.foreach(cp => h = (h * 31L + cp) % 2147483647L)
+      h
+    }
+    val inputs = Seq("", "a", "hello world", "the fast key order", "café über 中文")
+    val got = inputs.toDF("s").select(RollingHash.column(col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(got.sameElements(inputs.map(ref)))
+  }
+
+  test("RollingHash returns null on null input") {
+    val r = Seq[Option[String]](None).toDF("s")
+      .select(RollingHash.column(col("s"))).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("DotProduct matches manual computation") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val got = df.select(VectorExprs.dot(col("a"), col("b"))).collect().head.getDouble(0)
+    assert(got == 32.0)
+  }
+
+  test("ArrayEqualCount counts agreeing slots") {
+    val df = Seq((Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 7L))).toDF("a", "b")
+    assert(df.select(VectorExprs.eqCount(col("a"), col("b"))).collect().head.getInt(0) == 2)
+  }
+
+  test("XorChecksum is order-insensitive and matches the documented mix") {
+    def mix(x: Long) = x ^ (x << 13) ^ (x >> 7)
+    val ids = Seq(5L, 99L, 1234567L)
+    val expected = ids.map(mix).reduce(_ ^ _)
+    val fwd = ids.toDF("id").agg(XorChecksum.column(col("id"))).collect().head.getLong(0)
+    val rev = ids.reverse.toDF("id").agg(XorChecksum.column(col("id"))).collect().head.getLong(0)
+    assert(fwd == expected && rev == expected)
+  }
+
+  test("MinHashAgg is deterministic and identical sets collide") {
+    val a = Seq(10L, 20L, 30L).toDF("gh").agg(SketchAggs.minhash(col("gh"), 16))
+      .collect().head.getSeq[Long](0)
+    val b = Seq(30L, 10L, 20L).toDF("gh").agg(SketchAggs.minhash(col("gh"), 16))
+      .collect().head.getSeq[Long](0)
+    assert(a == b && a.length == 16)
+  }
+
+  test("SimHashAgg: identical multisets produce identical signatures, tf matters") {
+    def sig(words: Seq[String]): Long =
+      words.toDF("w").agg(SketchAggs.simhash(xxhash64(col("w")))).collect().head.getLong(0)
+    assert(sig(Seq("a", "b", "a")) == sig(Seq("a", "a", "b")))
+    assert(sig(Seq("a", "b", "a")) != sig(Seq("a", "b", "b")))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Golden-count regression spec: every registered query runs at sf0.001
+  * and must return exactly the row count captured from the
+  * DuckDB-verified run (deterministic fixtures, seed=42). A count drift
+  * means changed semantics — the full value-level check is the driver's
+  * DuckDB differential (tools/check_oracle.py).
+  */
+class QueriesSpec extends SparkSpecBase {
+
+  val goldenCounts: Map[String, Long] = Map(
+    "dd1_dedup_exact" -> 500, "dd2_dedup_ngram_jaccard" -> 28,
+    "dd3_dedup_minhash_lsh" -> 28, "dd4_dedup_embedding_cosine" -> 66,
+    "dd5_dedup_simhash" -> 28, "mm1_media_decode" -> 500,
+    "mm2_media_frames" -> 500, "q01_filter_project" -> 3225,
+    "q02_agg" -> 6, "q03_stream_table_join" -> 1500, "q04_join_chain" -> 5,
+    "q05_anti_join" -> 3, "q05_semi_join" -> 147, "q06_broadcast_join" -> 10,
+    "q07_tumbling_window" -> 951, "q08_hopping_window" -> 3800,
+    "q09_session_window" -> 946, "q10_interval_join" -> 1,
+    "q11_late_data_grace" -> 951, "q12_ttl_default" -> 6,
+    "q13_ttl_row_level" -> 11, "q14_dedup_first" -> 75,
+    "q15_range_prefix" -> 8, "q16_reverse_range" -> 20, "q17_topk" -> 10,
+    "q18_setops" -> 253, "q19_window_functions" -> 1500,
+    "q20_scalar_functions" -> 1000, "q21_checksum_udaf" -> 15,
+    "q22_batch_by_key" -> 58, "q23_approx_count" -> 1, "q24_fk_join" -> 25,
+    "sim1_ann_brute_topk" -> 50, "sim2_ann_ivf_topk" -> 50,
+    "tx1_token_stats" -> 500, "tx2_langid_ngram" -> 500,
+    "tx3_quality_score" -> 500, "tx4_fingerprint" -> 500)
+
+  test("registry covers every golden query and vice versa") {
+    assert(SparkEntry.queries.keySet == goldenCounts.keySet)
+  }
+
+  for ((name, expected) <- goldenCounts.toSeq.sortBy(_._1)) {
+    test(s"$name returns $expected rows at sf0.001") {
+      assert(SparkEntry.queries(name)(spark, sfDir).count() == expected)
+    }
+  }
+
+  test("entry() flagship smoke returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL exists for every query except the declared approximate ones") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("sim2_ann_ivf_topk"))
+  }
+
+  test("q23 approx_count_distinct lands within tolerance (ok flag = 1)") {
+    val row = SparkEntry.queries("q23_approx_count")(spark, sfDir).collect().head
+    assert(row.getAs[Int]("ok") == 1)
+  }
+
+  test("q17 top-k is ordered by revenue desc") {
+    val rev = SparkEntry.queries("q17_topk")(spark, sfDir)
+      .select(col("revenue")).collect().map(_.getDouble(0))
+    assert(rev.sameElements(rev.sortBy(-_)))
+  }
+}
