@@ -18,7 +18,7 @@ object SparkEntry {
     * pipeline surface (dedup dd1–dd5, similarity sim1–sim2, text tx1–tx4,
     * multimodal mm1–mm2). */
   val registry: Seq[QueryDef] =
-    Relational.all ++ WindowedAgg.all ++ StatefulOps.all ++
+    Relational.all ++ WindowedAgg.all ++ StatefulOps.all ++ StatelessOps.all ++
       Dedup.all ++ Simhash.all ++ Similarity.all ++ TextOps.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,69 @@
+package graft.operators
+
+import java.util.concurrent.Executors
+
+import scala.collection.mutable
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** Per-key-order-preserving async map — the engine's analog of the
+  * reference's async processing framework (AsyncProcessorSupplier,
+  * /root/reference/kafka-client/src/main/java/dev/responsive/kafka/api/async/AsyncProcessorSupplier.java:34-118;
+  * ordering queue internal/async/queues/KeyOrderPreservingQueue.java:36,139-151;
+  * pool internal/async/AsyncThreadPool.java:46-99).
+  *
+  * Contract mirrored from the reference:
+  *  - same-key records run serially in encounter order (futures chained
+  *    per key) — read-your-writes across invocations;
+  *  - cross-key records run concurrently on a bounded pool;
+  *  - at most `maxInFlight` records are scheduled ahead (the
+  *    MAX_EVENTS_QUEUED analog, ResponsiveConfig.java:253-291), so a slow
+  *    record applies backpressure instead of buffering the partition.
+  *
+  * Deviation: output preserves full input order (the reference forwards
+  * in completion order) — stricter, and what keeps Spark plans
+  * deterministic. Spark already parallelizes across partitions; this
+  * utility adds intra-partition concurrency for high-latency per-record
+  * work (remote lookups), which is the reference's motivating use case.
+  */
+object AsyncOps {
+
+  def asyncMapPartitions[T, R: Encoder](
+      ds: Dataset[T],
+      parallelism: Int,
+      maxInFlight: Int = 64)(keyOf: T => Any)(f: T => R): Dataset[R] =
+    ds.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pool = Executors.newFixedThreadPool(parallelism)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val chains = mutable.Map.empty[Any, Future[_]]
+        val inFlight = mutable.Queue.empty[Future[R]]
+
+        def schedule(): Unit =
+          while (inFlight.size < maxInFlight && it.hasNext) {
+            val t = it.next()
+            val k = keyOf(t)
+            val prev = chains.getOrElse(k, Future.unit)
+            val fut = prev.map(_ => f(t))
+            chains(k) = fut
+            inFlight.enqueue(fut)
+          }
+
+        new Iterator[R] {
+          override def hasNext: Boolean = {
+            schedule()
+            val more = inFlight.nonEmpty
+            if (!more) pool.shutdown()
+            more
+          }
+          override def next(): R = {
+            schedule()
+            Await.result(inFlight.dequeue(), Duration.Inf)
+          }
+        }
+      }
+    }
+}

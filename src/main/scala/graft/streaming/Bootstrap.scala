@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Bootstrap / migration analog of the reference's changelog-migration
+  * tool (kafka-client-bootstrap ChangelogMigrationTool.java /
+  * BootstrapMain.java:60-75: replay an existing changelog topic into the
+  * remote store before cutting the live app over).
+  *
+  * On Spark, the "changelog" is any batch Dataset of the current state
+  * (e.g. a table the legacy system produced): it seeds each key's state
+  * via handleInitialState on the first microbatch, after which live
+  * events upsert on top — same last-write-wins contract as
+  * KvStoreProcessor. Restore-after-failure itself needs no analog at
+  * all: the streaming checkpoint replays state on restart
+  * (PartitionedOperations.java:165-172's restore-offset logic collapses
+  * into Spark's checkpoint recovery, SURVEY §2.9).
+  */
+class BootstrapKvProcessor
+  extends StatefulProcessorWithInitialState[Long, Event, KvRow, Event] {
+
+  @transient private var state: ValueState[Event] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[Event]("kv", Encoders.product[Event], TTLConfig.NONE)
+
+  override def handleInitialState(key: Long, initial: Event, timerValues: TimerValues): Unit =
+    state.update(initial)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[Event],
+      timerValues: TimerValues): Iterator[KvRow] = {
+    var latest = if (state.exists()) state.get() else null
+    rows.foreach { e =>
+      if (latest == null ||
+          e.ts.getTime > latest.ts.getTime ||
+          (e.ts.getTime == latest.ts.getTime && e.event_id > latest.event_id)) {
+        latest = e
+      }
+    }
+    if (latest == null) Iterator.empty
+    else {
+      state.update(latest)
+      Iterator.single(KvRow(latest.user_id, latest.event_id, latest.event_type,
+        latest.value, latest.ts.getTime / 1000L))
+    }
+  }
+}

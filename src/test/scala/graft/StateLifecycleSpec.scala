@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.{Encoders, SaveMode}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+
+/** State lifecycle parity: bootstrap (initial-state seeding — the
+  * changelog-migration analog), checkpoint restore, and interactive
+  * queries against persisted state via the statestore reader
+  * (StoreQueryIntegrationTest analog, SURVEY §2.9).
+  */
+object IqProbe {
+  val rows = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Any]]()
+}
+
+class StateLifecycleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  lazy val sortedEvents: Vector[Event] =
+    Tables.events(spark, sfDir).as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id)).toVector
+
+  test("bootstrap: initial state seeds the KV store before live events (migration analog)") {
+    implicit val sq = spark.sqlContext
+    // "legacy" state: synthetic rows for two users that live events never
+    // out-date for user 9999 (absent from the live stream).
+    val seeded = Seq(
+      Event(900001L, new java.sql.Timestamp(0L), 9999L, "legacy", 1.0, "{}"),
+      Event(900002L, new java.sql.Timestamp(0L), 0L, "legacy", 2.0, "{}"))
+    val ms = MemoryStream[Event]
+    val out = ms.toDF().as[Event].groupByKey(_.user_id)
+      .transformWithState(
+        new BootstrapKvProcessor, TimeMode.None(), OutputMode.Update(),
+        seeded.toDS().groupByKey(_.user_id),
+        Encoders.product[KvRow], Encoders.product[Event])
+    val q = out.toDF().writeStream.format("memory").queryName("bootsink")
+      .outputMode("update").start()
+    try {
+      ms.addData(sortedEvents.take(200))
+      q.processAllAvailable()
+      // poke the seeded-only key so its (unchanged) state is emitted
+      ms.addData(Seq(Event(900003L, new java.sql.Timestamp(1L), 9999L, "probe", 0.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("bootsink").as[KvRow].collect()
+    // user 9999 only ever saw ts=0/ts≈0 rows: seeded legacy row must have
+    // been the base, with the probe (newer) upserting over it
+    val u9999 = rows.filter(_.user_id == 9999L).maxBy(r => (r.ts_sec, r.event_id))
+    assert(u9999.event_id == 900003L)
+    // user 0: live events are newer than the 1970 seed → live row wins
+    val u0 = rows.filter(_.user_id == 0L).maxBy(r => (r.ts_sec, r.event_id))
+    assert(u0.event_type != "legacy")
+  }
+
+  test("checkpoint restore + statestore reader (interactive queries)") {
+    implicit val sq = spark.sqlContext
+    val ckpt = tmpDir("ckpt")
+    val ms = MemoryStream[Event]
+    // memory sink cannot recover from a checkpoint; foreachBatch can
+    def start() = ms.toDF().as[Event].groupByKey(_.user_id)
+      .transformWithState(new KvStoreProcessor, TimeMode.None(), OutputMode.Update(),
+        Encoders.product[KvRow])
+      .toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach(r => IqProbe.rows.add(r.toSeq))
+      }
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try { ms.addData(sortedEvents.take(300)); q1.processAllAvailable() }
+    finally q1.stop()
+    // restart from the same checkpoint — state must survive (the restore
+    // path; the reference replays the changelog, Spark reloads RocksDB)
+    val q2 = start()
+    try { ms.addData(sortedEvents.slice(300, 400)); q2.processAllAvailable() }
+    finally q2.stop()
+
+    // Interactive query: read the operator's ValueState directly from
+    // the checkpoint with the statestore source.
+    val state = spark.read.format("statestore")
+      .option("path", ckpt)
+      .option("stateVarName", "kv")
+      .load()
+    assert(state.count() > 0)
+    val users = state.select(col("key.*")).collect().map(_.getLong(0)).toSet
+    val expected = sortedEvents.take(400).map(_.user_id).toSet
+    assert(users == expected)
+  }
+}
