@@ -96,17 +96,36 @@ object Dedup {
       .select("d1", "d2")
   }
 
+  /** Shared DuckDB CTEs: shingles, set sizes, shared-gram pair counts. */
+  private val coreCtes: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      |       FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) ix),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)""".stripMargin
+
   val jaccardOracle: String =
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-       |       FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) ix),
-       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-       |          FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2)
+    s"""WITH $coreCtes
        |SELECT d1, d2, round(inter * 1.0 / (s1.n + s2.n - inter), 3) AS jaccard
        |FROM pairs JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
        |WHERE inter * 1.0 / (s1.n + s2.n - inter) >= $JaccardThreshold""".stripMargin
+
+  /** dd6 oracle: transitive closure over the dup-pair graph (recursive
+    * CTE — fine at oracle scale), canonical = min doc_id reachable. */
+  val clusterOracle: String =
+    s"""WITH RECURSIVE $coreCtes,
+       |dup AS (SELECT d1, d2 FROM pairs
+       |        JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+       |        WHERE inter * 1.0 / (s1.n + s2.n - inter) >= $JaccardThreshold),
+       |und AS (SELECT d1 AS a, d2 AS b FROM dup UNION SELECT d2, d1 FROM dup),
+       |reach(a, b) AS (SELECT a, b FROM und
+       |                UNION
+       |                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |mins AS (SELECT a, min(b) AS mn FROM reach GROUP BY a)
+       |SELECT d.doc_id, CAST(least(d.doc_id, coalesce(m.mn, d.doc_id)) AS BIGINT) AS canonical_id
+       |FROM documents d LEFT JOIN mins m ON d.doc_id = m.a""".stripMargin
 
   /** dd1 — exact dedup: group by content hash, elect canonical doc
     * (the fact-store "have I seen this key" pattern,
@@ -184,5 +203,51 @@ object Dedup {
            |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(dd1, dd2, dd3, dd4)
+  /** dd6 — near-dup clustering: connected components over the MinHash/LSH
+    * pair graph, electing the min-doc_id canonical per cluster — the
+    * "keep one copy" step after pair detection. Iterative min-label
+    * propagation: each round every doc takes the min label among itself
+    * and its neighbors; converges in O(component diameter) rounds with a
+    * driver-side convergence check on the (monotonically decreasing)
+    * label sum. At 100 TB this is the same alternating-contraction loop
+    * (large-star/small-star) used for web-scale dedup; components in
+    * dedup graphs are tiny, so few rounds suffice. */
+  val dd6 = QueryDef(
+    "dd6_dedup_clusters",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val dup = dd3.fn(s, d).select(col("d1"), col("d2"))
+      val edges = dup.union(dup.select(col("d2").as("d1"), col("d1").as("d2")))
+        .toDF("a", "b").localCheckpoint(true) // materialize: dd3 runs once
+      // propagate only over docs that appear in an edge — singletons are
+      // their own canonical and join back at the end (at any scale, the
+      // edge-node set is vastly smaller than the corpus)
+      var labels = edges.select(col("a").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")).localCheckpoint(true)
+      var prevSum = Long.MinValue
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val neighborMin = edges
+          .join(labels.select(col("doc_id").as("nb"), col("label").as("nl")), col("b") === col("nb"))
+          .groupBy(col("a")).agg(min(col("nl")).as("nlabel"))
+        // localCheckpoint truncates the growing iteration lineage
+        val next = labels
+          .join(neighborMin, labels("doc_id") === neighborMin("a"), "left_outer")
+          .select(labels("doc_id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        val sum2 = next.agg(sum(col("label"))).head().getLong(0)
+        labels = next
+        converged = sum2 == prevSum
+        prevSum = sum2
+        rounds += 1
+      }
+      docs.join(labels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id"))
+    },
+    Some(clusterOracle)
+  )
+
+  val all: Seq[QueryDef] = Seq(dd1, dd2, dd3, dd4, dd6)
 }

@@ -312,6 +312,39 @@ object Relational {
            |JOIN nation ON c_nationkey = n_nationkey""".stripMargin)
   )
 
+  /** Q27 — outer-join variants (SURVEY §2.4 "left/outer variants"):
+    * customers left-joined to their big orders; customers without one
+    * survive with nulls (vs q05's semi/anti which drop them). */
+  val q27 = QueryDef(
+    "q27_outer_join",
+    (s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("big_total"))
+      Tables.customer(s, d)
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("big_total"))
+    },
+    Some("""SELECT c_custkey, c_name, o_orderkey, big_total
+           |FROM customer LEFT OUTER JOIN
+           |  (SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS big_total
+           |   FROM orders WHERE o_totalprice > 400000) big
+           |ON c_custkey = o_custkey""".stripMargin)
+  )
+
+  /** Q28 — rollup (grouping-sets surface, SURVEY §2.5 note: absent from
+    * the reference, free in Spark/Catalyst): order totals by
+    * (status, priority) with subtotals and a grand total. */
+  val q28 = QueryDef(
+    "q28_rollup",
+    (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total")),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS total
+           |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24)
+    Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24, q27, q28)
 }

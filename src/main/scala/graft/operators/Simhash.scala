@@ -44,14 +44,14 @@ object Simhash {
           explode(expr("transform(sequence(0, 7)," +
             " b -> struct(b AS band, shiftright(sig, b * 8) & 255 AS bv))")).as("bk"))
         .select(col("doc_id"), col("sig"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+      // hamming cut BEFORE the dedup so the distinct sees only surviving
+      // (d1, d2) longs, not wide signature rows
       val cand = banded.select(col("doc_id").as("d1"), col("sig").as("sig1"), col("band"), col("bv"))
         .join(banded.select(col("doc_id").as("d2"), col("sig").as("sig2"), col("band"), col("bv")),
           Seq("band", "bv"))
-        .filter(col("d1") < col("d2"))
-        .select("d1", "d2", "sig1", "sig2").distinct()
-        .withColumn("hamming", expr("bit_count(sig1 ^ sig2)"))
-        .filter(col("hamming") <= MaxHamming)
-        .select("d1", "d2")
+        .filter(col("d1") < col("d2") &&
+          expr("bit_count(sig1 ^ sig2)") <= MaxHamming)
+        .select("d1", "d2").distinct()
       // cheap MinHash-estimate prefilter, then exact n-gram Jaccard
       Dedup.verifyJaccard(s, d, Dedup.minhashPrefilter(s, d, cand))
     },
