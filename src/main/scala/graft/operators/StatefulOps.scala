@@ -170,5 +170,30 @@ object StatefulOps {
            |FROM t GROUP BY 1, 2""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q10, q12, q13, q14, q21, q22)
+  /** Q29 — left-outer stream-stream interval join (SURVEY §2.4
+    * "left/outer variants"): every purchase, with its ±10-min errors or
+    * nulls. Spark supports this in streaming with watermarks on both
+    * sides (null rows emit once the watermark closes the window);
+    * StreamOps.intervalJoin(joinType = "left_outer") is the twin. */
+  val q29 = QueryDef(
+    "q29_interval_left_join",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      val r = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("r_user_id"), col("ts").as("e_ts"), col("event_id").as("error_id"))
+      l.join(r, col("user_id") === col("r_user_id") &&
+          col("e_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("e_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"), "left_outer")
+        .select(col("purchase_id"), col("error_id"), col("user_id"))
+    },
+    Some("""SELECT a.event_id AS purchase_id, b.event_id AS error_id, a.user_id AS user_id
+           |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+           |LEFT OUTER JOIN (SELECT * FROM events WHERE event_type = 'error') b
+           |  ON a.user_id = b.user_id
+           | AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts + INTERVAL 10 MINUTE""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q10, q12, q13, q14, q21, q22, q29)
 }

@@ -75,7 +75,10 @@ object StreamOps {
     * duplicates retained — the STREAM window-store schema,
     * ResponsiveWindowParams.streamStreamJoin). Both sides need
     * watermarks for state cleanup in streaming mode. */
-  def intervalJoin(events: DataFrame, watermark: String = "10 minutes"): DataFrame = {
+  def intervalJoin(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = events.filter(col("event_type") === "purchase")
       .withWatermark("ts", watermark)
       .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
@@ -84,7 +87,7 @@ object StreamOps {
       .select(col("user_id").as("r_user_id"), col("ts").as("e_ts"), col("event_id").as("error_id"))
     l.join(r, col("user_id") === col("r_user_id") &&
         col("e_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
-        col("e_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"))
+        col("e_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"), joinType)
       .select(col("purchase_id"), col("error_id"), col("user_id"))
   }
 

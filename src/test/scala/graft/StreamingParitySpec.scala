@@ -88,6 +88,14 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("left-outer interval join: streamed replay == batch q29") {
+    val streamed = runStream(StreamOps.intervalJoin(_, joinType = "left_outer"),
+      chunksOf(200) :+ Seq(sentinel("purchase"), sentinel("error")), "append")
+      .filter(col("user_id") =!= -1L)
+    val batch = SparkEntry.queries("q29_interval_left_join")(spark, sfDir)
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("KV store with read-time TTL: final state == q12 batch oracle") {
     val streamed = runStream(
       df => df.as[Event].groupByKey(_.user_id)
