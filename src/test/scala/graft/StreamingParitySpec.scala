@@ -88,6 +88,18 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("stream-static enrichment (GlobalKTable analog): streamed == batch") {
+    val dim = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .withColumn("segment", col("user_id") % 3)
+    val enrich = (df: org.apache.spark.sql.DataFrame) =>
+      StreamOps.enrich(df, dim, "user_id")
+        .select(col("event_id"), col("user_id"), col("segment"))
+    val streamed = runStream(enrich, chunksOf(200), "append")
+    val batch = enrich(Tables.events(spark, sfDir))
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("left-outer interval join: streamed replay == batch q29") {
     val streamed = runStream(StreamOps.intervalJoin(_, joinType = "left_outer"),
       chunksOf(200) :+ Seq(sentinel("purchase"), sentinel("error")), "append")
