@@ -195,5 +195,30 @@ object StatefulOps {
            | AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts + INTERVAL 10 MINUTE""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q10, q12, q13, q14, q21, q22, q29)
+  /** Q30 — full-outer interval join: purchases and errors of the same
+    * user within ±10 min, keeping unmatched rows from both sides
+    * (completes the stream-stream join variant matrix with q10/q29). */
+  val q30 = QueryDef(
+    "q30_interval_full_join",
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      val r = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("r_user_id"), col("ts").as("e_ts"), col("event_id").as("error_id"))
+      l.join(r, col("user_id") === col("r_user_id") &&
+          col("e_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("e_ts") <= col("p_ts") + expr("INTERVAL 10 MINUTES"), "full_outer")
+        .select(col("purchase_id"), col("error_id"),
+          coalesce(col("user_id"), col("r_user_id")).as("uid"))
+    },
+    Some("""SELECT a.event_id AS purchase_id, b.event_id AS error_id,
+           |  coalesce(a.user_id, b.user_id) AS uid
+           |FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+           |FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'error') b
+           |  ON a.user_id = b.user_id
+           | AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts + INTERVAL 10 MINUTE""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q10, q12, q13, q14, q21, q22, q29, q30)
 }

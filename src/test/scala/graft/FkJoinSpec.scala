@@ -1,0 +1,97 @@
+package graft
+
+import graft.streaming.FkJoin
+import graft.streaming.FkJoin._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Streaming KTable FK-join parity (ResponsiveForeignKeyJoinIntegrationTest
+  * analog): replay left/right changelogs, assert the final joined state
+  * equals the batch answer, including right-update fan-out and FK-change
+  * retraction.
+  */
+class FkJoinSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def finalState(rows: Seq[FkJoined]): Map[Long, (Long, String, String)] = {
+    // changelog → final state: last row per pk; an FK change emits
+    // (retract old-fk, upsert new-fk) under one seq, and the upsert is
+    // the logically-later half, so it wins the tie
+    rows.groupBy(_.pk).flatMap { case (pk, rs) =>
+      val last = rs.maxBy(r => (r.seq, !r.retracted))
+      if (last.retracted) None else Some(pk -> ((last.fk, last.lval, last.rval)))
+    }
+  }
+
+  test("streaming FK join: upserts, right fan-out, and FK-change retraction") {
+    implicit val sq = spark.sqlContext
+    val lms = MemoryStream[LeftRow]
+    val rms = MemoryStream[RightRow]
+    val q = FkJoin.fkJoinStream(lms.toDS(), rms.toDS())
+      .toDF().writeStream.format("memory").queryName("fksink")
+      .outputMode("update").start()
+    try {
+      // batch 1: two lefts pointing at fk=10 before the right exists
+      lms.addData(Seq(LeftRow(1, 10, "a1", 1), LeftRow(2, 10, "b1", 2)))
+      q.processAllAvailable()
+      // batch 2: right 10 arrives -> fan-out to both; right 20 arrives unused
+      rms.addData(Seq(RightRow(10, "M10", 3), RightRow(20, "M20", 4)))
+      q.processAllAvailable()
+      // batch 3: left 1 changes FK 10 -> 20 (retraction + re-subscribe);
+      // left 3 joins fk 20; left 2 updates value in place
+      lms.addData(Seq(LeftRow(1, 20, "a2", 5), LeftRow(3, 20, "c1", 6), LeftRow(2, 10, "b2", 7)))
+      q.processAllAvailable()
+      // batch 4: right 10 updates -> only pk 2 re-emits
+      rms.addData(Seq(RightRow(10, "M10v2", 8)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("fksink").as[FkJoined].collect().toSeq
+    val got = finalState(rows)
+    assert(got == Map(
+      1L -> ((20L, "a2", "M20")),
+      2L -> ((10L, "b2", "M10v2")),
+      3L -> ((20L, "c1", "M20"))))
+
+    // pre-right join emitted null rval (left-join semantics before match)
+    assert(rows.exists(r => r.pk == 1 && r.seq == 1 && r.rval == null))
+    // fk-change produced a retraction on the old fk
+    assert(rows.exists(r => r.pk == 1 && r.retracted))
+    // right-update fan-out re-emitted exactly the subscribed lefts
+    assert(rows.filter(_.seq == 8).map(_.pk).toSet == Set(2L))
+    assert(rows.filter(_.seq == 3).map(_.pk).toSet == Set(1L, 2L))
+  }
+
+  test("streaming FK join final state == batch join on random replay") {
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    var seq = 0L
+    val leftUpdates = (1 to 120).map { _ =>
+      seq += 1; LeftRow(rnd.nextInt(20).toLong, rnd.nextInt(5).toLong, s"v$seq", seq)
+    }
+    val rightUpdates = (1 to 30).map { _ =>
+      seq += 1; RightRow(rnd.nextInt(5).toLong, s"m$seq", seq)
+    }
+    val lms = MemoryStream[LeftRow]
+    val rms = MemoryStream[RightRow]
+    val q = FkJoin.fkJoinStream(lms.toDS(), rms.toDS())
+      .toDF().writeStream.format("memory").queryName("fksink2")
+      .outputMode("update").start()
+    try {
+      leftUpdates.grouped(40).zipAll(rightUpdates.grouped(10).toSeq, Nil, Nil).foreach {
+        case (lc, rc) =>
+          if (lc.nonEmpty) lms.addData(lc)
+          if (rc.nonEmpty) rms.addData(rc)
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = finalState(spark.table("fksink2").as[FkJoined].collect().toSeq)
+    // batch oracle: latest left per pk joined to latest right per rk
+    val latestLeft = leftUpdates.groupBy(_.pk).view.mapValues(_.maxBy(_.seq)).toMap
+    val latestRight = rightUpdates.groupBy(_.rk).view.mapValues(_.maxBy(_.seq)).toMap
+    val want = latestLeft.map { case (pk, l) =>
+      pk -> ((l.fk, l.lval, latestRight.get(l.fk).map(_.rval).orNull))
+    }
+    assert(got == want)
+  }
+}
