@@ -345,6 +345,36 @@ object Relational {
            |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin)
   )
 
+  /** Q31 — cube: all grouping-set combinations over two dimensions. */
+  val q31 = QueryDef(
+    "q31_cube",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 4).as("avg_bal")),
+    Some("""SELECT n_name, c_mktsegment, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+           |FROM customer JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin)
+  )
+
+  /** Q32 — grouped array aggregation (complex-typed output): per-user
+    * sorted event-id list and distinct event types. collect_set order is
+    * nondeterministic, so both engines sort the arrays. */
+  val q32 = QueryDef(
+    "q32_array_agg",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("event_id"))).as("event_ids"),
+          sort_array(collect_set(col("event_type"))).as("types")),
+    Some("""SELECT user_id,
+           |  list_sort(list(event_id)) AS event_ids,
+           |  list_sort(list(DISTINCT event_type)) AS types
+           |FROM events GROUP BY user_id""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24, q27, q28)
+    Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24,
+      q27, q28, q31, q32)
 }

@@ -88,6 +88,21 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("dropDuplicatesWithinWatermark: bounded-state dedup keeps the q14 key set") {
+    // the TTL'd fact store: a key's dedup state evicts once the watermark
+    // passes its event time + delay, so state stays bounded; keys seen
+    // again beyond the horizon may re-emit (the deliberate trade-off), so
+    // the invariant checked is key-set equality with exact dedup
+    val dedup = (df: org.apache.spark.sql.DataFrame) =>
+      df.withWatermark("ts", "2 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+    val streamed = runStream(dedup, chunksOf(200), "append")
+    val batchKeys = SparkEntry.queries("q14_dedup_first")(spark, sfDir)
+      .select("user_id", "event_type").collect().map(_.toSeq).toSet
+    assert(streamed.collect().map(_.toSeq).toSet == batchKeys)
+  }
+
   test("stream-static enrichment (GlobalKTable analog): streamed == batch") {
     val dim = Tables.events(spark, sfDir)
       .select(col("user_id")).distinct()
