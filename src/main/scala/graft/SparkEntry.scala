@@ -19,7 +19,7 @@ object SparkEntry {
     * multimodal mm1–mm2). */
   val registry: Seq[QueryDef] =
     Relational.all ++ WindowedAgg.all ++ StatefulOps.all ++ StatelessOps.all ++
-      Dedup.all ++ Simhash.all ++ Similarity.all ++ TextOps.all ++ Multimodal.all
+      Dedup.all ++ Simhash.all ++ Similarity.all ++ TextOps.all ++ Multimodal.all ++ Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

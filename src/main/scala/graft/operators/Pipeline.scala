@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** The flagship training-data curation pipeline, composed from the
+  * engine's own operators in one query — the shape a 100 TB pretraining
+  * corpus actually runs:
+  *
+  *   1. near-dup clustering (MinHash/LSH + connected components, dd6)
+  *      → keep only each cluster's canonical document;
+  *   2. heuristic quality scoring (tx3 formula) → threshold filter;
+  *   3. token statistics + BPE size estimate (tx1);
+  *   4. n-gram topic/language classification (tx2).
+  *
+  * Everything stays declarative, so the stages fuse: the quality/stats/
+  * classification projections run in one pass over the canonical set.
+  * The quality threshold (0.57) is compared on the UNROUNDED double in
+  * both engines (fixture margin to the threshold ≥ 8.6e-4, far above
+  * cross-engine ulp noise).
+  */
+object Pipeline {
+  val QualityThreshold = 0.57
+
+  val td1 = QueryDef(
+    "td1_curation_pipeline",
+    (s, d) => {
+      val canonical = Dedup.dd6.fn(s, d)
+        .filter(col("doc_id") === col("canonical_id"))
+        .select("doc_id")
+      var df = Tables.documents(s, d)
+        .join(canonical, Seq("doc_id"))
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_tok", size(col("ws")))
+        .withColumn("n_dis", size(array_distinct(col("ws"))))
+        .withColumn("n_stop", expr(TextOps.cnt("the")) + expr(TextOps.cnt("a")))
+        .withColumn("quality",
+          least(col("n_tok") / 50.0, lit(1.0)) * 0.4 +
+            (col("n_dis") / col("n_tok")) * 0.4 +
+            (lit(1.0) - col("n_stop") / col("n_tok")) * 0.2)
+      for ((name, words) <- TextOps.classes)
+        df = df.withColumn(name, expr(words.map(TextOps.cnt).mkString(" + ")))
+      val Seq(a, b, c, dd) = TextOps.classes.map(_._1)
+      df.filter(col("quality") >= QualityThreshold)
+        .select(
+          col("doc_id"),
+          col("n_tok").cast("int").as("n_tokens"),
+          ceil(length(col("text")) / 4.0).cast("long").as("bpe_est"),
+          round(col("quality"), 4).as("quality"),
+          expr(s"""CASE WHEN $a >= $b AND $a >= $c AND $a >= $dd THEN '$a'
+                  |     WHEN $b >= $c AND $b >= $dd THEN '$b'
+                  |     WHEN $c >= $dd THEN '$c' ELSE '$dd' END""".stripMargin).as("predicted"))
+    },
+    Some {
+      val cols = TextOps.classes.map { case (name, words) =>
+        s"  ${words.map(TextOps.cntSql).mkString(" + ")} AS $name"
+      }.mkString(",\n")
+      val Seq(a, b, c, dd) = TextOps.classes.map(_._1)
+      s"""WITH RECURSIVE w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+         |       FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) ix),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |dup AS (SELECT d1, d2 FROM pairs
+         |        JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+         |        WHERE inter * 1.0 / (s1.n + s2.n - inter) >= ${Dedup.JaccardThreshold}),
+         |und AS (SELECT d1 AS a, d2 AS b FROM dup UNION SELECT d2, d1 FROM dup),
+         |reach(a, b) AS (SELECT a, b FROM und
+         |                UNION
+         |                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+         |mins AS (SELECT a, min(b) AS mn FROM reach GROUP BY a),
+         |canon AS (SELECT ww.doc_id FROM w ww LEFT JOIN mins m ON ww.doc_id = m.a
+         |          WHERE least(ww.doc_id, coalesce(m.mn, ww.doc_id)) = ww.doc_id),
+         |t AS (SELECT w.doc_id, w.text, w.ws,
+         |        len(ws) AS n_tok, len(list_distinct(ws)) AS n_dis,
+         |        ${TextOps.cntSql("the")} + ${TextOps.cntSql("a")} AS n_stop,
+         |$cols
+         |      FROM w JOIN canon ON w.doc_id = canon.doc_id),
+         |q AS (SELECT *,
+         |        least(n_tok / 50.0, 1.0) * 0.4 + (n_dis * 1.0 / n_tok) * 0.4 +
+         |        (1.0 - n_stop * 1.0 / n_tok) * 0.2 AS quality
+         |      FROM t)
+         |SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tokens,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est,
+         |  round(quality, 4) AS quality,
+         |  CASE WHEN $a >= $b AND $a >= $c AND $a >= $dd THEN '$a'
+         |       WHEN $b >= $c AND $b >= $dd THEN '$b'
+         |       WHEN $c >= $dd THEN '$c' ELSE '$dd' END AS predicted
+         |FROM q WHERE quality >= ${QualityThreshold}""".stripMargin
+    }
+  )
+
+  val all: Seq[QueryDef] = Seq(td1)
+}

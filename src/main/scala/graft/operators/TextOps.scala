@@ -42,10 +42,10 @@ object TextOps {
   )
 
   /** Marker-word count: occurrences of `w` in the split text. */
-  private def cnt(w: String) = s"size(filter(ws, x -> x = '$w'))"
-  private def cntSql(w: String) = s"len(list_filter(ws, x -> x = '$w'))"
+  def cnt(w: String): String = s"size(filter(ws, x -> x = '$w'))"
+  def cntSql(w: String): String = s"len(list_filter(ws, x -> x = '$w'))"
 
-  private val classes: Seq[(String, Seq[String])] = Seq(
+  val classes: Seq[(String, Seq[String])] = Seq(
     "cls_join"   -> Seq("join", "merge", "hash"),
     "cls_stream" -> Seq("window", "stream", "batch"),
     "cls_table"  -> Seq("table", "row", "column"),

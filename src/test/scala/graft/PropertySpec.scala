@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.{RollingHash, SketchAggs, VectorExprs, XorChecksum}
+import org.apache.spark.sql.functions._
+
+/** Property-style checks (seeded random inputs) for the custom
+  * functions: algebraic laws that must hold for distributed aggregation
+  * to be correct (permutation/partitioning invariance of merges) and
+  * reference-implementation equality over random inputs.
+  */
+class PropertySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+
+  test("XorChecksum digest is invariant under permutation and partitioning") {
+    for (_ <- 1 to 10) {
+      val ids = List.fill(1 + rnd.nextInt(50))(rnd.nextLong())
+      val base = ids.toDF("id").coalesce(1)
+        .agg(XorChecksum.column(col("id"))).head().getLong(0)
+      val shuffled = rnd.shuffle(ids).toDF("id").repartition(5)
+        .agg(XorChecksum.column(col("id"))).head().getLong(0)
+      assert(base == shuffled)
+    }
+  }
+
+  test("RollingHash equals the reference fold for arbitrary strings") {
+    def ref(s: String): Long = {
+      var h = 0L
+      s.codePoints().toArray.foreach(cp => h = (h * 31L + cp) % 2147483647L)
+      h
+    }
+    val ss = List.fill(200)(rnd.alphanumeric.take(rnd.nextInt(80)).mkString) :+
+      "" :+ "düsseldorf 中文 😀"
+    val got = ss.toDF("s").coalesce(1)
+      .select(RollingHash.column(col("s"))).collect().map(_.getLong(0))
+    assert(got.sameElements(ss.map(ref)))
+  }
+
+  test("DotProduct matches scala fold bit-exactly for arbitrary vectors") {
+    for (_ <- 1 to 20) {
+      val a = Array.fill(16)(rnd.nextDouble() * 2000 - 1000)
+      val b = Array.fill(16)(rnd.nextDouble() * 2000 - 1000)
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(VectorExprs.dot(col("a"), col("b"))).head().getDouble(0)
+      val want = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      assert(got == want) // same order of operations -> bit-exact
+    }
+  }
+
+  test("MinHash signature agreement estimates Jaccard within tolerance") {
+    // two overlapping shingle-hash sets with known Jaccard 0.6
+    val shared = (1L to 60L).toVector
+    val aOnly = (100L to 119L).toVector
+    val bOnly = (200L to 219L).toVector
+    def sig(xs: Vector[Long]) = xs.toDF("gh")
+      .agg(SketchAggs.minhash(col("gh"), 256)).head().getSeq[Long](0)
+    val (sa, sb) = (sig(shared ++ aOnly), sig(shared ++ bOnly))
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 256.0
+    val trueJac = 60.0 / 100.0
+    assert(math.abs(est - trueJac) < 0.12, s"est=$est true=$trueJac")
+  }
+
+  test("MinHash merge is order-insensitive (partial aggregation safety)") {
+    val xs = (1L to 200L).toVector
+    val one = xs.toDF("gh").coalesce(1).agg(SketchAggs.minhash(col("gh"), 64)).head().getSeq[Long](0)
+    val many = xs.toDF("gh").repartition(7).agg(SketchAggs.minhash(col("gh"), 64)).head().getSeq[Long](0)
+    assert(one == many)
+  }
+}
