@@ -88,6 +88,27 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("file-source streaming (topic-replay analog): tumbling agg == batch") {
+    // production-shaped source: chunks land as parquet files in a
+    // directory, readStream picks each up as a microbatch (the replayable
+    // topic / changelog analog — SURVEY §2.1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-filesrc").toString
+    val stream = spark.readStream
+      .schema(Tables.events(spark, sfDir).schema)
+      .parquet(dir)
+    val q = StreamOps.tumblingAgg(stream).writeStream
+      .format("memory").queryName("filesink").outputMode("append").start()
+    try {
+      (chunksOf(250) :+ Seq(sentinel("view"))).foreach { c =>
+        c.toDS().toDF().coalesce(1).write.mode("append").parquet(dir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("filesink").filter(col("user_id") =!= -1L)
+    val batch = StreamOps.tumblingAgg(Tables.events(spark, sfDir))
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("dropDuplicatesWithinWatermark: bounded-state dedup keeps the q14 key set") {
     // the TTL'd fact store: a key's dedup state evicts once the watermark
     // passes its event time + delay, so state stays bounded; keys seen
