@@ -165,6 +165,27 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(finalRows == batch)
   }
 
+  test("event-time timers: SessionFlushProcessor == q09 session windows") {
+    val streamed = runStream(
+      df => df.withWatermark("ts", "10 minutes").as[Event].groupByKey(_.user_id)
+        .transformWithState(new SessionFlushProcessor(30 * 60 * 1000L),
+          TimeMode.EventTime(), OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[SessionBatch])
+        .toDF(),
+      chunksOf(200) :+ Seq(sentinel("view")), "append")
+      .filter(col("user_id") =!= -1L)
+    val batch = SparkEntry.queries("q09_session_window")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val got = streamed.as[SessionBatch].collect()
+      .map(b => (b.user_id, b.session_start, b.n, b.sum_value)).toSet
+    // sums: rint (processor) vs HALF_UP round (oracle) can differ at exact
+    // midpoints; compare counts exactly, sums with tolerance
+    assert(got.map(t => (t._1, t._2, t._3)) == batch.map(t => (t._1, t._2, t._3)))
+    val gotSums = got.toSeq.sortBy(t => (t._1, t._2)).map(_._4)
+    val wantSums = batch.toSeq.sortBy(t => (t._1, t._2)).map(_._4)
+    assert(gotSums.zip(wantSums).forall { case (a, b) => math.abs(a - b) < 0.011 })
+  }
+
   test("batch-by-key with flush trigger: streamed == q22 batch oracle") {
     val users = sortedEvents.map(_.user_id).distinct
     val flushes = users.map(u =>
