@@ -374,7 +374,69 @@ object Relational {
            |FROM events GROUP BY user_id""".stripMargin)
   )
 
+  /** Q33 — pivot: event counts per user with one column per event type
+    * (explicit value list keeps the schema deterministic; the oracle is
+    * the portable conditional-aggregation form). */
+  val q33 = QueryDef(
+    "q33_pivot",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+    Some("""SELECT user_id,
+           |  count(*) FILTER (event_type = 'click') AS click,
+           |  count(*) FILTER (event_type = 'error') AS error,
+           |  count(*) FILTER (event_type = 'purchase') AS purchase,
+           |  count(*) FILTER (event_type = 'signup') AS signup,
+           |  count(*) FILTER (event_type = 'view') AS view
+           |FROM events GROUP BY user_id""".stripMargin)
+  )
+
+  /** Q34 — exact percentiles (interpolated), per event type. */
+  val q34 = QueryDef(
+    "q34_percentiles",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99")),
+    Some("""SELECT event_type,
+           |  round(quantile_cont(value, 0.5), 4) AS p50,
+           |  round(quantile_cont(value, 0.9), 4) AS p90,
+           |  round(quantile_cont(value, 0.99), 4) AS p99
+           |FROM events GROUP BY event_type""".stripMargin)
+  )
+
+  /** Q35 — deterministic content-hash dataset split (train/val/test):
+    * the reproducible-holdout primitive every training pipeline needs.
+    * Split on the first two hex chars of md5(doc content) — stable
+    * across engines, runs, and partitionings (never row_number or
+    * rand()). ~87.5/6.25/6.25. */
+  val q35 = QueryDef(
+    "q35_deterministic_split",
+    (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket", conv(substring(md5(col("text")), 1, 2), 16, 10).cast("int"))
+        .withColumn("split",
+          when(col("bucket") < 224, "train")
+            .when(col("bucket") < 240, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc")),
+    Some("""WITH b AS (SELECT doc_id,
+           |    CAST(('0x' || substring(md5(text), 1, 2))::INTEGER AS INTEGER) AS bucket
+           |  FROM documents)
+           |SELECT CASE WHEN bucket < 224 THEN 'train'
+           |            WHEN bucket < 240 THEN 'val' ELSE 'test' END AS split,
+           |  count(*) AS n_docs, min(doc_id) AS first_doc
+           |FROM b GROUP BY 1""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24,
-      q27, q28, q31, q32)
+      q27, q28, q31, q32, q33, q34, q35)
 }
