@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale probe: synthesize a 10×-sf0.1 dataset (6M lineitem rows,
+  * 1M events over 1500 users, 50k documents where each original gains 9
+  * near-duplicate copies, 20k embeddings) and time the headline
+  * operators. Copies offset their keys so FK integrity holds and key
+  * cardinality (not per-key density) scales — the realistic corpus
+  * growth shape. Run: sbt "runMain graft.tools.ScaleProbe"
+  */
+object ScaleProbe {
+  val N = 10
+  val Out = "/tmp/scale10"
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+
+    def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until N).map(i => f(df, i)).reduce(_ union _)
+
+    if (!new java.io.File(s"$Out/_done").exists()) {
+      val t0 = System.nanoTime()
+      val li = graft.Tables.lineitem(spark, src)
+      copies(li)((d, i) => d.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L)))
+        .write.mode("overwrite").parquet(s"$Out/lineitem.parquet")
+      val o = graft.Tables.orders(spark, src)
+      copies(o)((d, i) => d.withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L)))
+        .write.mode("overwrite").parquet(s"$Out/orders.parquet")
+      val ev = graft.Tables.events(spark, src)
+      copies(ev)((d, i) => d
+          .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(i * 10000L)))
+        .write.mode("overwrite").parquet(s"$Out/events.parquet")
+      val docs = graft.Tables.documents(spark, src)
+      copies(docs)((d, i) =>
+          (if (i == 0) d else d.withColumn("text", concat(col("text"), lit(s" copymark$i"))))
+            .withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+        .write.mode("overwrite").parquet(s"$Out/documents.parquet")
+      val emb = graft.Tables.embeddings(spark, src)
+      copies(emb)((d, i) => d.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+        .write.mode("overwrite").parquet(s"$Out/embeddings.parquet")
+      for (t <- Seq("customer", "nation", "region", "supplier", "part"))
+        graft.Tables.load(spark, src, t).write.mode("overwrite").parquet(s"$Out/$t.parquet")
+      new java.io.File(s"$Out/_done").createNewFile()
+      println(f"PROBE datagen ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+
+    val targets = Seq("q02_agg", "q04_join_chain", "q07_tumbling_window",
+      "q08_hopping_window", "q10_interval_join", "q14_dedup_first", "q17_topk",
+      "dd1_dedup_exact", "dd3_dedup_minhash_lsh", "dd5_dedup_simhash",
+      "dd6_dedup_clusters", "sim2_ann_ivf_topk", "td1_curation_pipeline",
+      "q35_deterministic_split")
+    for (name <- targets) {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, Out).count()
+      println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+    }
+    spark.stop()
+  }
+}
