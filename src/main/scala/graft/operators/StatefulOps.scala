@@ -220,5 +220,32 @@ object StatefulOps {
            | AND b.ts BETWEEN a.ts - INTERVAL 10 MINUTE AND a.ts + INTERVAL 10 MINUTE""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q10, q12, q13, q14, q21, q22, q29, q30)
+  /** Q36 — as-of join (point-in-time enrichment): each purchase is
+    * joined to the user's most recent prior-or-simultaneous signup, or
+    * null. Not an op the reference ships (SURVEY §2.4 note) but the
+    * canonical training-data primitive for temporal correctness.
+    * Implemented as a carry-forward window (last ignoring nulls) — one
+    * shuffle on the key, no join, no range-scan state: the form that
+    * survives 100 TB, vs. the naive per-row range join. */
+  val q36 = QueryDef(
+    "q36_asof_join",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("asof_signup_id",
+          last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("asof_signup_id"))
+    },
+    Some("""SELECT event_id AS purchase_id, user_id, asof_signup_id FROM (
+           |  SELECT event_id, user_id, event_type,
+           |    last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_id
+           |  FROM events) t
+           |WHERE event_type = 'purchase'""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q10, q12, q13, q14, q21, q22, q29, q30, q36)
 }
