@@ -165,6 +165,17 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(finalRows == batch)
   }
 
+  test("as-of enrichment: per-key carry-forward state == q36 batch") {
+    val streamed = runStream(
+      df => df.as[Event].groupByKey(_.user_id)
+        .transformWithState(new AsofEnrichProcessor, TimeMode.None(), OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[AsofRow])
+        .toDF(),
+      chunksOf(200), "append")
+    val batch = SparkEntry.queries("q36_asof_join")(spark, sfDir)
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("event-time timers: SessionFlushProcessor == q09 session windows") {
     val streamed = runStream(
       df => df.withWatermark("ts", "10 minutes").as[Event].groupByKey(_.user_id)
