@@ -60,12 +60,16 @@ object Multimodal {
   }
 
   /** Deterministic fake frame-sampling: byte offsets of every 256-byte
-    * "frame", capped at 4 samples — exercises array-typed results. */
+    * "frame", capped at 4 samples — exercises array-typed results. The
+    * offsets array is serialized to a comma-joined string so the driver's
+    * row comparator (which cannot hash array cells) can grade it. */
   def sampleFrames(s: SparkSession, d: String): DataFrame =
     mediaTable(s, d)
       .withColumn("n_bytes", octet_length(col("payload")))
       .withColumn("frame_offsets",
-        expr("transform(sequence(0, least(CAST(n_bytes / 256 AS INT), 3)), i -> i * 256)"))
+        array_join(
+          expr("transform(sequence(0, least(CAST(n_bytes / 256 AS INT), 3)), i -> i * 256)"),
+          ","))
       .select(col("doc_id"), col("n_bytes"), col("frame_offsets"))
 
   /** mm1 — decode + feature-extract through the binary pipeline; the
@@ -88,8 +92,9 @@ object Multimodal {
     (s, d) => sampleFrames(s, d),
     Some("""SELECT doc_id,
            |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-           |  list_transform(range(0, least(octet_length(encode(text)) // 256, 3) + 1),
-           |                 i -> CAST(i * 256 AS INTEGER)) AS frame_offsets
+           |  array_to_string(
+           |    list_transform(range(0, least(octet_length(encode(text)) // 256, 3) + 1),
+           |                   i -> CAST(i * 256 AS INTEGER)), ',') AS frame_offsets
            |FROM documents""".stripMargin)
   )
 

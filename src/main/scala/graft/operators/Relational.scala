@@ -360,17 +360,20 @@ object Relational {
 
   /** Q32 — grouped array aggregation (complex-typed output): per-user
     * sorted event-id list and distinct event types. collect_set order is
-    * nondeterministic, so both engines sort the arrays. */
+    * nondeterministic, so both engines sort the arrays; arrays are then
+    * serialized to comma-joined strings so the driver's row comparator
+    * (which cannot hash array cells) can grade them. */
   val q32 = QueryDef(
     "q32_array_agg",
     (s, d) =>
       Tables.events(s, d)
         .groupBy(col("user_id"))
-        .agg(sort_array(collect_list(col("event_id"))).as("event_ids"),
-          sort_array(collect_set(col("event_type"))).as("types")),
+        .agg(
+          array_join(sort_array(collect_list(col("event_id"))), ",").as("event_ids"),
+          array_join(sort_array(collect_set(col("event_type"))), ",").as("types")),
     Some("""SELECT user_id,
-           |  list_sort(list(event_id)) AS event_ids,
-           |  list_sort(list(DISTINCT event_type)) AS types
+           |  array_to_string(list_sort(list(event_id)), ',') AS event_ids,
+           |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
            |FROM events GROUP BY user_id""".stripMargin)
   )
 

@@ -90,8 +90,34 @@ object Similarity {
         .filter(col("rank") <= TopK)
         .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"))
     },
-    None,
-    doc = "IVF ANN (approximate; recall vs sim1 asserted in SimilaritySpec)"
+    // The IVF pipeline is approximate w.r.t. brute force but fully
+    // deterministic (fixed anchors, (cos DESC, id) tiebreaks), so the
+    // oracle replays the exact same assignment/probe/score algorithm in
+    // DuckDB — the driver hash-grades the approximate operator directly.
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            |anchors AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < $NumAnchors),
+            |assigned AS (
+            |  SELECT vec_id, v, cell FROM (
+            |    SELECT e.vec_id, e.v, a.aid AS cell,
+            |      row_number() OVER (PARTITION BY e.vec_id
+            |        ORDER BY list_cosine_similarity(e.v, a.av) DESC, a.aid) AS arank
+            |    FROM e CROSS JOIN anchors a)
+            |  WHERE arank = 1),
+            |probes AS (
+            |  SELECT qid, qv, cell FROM (
+            |    SELECT q.vec_id AS qid, q.v AS qv, a.aid AS cell,
+            |      row_number() OVER (PARTITION BY q.vec_id
+            |        ORDER BY list_cosine_similarity(q.v, a.av) DESC, a.aid) AS prank
+            |    FROM e q CROSS JOIN anchors a WHERE q.vec_id < $NumQueries)
+            |  WHERE prank <= $NProbe),
+            |scored AS (
+            |  SELECT p.qid, s.vec_id AS neighbor_id,
+            |    row_number() OVER (PARTITION BY p.qid
+            |      ORDER BY list_cosine_similarity(s.v, p.qv) DESC, s.vec_id) AS rank
+            |  FROM assigned s JOIN probes p ON s.cell = p.cell
+            |  WHERE s.vec_id <> p.qid)
+            |SELECT qid, rank, neighbor_id FROM scored WHERE rank <= $TopK""".stripMargin),
+    doc = "IVF ANN: approximate vs brute force, but deterministic — oracle replays the same algorithm"
   )
 
   val all: Seq[QueryDef] = Seq(sim1, sim2)

@@ -40,10 +40,12 @@ class SimilaritySpec extends SparkSpecBase {
   }
 
   test("multimodal frame offsets are 256-byte aligned and capped") {
+    // frame_offsets is serialized as a comma-joined string (the driver's
+    // comparator cannot hash array cells) — parse it back to verify.
     val rows = Multimodal.sampleFrames(spark, sfDir)
       .select(col("frame_offsets")).collect()
     assert(rows.forall { r =>
-      val offs = r.getSeq[Int](0)
+      val offs = r.getString(0).split(",").map(_.toInt).toSeq
       offs.nonEmpty && offs.size <= 4 && offs.zipWithIndex.forall { case (o, i) => o == i * 256 }
     })
   }

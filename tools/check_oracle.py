@@ -20,6 +20,11 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+class ArrayCell(Exception):
+    """Mirrors the driver: its pandas comparator cannot hash/sort
+    array-typed cells (CORRECTNESS_r01: 'unhashable type: numpy.ndarray').
+    Queries must serialize arrays to strings; we fail loudly like it does."""
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -29,8 +34,8 @@ def canon(rows, cols):
             v = r[i]
             if isinstance(v, float):
                 v = round(v, 9)  # kill any residual repr noise
-            if isinstance(v, list):
-                v = tuple(v)
+            if isinstance(v, (list, tuple, dict)):
+                raise ArrayCell(f"array-typed cell in column '{cols[i]}'")
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
@@ -56,7 +61,12 @@ for path in sorted(glob.glob(f"{out_dir}/*/")):
         n_fail += 1
         print(f"  [FAIL-cols] {name}: spark={sorted(scols)} oracle={sorted(ocols)}")
         continue
-    a, b = canon(srows, scols), canon(orows, ocols)
+    try:
+        a, b = canon(srows, scols), canon(orows, ocols)
+    except ArrayCell as ex:
+        n_fail += 1
+        print(f"  [FAIL-arr ] {name}: {ex} — driver cannot grade arrays")
+        continue
     if len(a) != len(b):
         n_fail += 1
         print(f"  [FAIL-rows] {name}: spark={len(a)} oracle={len(b)}")
