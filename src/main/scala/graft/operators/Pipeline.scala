@@ -25,7 +25,7 @@ object Pipeline {
   val td1 = QueryDef(
     "td1_curation_pipeline",
     (s, d) => {
-      val canonical = Dedup.dd6.fn(s, d)
+      val canonical = Dedup.clusters(s, d)
         .filter(col("doc_id") === col("canonical_id"))
         .select("doc_id")
       var df = Tables.documents(s, d)
