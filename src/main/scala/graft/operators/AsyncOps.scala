@@ -3,9 +3,11 @@ package graft.operators
 import java.util.concurrent.Executors
 
 import scala.collection.mutable
-import scala.concurrent.duration.Duration
+import scala.concurrent.duration._
 import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.util.{Failure, Success, Try}
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Dataset, Encoder}
 
 /** Per-key-order-preserving async map — the engine's analog of the
@@ -20,7 +22,15 @@ import org.apache.spark.sql.{Dataset, Encoder}
   *  - cross-key records run concurrently on a bounded pool;
   *  - at most `maxInFlight` records are scheduled ahead (the
   *    MAX_EVENTS_QUEUED analog, ResponsiveConfig.java:253-291), so a slow
-  *    record applies backpressure instead of buffering the partition.
+  *    record applies backpressure instead of buffering the partition;
+  *  - one record's failure fails THAT record (rethrown at its output
+  *    position, failing the task like any Spark exception) without
+  *    poisoning later same-key records — the chain continues past
+  *    failures, like the reference's per-event fault isolation.
+  *
+  * Lifecycle: the pool is torn down by a TaskContext completion listener,
+  * so limit()/take()/task-abort cannot leak non-daemon threads even when
+  * the output iterator is never drained.
   *
   * Deviation: output preserves full input order (the reference forwards
   * in completion order) — stricter, and what keeps Spark plans
@@ -29,6 +39,10 @@ import org.apache.spark.sql.{Dataset, Encoder}
   * work (remote lookups), which is the reference's motivating use case.
   */
 object AsyncOps {
+
+  /** Per-record wait bound: a record whose `f` hangs past this fails the
+    * task instead of wedging the executor thread forever. */
+  val RecordTimeout: FiniteDuration = 10.minutes
 
   def asyncMapPartitions[T, R: Encoder](
       ds: Dataset[T],
@@ -39,16 +53,20 @@ object AsyncOps {
       else {
         val pool = Executors.newFixedThreadPool(parallelism)
         implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        val chains = mutable.Map.empty[Any, Future[_]]
-        val inFlight = mutable.Queue.empty[Future[R]]
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          pool.shutdownNow()
+        })
+        val chains = mutable.Map.empty[Any, Future[Unit]]
+        val inFlight = mutable.Queue.empty[Future[Try[R]]]
 
         def schedule(): Unit =
           while (inFlight.size < maxInFlight && it.hasNext) {
             val t = it.next()
             val k = keyOf(t)
             val prev = chains.getOrElse(k, Future.unit)
-            val fut = prev.map(_ => f(t))
-            chains(k) = fut
+            val fut = prev.map(_ => Try(f(t)))
+            // the key's chain advances whether or not this record failed
+            chains(k) = fut.map(_ => ())
             inFlight.enqueue(fut)
           }
 
@@ -61,7 +79,10 @@ object AsyncOps {
           }
           override def next(): R = {
             schedule()
-            Await.result(inFlight.dequeue(), Duration.Inf)
+            Await.result(inFlight.dequeue(), RecordTimeout) match {
+              case Success(r) => r
+              case Failure(e) => throw e
+            }
           }
         }
       }

@@ -80,17 +80,17 @@ object StatefulOps {
 
   /** Q13 — row-level TTL from the value (TtlProvider.fromValue,
     * TtlProvider.java:63-113, infinite override supported): purchases
-    * never expire, signups live 72h, everything else 12h. */
+    * never expire, signups live 72h, everything else the 12h default —
+    * declared through the Ttl policy API, enforced at read. */
   val q13 = QueryDef(
     "q13_ttl_row_level",
     (s, d) => {
+      val policy = Ttl.withDefault(12 * 3600)
+        .fromValue(
+          when(col("event_type") === "purchase", Ttl.Infinite)
+            .when(col("event_type") === "signup", 72L * 3600))
       val maxTs = Tables.events(s, d).agg(max(col("ts")).as("m"))
-      latestPerUser(s, d).crossJoin(broadcast(maxTs))
-        .filter(
-          col("event_type") === "purchase" ||
-          (col("event_type") === "signup" && col("ts") >= col("m") - expr("INTERVAL 72 HOURS")) ||
-          (!col("event_type").isin("purchase", "signup") &&
-            col("ts") >= col("m") - expr("INTERVAL 12 HOURS")))
+      policy.retain(latestPerUser(s, d).crossJoin(broadcast(maxTs)), col("ts"), col("m"))
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("ts").cast("long").as("ts_sec"))
     },
@@ -101,6 +101,30 @@ object StatefulOps {
             |WHERE event_type = 'purchase'
             |   OR (event_type = 'signup' AND ts >= m - INTERVAL 72 HOUR)
             |   OR (event_type NOT IN ('purchase','signup') AND ts >= m - INTERVAL 12 HOUR)""".stripMargin)
+  )
+
+  /** Q13b — row-level TTL from the key (TtlProvider.fromKey,
+    * TtlProvider.java:63-77): every 10th user is pinned forever, users
+    * ending in 1-4 keep 48h, the rest fall back to the 6h default. */
+  val q13b = QueryDef(
+    "q13b_ttl_from_key",
+    (s, d) => {
+      val policy = Ttl.withDefault(6 * 3600)
+        .fromKey(
+          when(col("user_id") % 10 === 0, Ttl.Infinite)
+            .when(col("user_id") % 10 <= 4, 48L * 3600))
+      val maxTs = Tables.events(s, d).agg(max(col("ts")).as("m"))
+      policy.retain(latestPerUser(s, d).crossJoin(broadcast(maxTs)), col("ts"), col("m"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("ts").cast("long").as("ts_sec"))
+    },
+    Some(s"""WITH $latestSql
+            |SELECT user_id, event_id, event_type,
+            |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+            |FROM latest, mx
+            |WHERE user_id % 10 = 0
+            |   OR (user_id % 10 <= 4 AND ts >= m - INTERVAL 48 HOUR)
+            |   OR (user_id % 10 > 4 AND ts >= m - INTERVAL 6 HOUR)""".stripMargin)
   )
 
   /** Q14 — dedup / fact store ("records whether or not a key has been
@@ -247,5 +271,5 @@ object StatefulOps {
            |WHERE event_type = 'purchase'""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q10, q12, q13, q14, q21, q22, q29, q30, q36)
+  val all: Seq[QueryDef] = Seq(q10, q12, q13, q13b, q14, q21, q22, q29, q30, q36)
 }

@@ -66,7 +66,11 @@ object WindowedAgg {
   /** Q9 — session window, 30 min inactivity gap
     * (SessionWindows.ofInactivityGapAndGrace,
     * ResponsiveSessionStoreIntegrationTest.java:117-158). Oracle is the
-    * classic gaps-and-islands rewrite. */
+    * classic gaps-and-islands rewrite. Boundary rule (verified
+    * empirically, pinned by the boundary test in StreamingParitySpec):
+    * Spark MERGES an event landing at exactly last + gap — touching
+    * session intervals coalesce — so the oracle's break condition is
+    * strict `>` gap, and SessionFlushProcessor closes only on `>`. */
   val q09 = QueryDef(
     "q09_session_window",
     (s, d) =>
@@ -80,6 +84,46 @@ object WindowedAgg {
            |    CASE WHEN lag(ts) OVER w IS NULL
            |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
            |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |sess AS (
+           |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                           ROWS UNBOUNDED PRECEDING) AS sid
+           |  FROM o)
+           |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           |  user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM sess GROUP BY user_id, sid""".stripMargin)
+  )
+
+  /** Q9b — session window with an explicit **grace** period
+    * (ResponsiveSessionParams.java:48-56: retention = gap + grace).
+    * Late rows whose event time has fallen more than gap + grace behind
+    * the key's observed stream time (arrival order = event_id, as in
+    * q11) are dropped before sessionization — the session-store
+    * minValidTimestamp cutoff. The streaming twin is the native
+    * session_window with watermark delay = gap + grace
+    * (StreamingParitySpec). */
+  val q09b = QueryDef(
+    "q09b_session_grace",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("stream_time", max(col("ts")).over(w))
+        .filter(col("ts") >= col("stream_time") - expr("INTERVAL 40 MINUTES"))
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("session_window.start").cast("long").as("session_start"),
+          col("user_id"), col("n"), col("sum_value"))
+    },
+    Some("""WITH t AS (
+           |  SELECT *, max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+           |                          ROWS UNBOUNDED PRECEDING) AS stream_time
+           |  FROM events),
+           |kept AS (SELECT * FROM t WHERE ts >= stream_time - INTERVAL 40 MINUTE),
+           |o AS (
+           |  SELECT user_id, ts, event_id, value,
+           |    CASE WHEN lag(ts) OVER w IS NULL
+           |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           |  FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
            |sess AS (
            |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
            |                           ROWS UNBOUNDED PRECEDING) AS sid
@@ -116,5 +160,35 @@ object WindowedAgg {
            |GROUP BY 1, 2""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q07, q08, q09, q11)
+  /** Q37 — windowed backwardFetch / backwardAll
+    * (internal/stores/WindowOperations.java:53-71: DESC-ordered window
+    * iteration per key): each user's 3 most recent hourly windows,
+    * newest first, with an explicit recency rank so the DESC order is
+    * hash-checkable. Scale: the per-key window sort rides the same
+    * single shuffle as the ranking — no extra exchange over q07. */
+  val q37 = QueryDef(
+    "q37_window_backward_fetch",
+    (s, d) => {
+      val agg = Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("long").as("window_start"),
+          col("user_id"), col("n"), col("sum_value"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("window_start").desc)
+      agg.withColumn("recency", row_number().over(w))
+        .filter(col("recency") <= 3)
+    },
+    Some("""WITH agg AS (
+           |  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           |    user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+           |  FROM events GROUP BY 1, 2),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id
+           |                               ORDER BY window_start DESC) AS recency
+           |  FROM agg)
+           |SELECT window_start, user_id, n, sum_value, recency
+           |FROM r WHERE recency <= 3""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(q07, q08, q09, q09b, q11, q37)
 }

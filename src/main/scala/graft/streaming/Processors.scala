@@ -3,13 +3,23 @@ package graft.streaming
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
-/** The materialized KV row a KvStoreProcessor emits per upsert. */
+/** The materialized KV row a KvStoreProcessor emits per upsert; rows
+  * with `deleted = true` are changelog tombstones (the Kafka
+  * null-value record analog). */
 final case class KvRow(
     user_id: Long,
     event_id: Long,
     event_type: String,
     value: Double,
-    ts_sec: Long)
+    ts_sec: Long,
+    deleted: Boolean = false)
+
+object KvStoreProcessor {
+  /** Sentinel event_type standing in for a Kafka null-value record —
+    * the engine's tables are typed rows, so "null value" needs an
+    * in-band marker. */
+  val Tombstone = "__tombstone"
+}
 
 /** Per-key last-write-wins KV store — the ResponsiveKeyValueStore analog
   * (/root/reference/kafka-client/src/main/java/dev/responsive/kafka/internal/stores/ResponsiveKeyValueStore.java:148-226)
@@ -17,9 +27,23 @@ final case class KvRow(
   *
   * Semantics: upsert keyed by user_id, newest (ts, event_id) wins; every
   * input batch emits the key's current row (update-mode changelog, the
-  * same shape as the reference's changelog capture). TTL is enforced at
-  * **read** time against stream time, exactly like the reference's
-  * `get(key, streamTimeMs)` filtering expired rows
+  * same shape as the reference's changelog capture).
+  *
+  *  - **delete**: an event whose event_type is the `Tombstone` sentinel
+  *    clears the key's state and emits a `deleted = true` changelog row —
+  *    the null-value ⇒ delete path of `ResponsiveKeyValueStore.put`
+  *    (ResponsiveKeyValueStore.java:148-155). A later event re-inserts.
+  *  - **putIfAbsent mode**: first write wins, later upserts are ignored
+  *    (ResponsiveKeyValueStore.java:158-164 applied store-wide — the
+  *    fact-table write discipline, api/stores/ResponsiveStores.java:73-96).
+  *    Tombstones still delete, re-opening the key.
+  *
+  * Rows apply in (ts, event_id) order within a batch (the per-partition
+  * offset order a Kafka-backed source would guarantee; the shuffle into
+  * this operator does not preserve source order).
+  *
+  * TTL is enforced at **read** time against stream time, exactly like
+  * the reference's `get(key, streamTimeMs)` filtering expired rows
   * (PartitionedOperations.java:355-390, TtlResolver) — the reader applies
   * `ts_sec >= streamTime - ttl`; the parity spec does this with the
   * final stream time, matching the Q12 batch oracle.
@@ -28,7 +52,8 @@ final case class KvRow(
   * exactly the reference's partition-per-task layout minus the remote
   * store — Spark checkpoints own durability (SURVEY §2.9).
   */
-class KvStoreProcessor extends StatefulProcessor[Long, Event, KvRow] {
+class KvStoreProcessor(putIfAbsent: Boolean = false)
+    extends StatefulProcessor[Long, Event, KvRow] {
   @transient private var state: ValueState[Event] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -39,15 +64,27 @@ class KvStoreProcessor extends StatefulProcessor[Long, Event, KvRow] {
       rows: Iterator[Event],
       timerValues: TimerValues): Iterator[KvRow] = {
     var latest = if (state.exists()) state.get() else null
-    rows.foreach { e =>
-      if (latest == null ||
+    var changed = false
+    var lastTomb: Event = null
+    rows.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      if (e.event_type == KvStoreProcessor.Tombstone) {
+        if (latest != null) { latest = null; changed = true }
+        lastTomb = e
+      } else if (putIfAbsent) {
+        if (latest == null) { latest = e; changed = true }
+      } else if (latest == null ||
           e.ts.getTime > latest.ts.getTime ||
           (e.ts.getTime == latest.ts.getTime && e.event_id > latest.event_id)) {
         latest = e
+        changed = true
       }
     }
-    if (latest == null) Iterator.empty
-    else {
+    if (!changed) Iterator.empty
+    else if (latest == null) {
+      state.clear()
+      Iterator.single(KvRow(key, lastTomb.event_id, KvStoreProcessor.Tombstone,
+        0.0, lastTomb.ts.getTime / 1000L, deleted = true))
+    } else {
       state.update(latest)
       Iterator.single(KvRow(latest.user_id, latest.event_id, latest.event_type,
         latest.value, latest.ts.getTime / 1000L))
@@ -84,8 +121,11 @@ class BatchByKeyProcessor(batchSize: Int) extends StatefulProcessor[Long, Event,
   private def drain(key: Long, pending: Seq[Event]): KeyBatch = {
     val id = if (nFlushed.exists()) nFlushed.get() else 0L
     nFlushed.update(id + 1)
+    // HALF_UP to match the batch oracle's round() exactly (see
+    // SessionFlushProcessor.toBatch)
     KeyBatch(key, id, pending.size.toLong,
-      math.rint(pending.map(_.value).sum * 100) / 100,
+      BigDecimal(pending.map(_.value).sum)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
       pending.head.event_id, pending.last.event_id)
   }
 

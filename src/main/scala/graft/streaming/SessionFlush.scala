@@ -35,17 +35,25 @@ class SessionFlushProcessor(gapMs: Long) extends StatefulProcessor[Long, Event, 
     curTimer = getHandle.getValueState[Long]("curTimer", Encoders.scalaLong, TTLConfig.NONE)
   }
 
+  // HALF_UP at 2 decimals — the same rounding Spark's round() applies in
+  // the batch oracles, so stream and batch agree even at exact midpoints
+  // (math.rint is half-even and can differ by a cent).
   private def toBatch(key: Long, events: Seq[Event]): SessionBatch =
     SessionBatch(key,
       events.map(_.ts.getTime).min / 1000L,
       events.size.toLong,
-      math.rint(events.map(_.value).sum * 100) / 100)
+      BigDecimal(events.map(_.value).sum)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
   override def handleInputRows(
       key: Long, rows: Iterator[Event], timerValues: TimerValues): Iterator[SessionBatch] = {
     var pending = if (buf.exists()) buf.get().toVector else Vector.empty[Event]
     val out = Vector.newBuilder[SessionBatch]
     rows.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      // strict > : Spark's session_window MERGES an event at exactly
+      // last + gap (touching intervals coalesce — pinned by the boundary
+      // test in StreamingParitySpec), so only a strictly-later arrival
+      // closes the session, matching the q09 oracle's break rule
       if (pending.nonEmpty && e.ts.getTime > pending.map(_.ts.getTime).max + gapMs) {
         out += toBatch(key, pending) // session closed by a later arrival
         pending = Vector.empty

@@ -165,6 +165,66 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(finalRows == batch)
   }
 
+  test("KV tombstones: upsert → delete → re-insert replay == batch oracle") {
+    // split on a second boundary so "applied after the tombstone" and
+    // "newer than the tombstone" coincide (tombstones carry a huge
+    // event_id, winning ties within their second)
+    val half = sortedEvents.size / 2
+    val cutSec = sortedEvents(half - 1).ts.getTime / 1000
+    val (first, second) = sortedEvents.partition(_.ts.getTime / 1000 <= cutSec)
+    val users = sortedEvents.map(_.user_id).distinct
+    def tomb(u: Long, tsMs: Long) =
+      Event(900000000L + u, new java.sql.Timestamp(tsMs), u,
+        KvStoreProcessor.Tombstone, 0.0, "{}")
+    val midTombs = users.map(tomb(_, cutSec * 1000))         // delete everyone mid-stream
+    val endTombs = users.filter(_ % 7 == 0)                  // delete a subset at the end
+      .map(tomb(_, (maxTsMs / 1000 + 10) * 1000))
+    val streamed = runStream(
+      df => df.as[Event].groupByKey(_.user_id)
+        .transformWithState(new KvStoreProcessor, TimeMode.None(), OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[KvRow])
+        .toDF(),
+      first.grouped(200).toSeq ++ Seq(midTombs) ++ second.grouped(200).toSeq ++ Seq(endTombs),
+      "update")
+    val got = streamed.as[KvRow].collect()
+      .groupBy(_.user_id)
+      .map { case (u, rs) => u -> rs.maxBy(r => (r.ts_sec, r.event_id)) }
+    // batch oracle: only events strictly after the cut survive the mid
+    // tombstone; end-tombstoned users end deleted regardless
+    val want = sortedEvents.filter(_.ts.getTime / 1000 > cutSec)
+      .groupBy(_.user_id)
+      .map { case (u, es) => u -> es.maxBy(e => (e.ts.getTime, e.event_id)) }
+    for (u <- users) {
+      val r = got(u)
+      if (u % 7 == 0 || !want.contains(u))
+        assert(r.deleted, s"user $u: expected final tombstone, got $r")
+      else {
+        val e = want(u)
+        assert(!r.deleted && r.event_id == e.event_id && r.value == e.value,
+          s"user $u: expected re-inserted ${e.event_id}, got $r")
+      }
+    }
+  }
+
+  test("KV putIfAbsent: first write wins, one changelog row per key") {
+    val streamed = runStream(
+      df => df.as[Event].groupByKey(_.user_id)
+        .transformWithState(new KvStoreProcessor(putIfAbsent = true),
+          TimeMode.None(), OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[KvRow])
+        .toDF(),
+      chunksOf(200), "update")
+    val got = streamed.as[KvRow].collect()
+    val want = sortedEvents.groupBy(_.user_id)
+      .map { case (u, es) => u -> es.minBy(e => (e.ts.getTime, e.event_id)) }
+    assert(got.length == want.size, "putIfAbsent must emit exactly once per key")
+    for (r <- got) {
+      val e = want(r.user_id)
+      assert(r.event_id == e.event_id && r.value == e.value,
+        s"user ${r.user_id}: expected first-write ${e.event_id}, got $r")
+    }
+  }
+
   test("as-of enrichment: per-key carry-forward state == q36 batch") {
     val streamed = runStream(
       df => df.as[Event].groupByKey(_.user_id)
@@ -187,14 +247,10 @@ class StreamingParitySpec extends SparkSpecBase {
       .filter(col("user_id") =!= -1L)
     val batch = SparkEntry.queries("q09_session_window")(spark, sfDir)
       .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    // processor rounds HALF_UP like the batch round() — exact equality
     val got = streamed.as[SessionBatch].collect()
       .map(b => (b.user_id, b.session_start, b.n, b.sum_value)).toSet
-    // sums: rint (processor) vs HALF_UP round (oracle) can differ at exact
-    // midpoints; compare counts exactly, sums with tolerance
-    assert(got.map(t => (t._1, t._2, t._3)) == batch.map(t => (t._1, t._2, t._3)))
-    val gotSums = got.toSeq.sortBy(t => (t._1, t._2)).map(_._4)
-    val wantSums = batch.toSeq.sortBy(t => (t._1, t._2)).map(_._4)
-    assert(gotSums.zip(wantSums).forall { case (a, b) => math.abs(a - b) < 0.011 })
+    assert(got == batch)
   }
 
   test("batch-by-key with flush trigger: streamed == q22 batch oracle") {
@@ -218,7 +274,61 @@ class StreamingParitySpec extends SparkSpecBase {
       val b = got(k)
       assert(b.n_events == n && b.first_event == first && b.last_event == last,
         s"batch $k mismatch: $b vs ($n,$sum,$first,$last)")
-      assert(math.abs(b.sum_value - sum) < 0.011, s"batch $k sum: ${b.sum_value} vs $sum")
+      // HALF_UP in the processor matches batch round() exactly
+      assert(b.sum_value == sum, s"batch $k sum: ${b.sum_value} vs $sum")
     }
+  }
+
+  test("session grace: late data inside grace merges, beyond grace drops (q09b twin)") {
+    // gap 30 min, grace 10 min → watermark delay = gap + grace = 40 min,
+    // the retention = gap + grace rule of ResponsiveSessionParams.java:48-56
+    val B = 1700000000L
+    def ev(id: Long, tSec: Long) =
+      Event(id, new java.sql.Timestamp(tSec * 1000), 1L, "view", 1.0, "{}")
+    val streamed = runStream(
+      df => StreamOps.sessionAgg(df, "40 minutes"),
+      Seq(
+        Seq(ev(1, B), ev(2, B + 60)), // opening session
+        Seq(ev(3, B + 10000)),        // stream time jumps: wm = B+10000-2400
+        Seq(ev(4, B + 120),           // beyond grace (< wm) → dropped
+          ev(5, B + 8000)),           // inside grace (>= wm) → kept, own session
+        Seq(sentinel("view"))),
+      "append")
+      .filter(col("user_id") =!= -1L)
+    val got = streamed.collect()
+      .map(r => (r.getAs[Long]("session_start"), r.getAs[Long]("n"))).toSet
+    // q09b batch semantics on the same arrivals: ev4 late beyond
+    // gap+grace of the observed stream time → dropped; three sessions
+    assert(got == Set((B, 2L), (B + 8000, 1L), (B + 10000, 1L)))
+  }
+
+  test("session boundary: event at exactly start+gap MERGES in all engines") {
+    // Spark coalesces touching session intervals: an event landing at
+    // exactly last + gap belongs to the same session (strict-> break).
+    // This pins the three-way agreement: session_window, the q09 oracle's
+    // gaps-and-islands `>` rule, and SessionFlushProcessor.
+    val B = 1700000000L
+    val gapSec = 30 * 60
+    def ev(id: Long, tSec: Long) =
+      Event(id, new java.sql.Timestamp(tSec * 1000), 1L, "view", 1.0, "{}")
+    val evs = Seq(ev(1, B), ev(2, B + gapSec), // exactly gap apart → merge
+      ev(3, B + gapSec + 60),                  // still within gap of ev2
+      ev(4, B + 3 * gapSec))                   // strictly beyond → new session
+    // native session_window (batch)
+    val batchSessions = StreamOps.sessionAgg(evs.toDF())
+      .collect().map(r => (r.getAs[Long]("session_start"), r.getAs[Long]("n"))).toSet
+    assert(batchSessions == Set((B, 3L), (B + 3 * gapSec, 1L)))
+    // SessionFlushProcessor (streaming, event-time timers)
+    val streamed = runStream(
+      df => df.withWatermark("ts", "10 minutes").as[Event].groupByKey(_.user_id)
+        .transformWithState(new SessionFlushProcessor(gapSec * 1000L),
+          TimeMode.EventTime(), OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[SessionBatch])
+        .toDF(),
+      Seq(evs, Seq(sentinel("view"))), "append")
+      .filter(col("user_id") =!= -1L)
+    val got = streamed.as[SessionBatch].collect()
+      .map(b => (b.session_start, b.n)).toSet
+    assert(got == batchSessions)
   }
 }
