@@ -8,20 +8,26 @@ import org.apache.spark.sql.functions._
   * with typed metadata, decoded / feature-extracted via partition-local
   * batch functions.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake (it "decodes" dimensions from the
-  * payload bytes); everything around it — the binary column, the typed
-  * metadata schema, the mapPartitions batch shape, the partition-local
-  * (no-shuffle) execution — is the real Spark plumbing a production
-  * decode (e.g. a JNI codec or Pandas-UDF batch) would drop into.
+  * The image path is REAL: `pngTable` synthesizes a genuine PNG per
+  * document (the fixture set ships no native media) and `decoded` parses
+  * it back with `javax.imageio` — actual header/IDAT decode, actual
+  * width/height/band-count from the image, in the same mapPartitions
+  * seam a production codec (JNI, Pandas-UDF batch) would occupy.
+  * `decodeStub` remains as the clearly-marked deterministic fallback for
+  * payloads no installed ImageReader recognizes.
   *
-  * Scale: decode is a narrow transformation — each executor decodes its
-  * own partition's blobs; metadata-only queries (mm1) never touch the
-  * payload column thanks to parquet column pruning.
+  * Scale: both synthesis and decode are narrow transformations — each
+  * executor handles its own partition's blobs, no shuffle; metadata-only
+  * consumers never drag the payload column through the plan thanks to
+  * parquet column pruning.
   */
 object Multimodal {
 
-  /** Typed metadata the stub "decoder" emits per media blob. */
+  /** A synthesized media blob: the source byte length rides along as
+    * typed metadata (the only field the decoder cannot recover). */
+  final case class MediaBlob(doc_id: Long, src_bytes: Int, payload: Array[Byte])
+
+  /** Typed metadata the decoder emits per media blob. */
   final case class MediaMeta(
       doc_id: Long,
       n_bytes: Int,
@@ -30,33 +36,68 @@ object Multimodal {
       channels: Int,
       n_frames: Int)
 
-  /** DETERMINISTIC FAKE decode — stands in for a real image/video codec
-    * (none available in this container). Derives pretend dimensions from
-    * the payload length; a real implementation would parse the header. */
-  def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
-    val n = payload.length
+  /** DETERMINISTIC FAKE decode — fallback for payloads ImageIO cannot
+    * read. Derives pretend dimensions from the payload length; the real
+    * path is `decodePng`. */
+  def decodeStub(docId: Long, srcBytes: Int): MediaMeta =
     MediaMeta(
       doc_id = docId,
-      n_bytes = n,
-      width = 16 + n % 64,
-      height = 16 + (n / 64) % 64,
+      n_bytes = srcBytes,
+      width = 16 + srcBytes % 64,
+      height = 16 + (srcBytes / 64) % 64,
       channels = 3,
-      n_frames = 1 + n / 256)
-  }
+      n_frames = 1)
 
   /** The media table: documents' text re-materialized as a binary payload
-    * column (the fixture set has no native blobs). */
+    * column (used by the frame-sampling path, mm2). */
   def mediaTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
-  /** Batch decode over partitions — the mapPartitions seam where a real
-    * codec (or an Arrow/Pandas batch UDF) plugs in. */
+  /** Synthesize one real PNG per document: dimensions derive
+    * deterministically from the source byte length (so the DuckDB oracle
+    * can predict them), pixels from the doc_id (so payloads differ).
+    * This is the ingest seam — at 100 TB the payloads arrive as real
+    * media instead of being synthesized, and everything downstream is
+    * unchanged. */
+  def pngTable(s: SparkSession, d: String): Dataset[MediaBlob] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").as[Long], col("text").as[String])
+      .mapPartitions(_.map { case (id, text) =>
+        val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+        val w = 16 + n % 64
+        val h = 16 + (n / 64) % 64
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        img.setRGB(0, 0, (id & 0xffffff).toInt)
+        img.setRGB(w - 1, h - 1, ((id * 2654435761L) & 0xffffff).toInt)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaBlob(id, n, bos.toByteArray)
+      })
+  }
+
+  /** Real decode: parse the PNG with javax.imageio and report the
+    * image's own width/height/band count; falls back to the documented
+    * stub when no reader recognizes the payload. */
+  def decodePng(blob: MediaBlob): MediaMeta = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob.payload))
+    if (img == null) decodeStub(blob.doc_id, blob.src_bytes)
+    else MediaMeta(
+      doc_id = blob.doc_id,
+      n_bytes = blob.src_bytes,
+      width = img.getWidth,
+      height = img.getHeight,
+      channels = img.getRaster.getNumBands,
+      n_frames = 1)
+  }
+
+  /** Batch decode over partitions — the mapPartitions seam where any
+    * production codec plugs in. */
   def decoded(s: SparkSession, d: String): Dataset[MediaMeta] = {
     import s.implicits._
-    mediaTable(s, d)
-      .select(col("doc_id").as[Long], col("payload").as[Array[Byte]])
-      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+    pngTable(s, d).mapPartitions(_.map(decodePng))
   }
 
   /** Deterministic fake frame-sampling: byte offsets of every 256-byte
@@ -72,8 +113,10 @@ object Multimodal {
           ","))
       .select(col("doc_id"), col("n_bytes"), col("frame_offsets"))
 
-  /** mm1 — decode + feature-extract through the binary pipeline; the
-    * oracle replays the stub's arithmetic on byte lengths. */
+  /** mm1 — genuine PNG decode through the binary pipeline; the oracle
+    * predicts the dimensions the synthesizer baked in (width/height are
+    * functions of source length, channels = 3-band BGR, single frame),
+    * which the decoder must recover from the actual image bytes. */
   val mm1 = QueryDef(
     "mm1_media_decode",
     (s, d) => decoded(s, d).toDF(),
@@ -82,7 +125,7 @@ object Multimodal {
            |  CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
            |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
            |  3 AS channels,
-           |  CAST(1 + octet_length(encode(text)) // 256 AS INTEGER) AS n_frames
+           |  1 AS n_frames
            |FROM documents""".stripMargin)
   )
 

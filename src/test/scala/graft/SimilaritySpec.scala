@@ -32,7 +32,10 @@ class SimilaritySpec extends SparkSpecBase {
     assert(jacs.forall(_ >= Dedup.JaccardThreshold))
   }
 
-  test("multimodal decode stub is deterministic and schema-typed") {
+  test("multimodal payloads are real PNGs and decode is deterministic") {
+    val pngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    val blobs = Multimodal.pngTable(spark, sfDir).collect()
+    assert(blobs.forall(_.payload.take(4).sameElements(pngMagic)))
     val d1 = Multimodal.decoded(spark, sfDir).collect().sortBy(_.doc_id)
     val d2 = Multimodal.decoded(spark, sfDir).collect().sortBy(_.doc_id)
     assert(d1.sameElements(d2))
