@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Sketch aggregates as native TypedImperativeAggregates (the Catalyst
   * form for mutable-buffer sketches, cf. Spark's own HLL++): per input
@@ -139,6 +139,94 @@ case class SimHashAgg(
   override def prettyName: String = "graft_simhash"
 }
 
+/** Bounded top-k by (score DESC, id ASC): the aggregate form of
+  * per-group top-k. A row_number window shuffles EVERY scored row to
+  * sort it; this buffer keeps only k (score, id) pairs, so map-side
+  * partial aggregation ships k pairs per (group, partition) — the
+  * TakeOrdered idea applied per group. k is tiny (≤ 100s), so sorted
+  * insertion beats a heap on constants. */
+case class TopKAgg(
+    scoreChild: Expression,
+    idChild: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuf] {
+
+  override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
+
+  override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
+    val s = scoreChild.eval(input)
+    val id = idChild.eval(input)
+    if (s != null && id != null)
+      buf.offer(s.asInstanceOf[Double], id.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = { b1.absorb(b2); b1 }
+
+  /** array<struct<score double, id bigint>> in rank order. */
+  override def eval(buf: TopKBuf): Any =
+    new GenericArrayData(Array.tabulate[Any](buf.size) { i =>
+      InternalRow(buf.scores(i), buf.ids(i))
+    })
+
+  override def serialize(buf: TopKBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) { bb.putDouble(buf.scores(i)); bb.putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKBuf(k)
+    var i = 0
+    while (i < n) { buf.offer(bb.getDouble, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(scoreChild, idChild)
+  override def withNewMutableAggBufferOffset(o: Int): TopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKAgg =
+    copy(scoreChild = c(0), idChild = c(1))
+  override def prettyName: String = "graft_topk"
+}
+
+/** Mutable bounded top-k list kept sorted by (score DESC, id ASC). */
+final class TopKBuf(k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var size: Int = 0
+
+  private def beats(s: Double, id: Long, i: Int): Boolean =
+    s > scores(i) || (s == scores(i) && id < ids(i))
+
+  def offer(s: Double, id: Long): Unit = {
+    if (size == k && !beats(s, id, k - 1)) return
+    var i = math.min(size, k - 1)
+    while (i > 0 && beats(s, id, i - 1)) {
+      scores(i) = scores(i - 1); ids(i) = ids(i - 1); i -= 1
+    }
+    scores(i) = s; ids(i) = id
+    if (size < k) size += 1
+  }
+
+  def absorb(o: TopKBuf): Unit = {
+    var i = 0
+    while (i < o.size) { offer(o.scores(i), o.ids(i)); i += 1 }
+  }
+}
+
 object SketchAggs {
   def minhash(c: Column, numHashes: Int): Column =
     ColumnBridge.column(
@@ -146,4 +234,8 @@ object SketchAggs {
   def simhash(c: Column): Column =
     ColumnBridge.column(
       SimHashAgg(ColumnBridge.expression(c)).toAggregateExpression())
+  def topk(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKAgg(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
 }

@@ -104,6 +104,11 @@ object Dedup {
       (g, sizes)
     }
 
+  /** Public view of the memoized hashed-shingle projection:
+    * ((doc_id, gh) exploded grams, (doc_id, sz) set sizes). Used by the
+    * decontamination pipeline (Pipeline.td2) alongside the dd family. */
+  def gramTable(s: SparkSession, d: String): (DataFrame, DataFrame) = grams(s, d)
+
   private val sigCache = newCache[DataFrame]()
 
   /** 128-slot MinHash signatures as one array<bigint> per doc, via the

@@ -92,5 +92,61 @@ object Pipeline {
     }
   )
 
-  val all: Seq[QueryDef] = Seq(td1)
+  /** td2 — benchmark decontamination: the train/eval-overlap check every
+    * pretraining pipeline runs before shipping a corpus. The held-out
+    * "benchmark" is the q35 deterministic test split (md5 bucket ≥ 240 —
+    * content-stable, so both engines and any rerun agree on membership);
+    * every remaining document reports how many of its word-3-gram
+    * shingles appear anywhere in the benchmark, and is flagged
+    * contaminated at ≥ 20% overlap.
+    *
+    * Scale: the benchmark gram set is tiny relative to the corpus
+    * (eval sets are thousands of docs, the corpus billions), so it
+    * BROADCASTS to the corpus gram stream — the corpus is never
+    * shuffled; one partial-agg count per doc closes the plan. Gram
+    * matching is on 64-bit hashes (same contract as dd2/dd3). */
+  val td2 = QueryDef(
+    "td2_decontamination",
+    (s, d) => {
+      val (g, sizes) = Dedup.gramTable(s, d)
+      val bucket = conv(substring(md5(col("text")), 1, 2), 16, 10).cast("int")
+      val benchIds = Tables.documents(s, d)
+        .filter(bucket >= 240).select(col("doc_id"))
+      val benchGrams = g.join(broadcast(benchIds), Seq("doc_id"))
+        .select(col("gh")).distinct()
+      val corpus = g.join(broadcast(benchIds), Seq("doc_id"), "left_anti")
+      val shared = corpus.join(broadcast(benchGrams), Seq("gh"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      // rates in exact integer arithmetic (basis points, threshold as a
+      // cross-multiplied integer compare): no double rounding, so both
+      // engines agree bit-for-bit at any ratio
+      sizes.join(broadcast(benchIds), Seq("doc_id"), "left_anti")
+        .join(shared, Seq("doc_id"), "left_outer")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .select(col("doc_id"), col("n_shared"), col("sz").as("n_grams"),
+          expr("(10000 * n_shared) div sz").as("contam_bp"),
+          (col("n_shared") * 5 >= col("sz")).cast("int").as("contaminated"))
+    },
+    Some("""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+           |b AS (SELECT doc_id,
+           |        CAST(('0x' || substring(md5(text), 1, 2))::INTEGER AS INTEGER) AS bucket
+           |      FROM documents),
+           |bench AS (SELECT doc_id FROM b WHERE bucket >= 240),
+           |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+           |       FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) ix),
+           |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           |bg AS (SELECT DISTINCT gram FROM sh JOIN bench USING (doc_id)),
+           |corp AS (SELECT sh.doc_id, sh.gram FROM sh
+           |         WHERE sh.doc_id NOT IN (SELECT doc_id FROM bench)),
+           |shr AS (SELECT doc_id, count(*) AS n_shared FROM corp JOIN bg USING (gram)
+           |        GROUP BY 1)
+           |SELECT sz.doc_id, CAST(coalesce(shr.n_shared, 0) AS BIGINT) AS n_shared,
+           |  sz.n AS n_grams,
+           |  CAST((10000 * coalesce(shr.n_shared, 0)) // sz.n AS BIGINT) AS contam_bp,
+           |  CAST(coalesce(shr.n_shared, 0) * 5 >= sz.n AS INTEGER) AS contaminated
+           |FROM sz LEFT JOIN shr ON sz.doc_id = shr.doc_id
+           |WHERE sz.doc_id NOT IN (SELECT doc_id FROM bench)""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(td1, td2)
 }

@@ -30,6 +30,17 @@ object Similarity {
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(VectorExprs.dot(col("v"), col("v"))))
 
+  /** Per-qid bounded top-k via the TopKAgg sketch: map-side partial
+    * aggregation keeps k pairs per (qid, partition), so the shuffle
+    * carries NumQueries × k pairs instead of every scored row — the
+    * row_number window form shuffles the whole scored set. */
+  private def topkPerQid(scored: DataFrame): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.SketchAggs.topk(col("cos"), col("vec_id"), TopK).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"))
+
   /** sim1 — brute-force cosine top-5 for query vectors vec_id < 10. */
   val sim1 = QueryDef(
     "sim1_ann_brute_topk",
@@ -37,12 +48,9 @@ object Similarity {
       val e = withNorm(Tables.embeddings(s, d))
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      e.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("cos", VectorExprs.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TopK)
-        .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"))
+      topkPerQid(
+        e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("cos", VectorExprs.dot(col("v"), col("qv")) / (col("nrm") * col("qn"))))
     },
     Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             |scored AS (
@@ -61,14 +69,19 @@ object Similarity {
       val e = withNorm(Tables.embeddings(s, d))
       val anchors = e.filter(col("vec_id") < NumAnchors)
         .select(col("vec_id").as("aid"), col("v").as("qv"), col("nrm").as("qn"))
-      // corpus → nearest anchor (coarse quantization)
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("acos").desc, col("aid"))
+      // corpus → nearest anchor (coarse quantization): the 16× anchor
+      // fan-out collapses back to one row per vector in the map-side
+      // partial agg (max_by on (acos, -aid) = the arank-1 window row
+      // without shuffling the exploded set); v/nrm are constant per
+      // vec_id so first() carries them through the same aggregation
       val assigned = e.crossJoin(broadcast(anchors))
         .withColumn("acos", VectorExprs.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
-        .withColumn("arank", row_number().over(wAssign))
-        .filter(col("arank") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"), col("aid").as("cell"))
-      // queries probe their NProbe nearest anchors
+        .groupBy(col("vec_id"))
+        .agg(
+          expr("max_by(aid, struct(acos, -aid))").as("cell"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      // queries probe their NProbe nearest anchors (10 × 16 rows — the
+      // window form is fine at this size and keeps the prank semantics)
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("v").as("probe_v"), col("nrm").as("probe_n"))
       val wProbe = Window.partitionBy(col("qid")).orderBy(col("acos").desc, col("aid"))
@@ -79,16 +92,13 @@ object Similarity {
         .withColumn("prank", row_number().over(wProbe))
         .filter(col("prank") <= NProbe)
         .select(col("qid"), col("probe_v"), col("probe_n"), col("aid").as("cell"))
-      // score only within probed cells
-      val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-      assigned.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("qid"))
-        .withColumn("cos",
-          VectorExprs.dot(col("v"), col("probe_v")) /
-            (col("nrm") * col("probe_n")))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= TopK)
-        .select(col("qid"), col("rank"), col("vec_id").as("neighbor_id"))
+      // score only within probed cells; bounded-heap top-k per query
+      topkPerQid(
+        assigned.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            VectorExprs.dot(col("v"), col("probe_v")) /
+              (col("nrm") * col("probe_n"))))
     },
     // The IVF pipeline is approximate w.r.t. brute force but fully
     // deterministic (fixed anchors, (cos DESC, id) tiebreaks), so the

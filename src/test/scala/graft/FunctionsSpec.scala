@@ -58,4 +58,18 @@ class FunctionsSpec extends SparkSpecBase {
     assert(sig(Seq("a", "b", "a")) == sig(Seq("a", "a", "b")))
     assert(sig(Seq("a", "b", "a")) != sig(Seq("a", "b", "b")))
   }
+
+  test("TopKAgg keeps k best by (score DESC, id ASC) across partition merges") {
+    val rows = Seq(
+      (1L, 0.5, 10L), (1L, 0.9, 11L), (1L, 0.9, 5L), (1L, 0.1, 12L), (1L, 0.7, 13L),
+      (2L, 0.3, 20L)) // second group: fewer than k rows
+    val got = rows.toDF("g", "score", "id")
+      .repartition(4) // force partial buffers + merge
+      .groupBy("g").agg(SketchAggs.topk(col("score"), col("id"), 3).as("top"))
+      .select(col("g"), col("top.id").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // ties on 0.9 break toward the smaller id
+    assert(got(1L) == Seq(5L, 11L, 13L))
+    assert(got(2L) == Seq(20L))
+  }
 }

@@ -30,6 +30,7 @@ class QueriesSpec extends SparkSpecBase {
     "q27_outer_join" -> 318, "q28_rollup" -> 19, "dd6_dedup_clusters" -> 500,
     "q29_interval_left_join" -> 202, "q30_interval_full_join" -> 402,
     "q31_cube" -> 124, "q32_array_agg" -> 15, "td1_curation_pipeline" -> 472,
+    "td2_decontamination" -> 464,
     "q33_pivot" -> 15, "q34_percentiles" -> 5, "q35_deterministic_split" -> 3,
     "q36_asof_join" -> 202,
     "sim1_ann_brute_topk" -> 50, "sim2_ann_ivf_topk" -> 50,
