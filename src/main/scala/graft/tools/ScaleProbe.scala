@@ -56,7 +56,8 @@ object ScaleProbe {
     val targets = Seq("q02_agg", "q04_join_chain", "q07_tumbling_window",
       "q08_hopping_window", "q10_interval_join", "q14_dedup_first", "q17_topk",
       "dd1_dedup_exact", "dd3_dedup_minhash_lsh", "dd5_dedup_simhash",
-      "dd6_dedup_clusters", "sim2_ann_ivf_topk", "td1_curation_pipeline",
+      "dd6_dedup_clusters", "sim1_ann_brute_topk", "sim2_ann_ivf_topk",
+      "sim3_ann_ivf_kmeans", "td1_curation_pipeline", "td2_decontamination",
       "q35_deterministic_split")
     for (name <- targets) {
       val t0 = System.nanoTime()
