@@ -53,13 +53,14 @@ object Dedup {
       .toDF("doc_id", "grams")
   }
 
-  /** Memoization registry, shared by the whole dd-family. BENCH-LOCAL by
-    * design: entries pin eagerly-localCheckpoint()ed blocks, which are
-    * NOT fault-tolerant (an executor loss invalidates derived plans) —
-    * at production scale these intermediates would be reliable
-    * checkpoints / written tables. Entries are evicted when their
-    * session's application ends, so a long-lived JVM cycling sessions
-    * does not retain block-manager memory without bound. */
+  /** Memoization registry, shared by the whole dd-family. Frames are
+    * persist(MEMORY_AND_DISK)-cached and eagerly materialized: the
+    * columnar cache compresses, keeps lineage (executor loss recomputes
+    * — fault-tolerant, unlike localCheckpoint), and stays visible to
+    * AQE's size estimation. Entries are evicted (and blocks unpersisted)
+    * when their session's application ends, so a long-lived JVM cycling
+    * sessions does not retain block-manager memory without bound. At
+    * production scale these intermediates would be written tables. */
   private val caches =
     Seq.newBuilder[scala.collection.concurrent.TrieMap[(SparkSession, String), _]]
 
@@ -72,9 +73,25 @@ object Dedup {
   private val hooked = scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
 
   /** Evict every memoized frame belonging to `s` (registered to fire on
-    * application end; callable directly for explicit invalidation). */
+    * application end; callable directly for explicit invalidation).
+    * Unpersists the cached blocks as it drops the entries. */
   def clearCaches(s: SparkSession): Unit =
-    caches.synchronized(caches.result()).foreach(_.filterInPlace { case ((ss, _), _) => ss ne s })
+    caches.synchronized(caches.result()).foreach(_.filterInPlace { case ((ss, _), v) =>
+      val keep = ss ne s
+      if (!keep) v match {
+        case df: DataFrame => df.unpersist(false)
+        case (a: DataFrame, b: DataFrame) => a.unpersist(false); b.unpersist(false)
+        case _ =>
+      }
+      keep
+    })
+
+  /** Cache + eagerly materialize: columnar, compressed, lineage kept. */
+  private def mat(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    df
+  }
 
   private def memo[V](cache: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
       s: SparkSession, d: String)(build: => V): V = {
@@ -96,11 +113,10 @@ object Dedup {
 
   private def grams(s: SparkSession, d: String): (DataFrame, DataFrame) =
     memo(gramCache, s, d) {
-      val g = withShingles(s, d)
+      val g = mat(withShingles(s, d)
         .select(col("doc_id"), explode(col("grams")).as("gram"))
-        .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
-        .localCheckpoint(true)
-      val sizes = g.groupBy("doc_id").agg(count(lit(1)).as("sz")).localCheckpoint(true)
+        .select(col("doc_id"), xxhash64(col("gram")).as("gh")))
+      val sizes = mat(g.groupBy("doc_id").agg(count(lit(1)).as("sz")))
       (g, sizes)
     }
 
@@ -117,9 +133,8 @@ object Dedup {
   def minhashSigs(s: SparkSession, d: String): DataFrame =
     memo(sigCache, s, d) {
       val (g, _) = grams(s, d)
-      g.groupBy("doc_id")
-        .agg(graft.functions.SketchAggs.minhash(col("gh"), NumHashes).as("mh"))
-        .localCheckpoint(true)
+      mat(g.groupBy("doc_id")
+        .agg(graft.functions.SketchAggs.minhash(col("gh"), NumHashes).as("mh")))
     }
 
   private val candCache = newCache[DataFrame]()
@@ -136,11 +151,10 @@ object Dedup {
           explode(expr(s"transform(sequence(0, ${NumBands - 1})," +
             s" b -> struct(b AS band, xxhash64(slice(mh, b * $BandRows + 1, $BandRows)) AS bv))")).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-      banded.select(col("doc_id").as("d1"), col("band"), col("bv"))
+      mat(banded.select(col("doc_id").as("d1"), col("band"), col("bv"))
         .join(banded.select(col("doc_id").as("d2"), col("band"), col("bv")), Seq("band", "bv"))
         .filter(col("d1") < col("d2"))
-        .select("d1", "d2").distinct()
-        .localCheckpoint(true)
+        .select("d1", "d2").distinct())
     }
 
   private val pairCache = newCache[DataFrame]()
@@ -150,7 +164,7 @@ object Dedup {
     * refines it, dd6 clusters it, td1 consumes the clusters. */
   def verifiedPairs(s: SparkSession, d: String): DataFrame =
     memo(pairCache, s, d) {
-      verifyJaccard(s, d, lshCandidates(s, d)).localCheckpoint(true)
+      mat(verifyJaccard(s, d, lshCandidates(s, d)))
     }
 
   /** Exact Jaccard on a given candidate-pair set (d1 < d2): the shared
@@ -315,9 +329,8 @@ object Dedup {
         prevSum = sum2
         rounds += 1
       }
-      docs.join(labels, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id"))
-        .localCheckpoint(true)
+      mat(docs.join(labels, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id")))
     }
 
   val dd6 = QueryDef(
