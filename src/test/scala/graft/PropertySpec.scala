@@ -67,4 +67,31 @@ class PropertySpec extends SparkSpecBase {
     val many = xs.toDF("gh").repartition(7).agg(SketchAggs.minhash(col("gh"), 64)).head().getSeq[Long](0)
     assert(one == many)
   }
+
+  test("TopKBuf equals sort-take reference for arbitrary inputs, splits, and k") {
+    import graft.functions.TopKBuf
+    for (_ <- 1 to 50) {
+      val k = 1 + rnd.nextInt(8)
+      val n = rnd.nextInt(60)
+      // duplicate scores (coarse rounding) force tie-break coverage
+      val items = Vector.fill(n)(
+        (math.rint(rnd.nextDouble() * 10) / 10, rnd.nextLong() % 100))
+      // reference model: sort by (score DESC, id ASC), take k
+      val ref = items.sortBy { case (s, id) => (-s, id) }.take(k)
+      // single buffer, sequential offers
+      val b1 = new TopKBuf(k)
+      items.foreach { case (s, id) => b1.offer(s, id) }
+      // split into random partial buffers, then absorb (the merge path)
+      val parts = items.grouped(math.max(1, 1 + rnd.nextInt(7))).toVector
+      val b2 = new TopKBuf(k)
+      parts.foreach { p =>
+        val pb = new TopKBuf(k)
+        p.foreach { case (s, id) => pb.offer(s, id) }
+        b2.absorb(pb)
+      }
+      def out(b: TopKBuf) = (0 until b.size).map(i => (b.scores(i), b.ids(i)))
+      assert(out(b1) == ref, s"sequential k=$k items=$items")
+      assert(out(b2) == ref, s"merged k=$k items=$items")
+    }
+  }
 }
