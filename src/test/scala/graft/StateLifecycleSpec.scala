@@ -91,4 +91,48 @@ class StateLifecycleSpec extends SparkSpecBase {
     val expected = sortedEvents.take(400).map(_.user_id).toSet
     assert(users == expected)
   }
+
+  test("tombstones survive checkpoint restart: deleted keys stay deleted, state shrinks") {
+    implicit val sq = spark.sqlContext
+    val ckpt = tmpDir("ckpt-tomb")
+    val ms = MemoryStream[Event]
+    def start() = ms.toDF().as[Event].groupByKey(_.user_id)
+      .transformWithState(new KvStoreProcessor, TimeMode.None(), OutputMode.Update(),
+        Encoders.product[KvRow])
+      .toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.count(); () // consume all partitions so every state store commits
+      }
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+
+    val maxTs = sortedEvents.map(_.ts.getTime).max
+    val users = sortedEvents.take(300).map(_.user_id).distinct
+    val victims = users.filter(_ % 3 == 0)
+    def tomb(u: Long) = Event(900000000L + u, new java.sql.Timestamp(maxTs + 1000), u,
+      KvStoreProcessor.Tombstone, 0.0, "{}")
+
+    // phase 1: upserts, then delete the victims; stop
+    val q1 = start()
+    try {
+      ms.addData(sortedEvents.take(300))
+      q1.processAllAvailable()
+      ms.addData(victims.map(tomb))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // phase 2: restart from the checkpoint, feed nothing new for the
+    // victims — their state must NOT resurrect
+    val fresh = sortedEvents.slice(300, 350).filterNot(e => victims.contains(e.user_id))
+    val q2 = start()
+    try { ms.addData(fresh); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val state = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "kv").load()
+    val live = state.select(col("key.*")).collect().map(_.getLong(0)).toSet
+    val expected = (sortedEvents.take(300).map(_.user_id).toSet -- victims) ++
+      fresh.map(_.user_id)
+    assert(live == expected, s"deleted keys resurrected or lost: ${live.diff(expected)} / ${expected.diff(live)}")
+    assert(victims.forall(v => !live.contains(v)))
+  }
 }
