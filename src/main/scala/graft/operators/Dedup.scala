@@ -169,11 +169,21 @@ object Dedup {
 
   /** Exact Jaccard on a given candidate-pair set (d1 < d2): the shared
     * verification tail of the LSH/SimHash pipelines — touches only the
-    * candidates, never n². */
+    * candidates, never n².
+    *
+    * The gram table is first pruned to docs that appear in a candidate
+    * pair (left-semi join; AQE broadcasts the doc set when it is small).
+    * On a realistic corpus candidates cover a small minority of docs, so
+    * the (d2, gh) verification shuffle shrinks proportionally — the 10×
+    * synthetic fixture (every doc has 9 near-dups) is the worst case,
+    * where the prune is a wash. */
   def verifyJaccard(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
     val (g, sizes) = grams(s, d)
-    val g1 = g.select(col("doc_id").as("d1"), col("gh"))
-    val g2 = g.select(col("doc_id").as("d2"), col("gh"))
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val gp = g.join(candDocs, Seq("doc_id"), "left_semi")
+    val g1 = gp.select(col("doc_id").as("d1"), col("gh"))
+    val g2 = gp.select(col("doc_id").as("d2"), col("gh"))
     cand.join(g1, Seq("d1")).join(g2, Seq("d2", "gh"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
