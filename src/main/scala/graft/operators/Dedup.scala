@@ -167,28 +167,43 @@ object Dedup {
       mat(verifyJaccard(s, d, lshCandidates(s, d)))
     }
 
+  private val gsetCache = newCache[DataFrame]()
+
+  /** Per-doc SORTED gram-hash set as one array<bigint> row (plus its
+    * size): the verification-side layout. ~1 KB per doc, built with one
+    * keyed aggregation over the exploded gram table. */
+  def gramSets(s: SparkSession, d: String): DataFrame =
+    memo(gsetCache, s, d) {
+      val (g, _) = grams(s, d)
+      mat(g.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("gh"))).as("ghs"))
+        .withColumn("sz", size(col("ghs"))))
+    }
+
   /** Exact Jaccard on a given candidate-pair set (d1 < d2): the shared
     * verification tail of the LSH/SimHash pipelines — touches only the
     * candidates, never n².
     *
-    * The gram table is first pruned to docs that appear in a candidate
-    * pair (left-semi join; AQE broadcasts the doc set when it is small).
-    * On a realistic corpus candidates cover a small minority of docs, so
-    * the (d2, gh) verification shuffle shrinks proportionally — the 10×
-    * synthetic fixture (every doc has 9 near-dups) is the worst case,
-    * where the prune is a wash. */
+    * Shape: join each pair to the two docs' pre-sorted gram-hash arrays
+    * and count the intersection with one codegen two-pointer merge per
+    * pair — no exploded gram join, no groupBy. The joins touch only
+    * candidate docs by construction, so verification cost scales with
+    * candidate volume × doc length, independent of corpus size. Measured
+    * 4× faster than the gram-join form on the borderline-heavy 50×
+    * probe (2M candidates, 26M grams: 56s → see NOTES).
+    *
+    * (A MinHash-estimate prefilter was tried and removed: the cut
+    * exactness permits — agreement ≥ 38/128, false-drop < 2e-6 at
+    * J=0.5 — sits below what borderline J≈0.33 candidates actually
+    * score (~42), so it filtered almost nothing for two extra joins.) */
   def verifyJaccard(s: SparkSession, d: String, cand: DataFrame): DataFrame = {
-    val (g, sizes) = grams(s, d)
-    val candDocs = cand.select(col("d1").as("doc_id"))
-      .union(cand.select(col("d2").as("doc_id"))).distinct()
-    val gp = g.join(candDocs, Seq("doc_id"), "left_semi")
-    val g1 = gp.select(col("doc_id").as("d1"), col("gh"))
-    val g2 = gp.select(col("doc_id").as("d2"), col("gh"))
-    cand.join(g1, Seq("d1")).join(g2, Seq("d2", "gh"))
-      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), Seq("d2"))
-      .withColumn("jac", col("inter") / (col("sz1") + col("sz2") - col("inter")))
+    val gs = gramSets(s, d)
+    cand
+      .join(gs.select(col("doc_id").as("d1"), col("ghs").as("ghs1"), col("sz").as("sz1")), Seq("d1"))
+      .join(gs.select(col("doc_id").as("d2"), col("ghs").as("ghs2"), col("sz").as("sz2")), Seq("d2"))
+      .withColumn("inter", VectorExprs.sortedIntersect(col("ghs1"), col("ghs2")))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jac") >= JaccardThreshold)
       .select(col("d1"), col("d2"), round(col("jac"), 3).as("jaccard"))
   }

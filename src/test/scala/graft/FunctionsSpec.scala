@@ -35,6 +35,28 @@ class FunctionsSpec extends SparkSpecBase {
     assert(df.select(VectorExprs.eqCount(col("a"), col("b"))).collect().head.getInt(0) == 2)
   }
 
+  test("SortedIntersectCount equals set intersection for sorted arrays") {
+    val cases = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L), 2),
+      (Array.empty[Long], Array(1L, 2L), 0),
+      (Array(7L), Array(7L), 1),
+      (Array(1L, 2L, 3L), Array(4L, 5L), 0))
+    for ((a, b, want) <- cases) {
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(VectorExprs.sortedIntersect(col("a"), col("b"))).head().getInt(0)
+      assert(got == want, s"${a.toSeq} ∩ ${b.toSeq}")
+    }
+    // random sorted sets vs the Set-based reference
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 20) {
+      val a = Array.fill(rnd.nextInt(50))(rnd.nextLong() % 100).distinct.sorted
+      val b = Array.fill(rnd.nextInt(50))(rnd.nextLong() % 100).distinct.sorted
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(VectorExprs.sortedIntersect(col("a"), col("b"))).head().getInt(0)
+      assert(got == a.toSet.intersect(b.toSet).size)
+    }
+  }
+
   test("XorChecksum is order-insensitive and matches the documented mix") {
     def mix(x: Long) = x ^ (x << 13) ^ (x >> 7)
     val ids = Seq(5L, 99L, 1234567L)
