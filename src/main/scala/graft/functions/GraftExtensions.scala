@@ -49,6 +49,10 @@ object GraftFunctions {
     ("graft_rolling_hash",
       info("graft_rolling_hash", "_FUNC_(s) - 31-ary polynomial rolling hash mod 2^31-1"),
       args => RollingHash(args(0))),
+    ("graft_sorted_intersect_count",
+      info("graft_sorted_intersect_count",
+        "_FUNC_(a, b) - intersection size of two sorted array<bigint>"),
+      args => SortedIntersectCount(args(0), args(1))),
     ("graft_minhash",
       info("graft_minhash", "_FUNC_(gh, k) - k-slot MinHash signature over 64-bit hashes (agg)"),
       args => MinHashAgg(args(0), intLit(args(1), "graft_minhash k"))),

@@ -12,9 +12,12 @@ class GraftExtensionsSpec extends SparkSpecBase {
     val r = spark.sql(
       """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
         |  graft_array_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS c,
-        |  graft_rolling_hash('hello world') AS h""".stripMargin).head()
+        |  graft_rolling_hash('hello world') AS h,
+        |  graft_sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS i""".stripMargin)
+      .head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(1) == 2)
+    assert(r.getInt(3) == 2)
     // same fold as FunctionsSpec's reference
     var h = 0L
     "hello world".codePoints().toArray.foreach(cp => h = (h * 31L + cp) % 2147483647L)
