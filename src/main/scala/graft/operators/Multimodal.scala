@@ -129,6 +129,57 @@ object Multimodal {
            |FROM documents""".stripMargin)
   )
 
+  /** A resized media blob: re-encoded thumbnail plus its decoded-back
+    * dimensions (the proof the resize really happened). */
+  final case class Thumb(
+      doc_id: Long,
+      n_bytes: Int,
+      thumb_w: Int,
+      thumb_h: Int,
+      channels: Int,
+      thumbnail: Array[Byte])
+
+  val ThumbSize = 32
+
+  /** Real image resize in the same partition-local seam: decode the PNG,
+    * scale to ThumbSize² with Graphics2D bilinear interpolation,
+    * re-encode, and decode the thumbnail BACK to report its dimensions —
+    * a full codec round trip per row, no shuffle. */
+  def thumbnails(s: SparkSession, d: String): Dataset[Thumb] = {
+    import s.implicits._
+    pngTable(s, d).mapPartitions(_.map { blob =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob.payload))
+      val out = new java.awt.image.BufferedImage(
+        ThumbSize, ThumbSize, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val gfx = out.createGraphics()
+      gfx.setRenderingHint(
+        java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      gfx.drawImage(img, 0, 0, ThumbSize, ThumbSize, null)
+      gfx.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      val bytes = bos.toByteArray
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      Thumb(blob.doc_id, blob.src_bytes, back.getWidth, back.getHeight,
+        back.getRaster.getNumBands, bytes)
+    })
+  }
+
+  /** mm3 — image resize: the oracle checks the deterministic metadata
+    * (source length, target dims, band count); the codec round trip
+    * itself is asserted in SimilaritySpec (decoded-back dimensions come
+    * from the re-encoded thumbnail, not the declared target). */
+  val mm3 = QueryDef(
+    "mm3_media_resize",
+    (s, d) => thumbnails(s, d).toDF()
+      .select(col("doc_id"), col("n_bytes"), col("thumb_w"), col("thumb_h"), col("channels")),
+    Some(s"""SELECT doc_id,
+            |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+            |  $ThumbSize AS thumb_w, $ThumbSize AS thumb_h, 3 AS channels
+            |FROM documents""".stripMargin)
+  )
+
   /** mm2 — frame sampling (array-typed features from binary payloads). */
   val mm2 = QueryDef(
     "mm2_media_frames",
@@ -141,5 +192,5 @@ object Multimodal {
            |FROM documents""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(mm1, mm2)
+  val all: Seq[QueryDef] = Seq(mm1, mm2, mm3)
 }

@@ -14,7 +14,8 @@ class QueriesSpec extends SparkSpecBase {
     "dd1_dedup_exact" -> 500, "dd2_dedup_ngram_jaccard" -> 28,
     "dd3_dedup_minhash_lsh" -> 28, "dd4_dedup_embedding_cosine" -> 66,
     "dd5_dedup_simhash" -> 28, "mm1_media_decode" -> 500,
-    "mm2_media_frames" -> 500, "q01_filter_project" -> 3225,
+    "mm2_media_frames" -> 500, "mm3_media_resize" -> 500,
+    "q01_filter_project" -> 3225,
     "q02_agg" -> 6, "q03_stream_table_join" -> 1500, "q04_join_chain" -> 5,
     "q05_anti_join" -> 3, "q05_semi_join" -> 147, "q06_broadcast_join" -> 10,
     "q07_tumbling_window" -> 951, "q08_hopping_window" -> 3800,

@@ -48,6 +48,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(d1.forall(m => m.width >= 16 && m.width < 80 && m.channels == 3))
   }
 
+  test("multimodal resize is a real codec round trip") {
+    val pngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    val thumbs = Multimodal.thumbnails(spark, sfDir).collect()
+    // thumbnails are genuine PNGs whose decoded-back dims hit the target
+    assert(thumbs.forall(_.thumbnail.take(4).sameElements(pngMagic)))
+    assert(thumbs.forall(t =>
+      t.thumb_w == Multimodal.ThumbSize && t.thumb_h == Multimodal.ThumbSize && t.channels == 3))
+    // and the resize is deterministic (same pixels → same bytes)
+    val again = Multimodal.thumbnails(spark, sfDir).collect()
+    assert(thumbs.sortBy(_.doc_id).zip(again.sortBy(_.doc_id))
+      .forall { case (a, b) => a.thumbnail.sameElements(b.thumbnail) })
+  }
+
   test("multimodal frame offsets are 256-byte aligned and capped") {
     // frame_offsets is serialized as a comma-joined string (the driver's
     // comparator cannot hash array cells) — parse it back to verify.
