@@ -3,18 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** One shared local session per suite; RocksDB state store so
-  * transformWithState works in the streaming specs. */
+/** One shared local session per suite, built through the engine facade
+  * (UTC, AQE+skew, RocksDB state store, SQL functions registered). */
 trait SparkSpecBase extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    .getOrCreate()
+  lazy val spark: SparkSession = Graft.session(master = "local[8]", shufflePartitions = 8)
 
   val sfDir = "/root/testdata/sf0.001"
 }
