@@ -439,7 +439,43 @@ object Relational {
            |FROM b GROUP BY 1""".stripMargin)
   )
 
+  /** Q38 — deterministic stratified sampling: per-class keep rates
+    * (downsample the over-represented event types, keep the rare ones
+    * whole — the class-rebalancing primitive of corpus curation). Like
+    * q35, membership hangs on a content hash bucket (md5 of the id, 16
+    * bits), never rand()/sampleBy: reproducible across engines, runs,
+    * partitionings, and retries. Scale: a codegen'd filter on the scan —
+    * no shuffle until the audit aggregation. */
+  val q38 = QueryDef(
+    "q38_stratified_sample",
+    (s, d) => {
+      val threshold =
+        when(col("event_type") === "view", 3277L)        // 5%
+          .when(col("event_type") === "click", 13107L)   // 20%
+          .when(col("event_type") === "error", 32768L)   // 50%
+          .otherwise(65536L)                             // purchase/signup: keep all
+      Tables.events(s, d)
+        .withColumn("bucket",
+          conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10).cast("long"))
+        .filter(col("bucket") < threshold)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("event_id")).as("first_id"),
+          max(col("event_id")).as("last_id"))
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type, event_id,
+           |    CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 4))::INTEGER AS BIGINT) AS bucket
+           |  FROM events),
+           |k AS (SELECT * FROM b WHERE bucket <
+           |  CASE event_type WHEN 'view' THEN 3277 WHEN 'click' THEN 13107
+           |                  WHEN 'error' THEN 32768 ELSE 65536 END)
+           |SELECT event_type, count(*) AS n_kept,
+           |  min(event_id) AS first_id, max(event_id) AS last_id
+           |FROM k GROUP BY event_type""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24,
-      q27, q28, q31, q32, q33, q34, q35)
+      q27, q28, q31, q32, q33, q34, q35, q38)
 }
