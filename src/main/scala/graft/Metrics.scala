@@ -1,0 +1,86 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Engine observability — the ResponsiveMetrics analog
+  * (/root/reference/kafka-client/src/main/java/dev/responsive/kafka/internal/metrics/ResponsiveMetrics.java)
+  * re-expressed on Spark's own listener bus: every completed query
+  * action is recorded with its wall-clock duration and the executed
+  * plan's row/shuffle counters. Spark already aggregates per-operator
+  * SQLMetrics; this surface collects them per query so a library user
+  * gets programmatic access (the reference exports to a metrics
+  * registry; a cluster deployment would forward these to its sink).
+  */
+final case class QueryMetric(
+    action: String,
+    durationNs: Long,
+    outputRows: Long,
+    shuffleBytesWritten: Long,
+    failed: Boolean)
+
+final class MetricsListener extends QueryExecutionListener {
+  private val queue = new ConcurrentLinkedQueue[QueryMetric]()
+
+  /** Walk the FINAL physical plan: AQE wraps the tree in
+    * AdaptiveSparkPlanExec and materialized stages in QueryStageExec —
+    * the interesting metrics live inside both. */
+  private def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+    f(p)
+    p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)(f)
+      case s: QueryStageExec => walk(s.plan)(f)
+      case other => other.children.foreach(walk(_)(f))
+    }
+  }
+
+  private def metricSum(qe: QueryExecution, name: String): Long = {
+    var total = 0L
+    walk(qe.executedPlan)(node =>
+      node.metrics.get(name).foreach(m => total += math.max(0L, m.value)))
+    total
+  }
+
+  private def rootRows(qe: QueryExecution): Long = {
+    var rows = -1L
+    walk(qe.executedPlan) { node =>
+      if (rows < 0) node.metrics.get("numOutputRows").foreach(m => rows = m.value)
+    }
+    rows
+  }
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+    queue.add(QueryMetric(
+      funcName,
+      durationNs,
+      // first operator (closest to the root) that reports produced rows
+      rootRows(qe),
+      metricSum(qe, "shuffleBytesWritten"),
+      failed = false))
+
+  override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
+    queue.add(QueryMetric(funcName, -1L, -1L, -1L, failed = true))
+
+  /** Snapshot of everything recorded so far (oldest first). */
+  def snapshot(): Seq[QueryMetric] = queue.iterator().asScala.toSeq
+
+  def clear(): Unit = queue.clear()
+}
+
+object Metrics {
+  /** Attach a fresh listener to the session and return it. */
+  def attach(spark: SparkSession): MetricsListener = {
+    val l = new MetricsListener
+    spark.listenerManager.register(l)
+    l
+  }
+
+  def detach(spark: SparkSession, l: MetricsListener): Unit =
+    spark.listenerManager.unregister(l)
+}
