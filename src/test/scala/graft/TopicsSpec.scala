@@ -56,4 +56,49 @@ class TopicsSpec extends SparkSpecBase {
       Topics.readStream(spark, Topic("t", "carrier-pigeon"), schema)
     }
   }
+
+  test("file sink exactly-once: restart mid-stream yields no duplicate windows") {
+    // the .to(topic) parquet sink commits through _spark_metadata: batch
+    // reads of the same path see only committed files, so a stop with
+    // pending data + checkpoint restart re-emits nothing twice
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-eos").toString
+    val out = Topic("agg-eos", "file",
+      Map("path" -> s"$dir/out", "checkpointLocation" -> s"$dir/chk"))
+    val events = Tables.events(spark, sfDir).as[graft.streaming.Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id)).toVector
+    val maxTs = events.map(_.ts.getTime).max
+    val sentinel = graft.streaming.Event(-1L,
+      new java.sql.Timestamp(maxTs + 7L * 24 * 3600 * 1000), -1L, "view", 0.0, "{}")
+
+    val ms = MemoryStream[graft.streaming.Event]
+    def start() = Topics.writeStream(
+      graft.streaming.StreamOps.tumblingAgg(ms.toDF()), out)
+      .outputMode("append").start()
+
+    val chunks = events.grouped(250).toVector
+    val q1 = start()
+    try {
+      chunks.take(2).foreach { c => ms.addData(c); q1.processAllAvailable() }
+      ms.addData(chunks(2)) // pending, never processed by q1
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // drains the pending chunk from the checkpoint
+      chunks.drop(3).foreach { c => ms.addData(c); q2.processAllAvailable() }
+      ms.addData(Seq(sentinel)); q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = Topics.read(spark, out,
+      graft.streaming.StreamOps.tumblingAgg(Tables.events(spark, sfDir)).schema)
+      .filter(col("user_id") =!= -1L)
+      .collect().map(_.toSeq)
+    val want = graft.streaming.StreamOps.tumblingAgg(Tables.events(spark, sfDir))
+      .collect().map(_.toSeq)
+    // multiset equality: same windows, each exactly once
+    assert(got.length == want.length, s"${got.length} rows vs batch ${want.length} — duplicates or loss")
+    assert(got.toSet == want.toSet)
+  }
 }
