@@ -62,7 +62,8 @@ object Dedup {
     * sessions does not retain block-manager memory without bound. At
     * production scale these intermediates would be written tables. */
   private val caches =
-    Seq.newBuilder[scala.collection.concurrent.TrieMap[(SparkSession, String), _]]
+    scala.collection.mutable.ListBuffer
+      .empty[scala.collection.concurrent.TrieMap[(SparkSession, String), _]]
 
   private def newCache[V]() = {
     val c = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), V]
@@ -76,7 +77,7 @@ object Dedup {
     * application end; callable directly for explicit invalidation).
     * Unpersists the cached blocks as it drops the entries. */
   def clearCaches(s: SparkSession): Unit =
-    caches.synchronized(caches.result()).foreach(_.filterInPlace { case ((ss, _), v) =>
+    caches.synchronized(caches.toList).foreach(_.filterInPlace { case ((ss, _), v) =>
       val keep = ss ne s
       if (!keep) v match {
         case df: DataFrame => df.unpersist(false)
