@@ -336,18 +336,29 @@ object Dedup {
       var labels = edges.select(col("a").as("doc_id")).distinct()
         .withColumn("label", col("doc_id")).localCheckpoint(true)
       var prevSum = Long.MinValue
-      var converged = false
+      // a corpus with no near-dups has no edge graph — nothing to iterate
+      var converged = nEdges == 0
       var rounds = 0
       while (!converged && rounds < 20) {
         val neighborMin = edges
           .join(maybeB(labels.select(col("doc_id").as("nb"), col("label").as("nl"))),
             col("b") === col("nb"))
           .groupBy(col("a")).agg(min(col("nl")).as("nlabel"))
-        // localCheckpoint truncates the growing iteration lineage
-        val next = labels
+        val stepped = labels
           .join(maybeB(neighborMin), labels("doc_id") === neighborMin("a"), "left_outer")
           .select(labels("doc_id"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        // pointer doubling: also adopt the CURRENT label of one's label
+        // (labels always point at component members, so the lookup hits).
+        // Plain neighbor-min needs O(diameter) rounds — a chain of n
+        // near-dups would exhaust the round cap; label-of-label halves
+        // the remaining distance each round → O(log diameter).
+        // localCheckpoint truncates the growing iteration lineage.
+        val next = stepped.as("x")
+          .join(maybeB(stepped.select(col("doc_id").as("ld"), col("label").as("ll"))),
+            col("x.label") === col("ld"), "left_outer")
+          .select(col("x.doc_id"),
+            least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
           .localCheckpoint(true)
         val sum2 = next.agg(sum(col("label"))).head().getLong(0)
         labels = next
