@@ -17,14 +17,19 @@ final case class SessionBatch(
   * transformWithState answer).
   *
   * Semantics (mirrors the session store, ResponsiveSessionStore.java:131-163):
-  * events buffer per key; an arrival more than `gap` after the buffered
-  * session's end closes that session inline (the store's merge/close on
-  * arrival); the **trailing** session closes when the event-time watermark
-  * passes its end + gap, via a registered timer — no sentinel data needed,
-  * just watermark progress.
+  * events buffer per key; a session is a maximal run of buffered events
+  * with gaps ≤ `gap` (strict >-gap splits — an event at exactly
+  * last + gap MERGES, matching Spark's session_window, pinned by the
+  * boundary test). Sessions flush ONLY when the event-time watermark
+  * passes their end + gap, via timers — never on arrival — so
+  * out-of-order events across microbatches (any arrival order the
+  * watermark still admits) merge into the right session instead of the
+  * most recent one. Events below the watermark never reach the
+  * processor (Spark drops them), so a flushed session can never receive
+  * a late member as long as the watermark delay covers the grace.
   *
-  * Used with TimeMode.EventTime over a watermarked input; the parity spec
-  * asserts output == the q09 session-window aggregation.
+  * Used with TimeMode.EventTime over a watermarked input; the parity
+  * spec asserts output == the q09 session-window aggregation.
   */
 class SessionFlushProcessor(gapMs: Long) extends StatefulProcessor[Long, Event, SessionBatch] {
   @transient private var buf: ListState[Event] = _
@@ -45,43 +50,55 @@ class SessionFlushProcessor(gapMs: Long) extends StatefulProcessor[Long, Event, 
       BigDecimal(events.map(_.value).sum)
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
+  /** Split ts-sorted events into maximal ≤-gap runs. */
+  private def sessionize(sorted: Vector[Event]): Vector[Vector[Event]] = {
+    val out = Vector.newBuilder[Vector[Event]]
+    var cur = Vector.empty[Event]
+    sorted.foreach { e =>
+      if (cur.nonEmpty && e.ts.getTime > cur.last.ts.getTime + gapMs) {
+        out += cur; cur = Vector.empty
+      }
+      cur = cur :+ e
+    }
+    if (cur.nonEmpty) out += cur
+    out.result()
+  }
+
+  /** Flush every session the watermark has closed; keep the rest
+    * buffered and (re)arm the timer at the earliest open deadline. */
+  private def flushClosed(key: Long, watermarkMs: Long): Iterator[SessionBatch] = {
+    val pending = if (buf.exists()) buf.get().toVector else Vector.empty[Event]
+    if (pending.isEmpty) return Iterator.empty
+    val sessions = sessionize(pending.sortBy(e => (e.ts.getTime, e.event_id)))
+    // strict <: at wm == end+gap an event with ts == wm could still
+    // merge (boundary rule), so the session is not closed yet
+    val (closed, open) = sessions.partition(s => s.last.ts.getTime + gapMs < watermarkMs)
+    if (open.isEmpty) buf.clear() else buf.put(open.flatten.toArray)
+    // +1 ms: the timer must fire only once the watermark is strictly
+    // past end+gap, else it would expire exactly at the boundary,
+    // not flush, and re-arm an already-passed timestamp
+    val deadline = open.map(s => s.last.ts.getTime + gapMs + 1).sorted.headOption
+    val existing = if (curTimer.exists()) Some(curTimer.get()) else None
+    if (existing != deadline) {
+      existing.foreach(getHandle.deleteTimer)
+      deadline match {
+        case Some(dl) => getHandle.registerTimer(dl); curTimer.update(dl)
+        case None => curTimer.clear()
+      }
+    }
+    closed.map(toBatch(key, _)).iterator
+  }
+
   override def handleInputRows(
       key: Long, rows: Iterator[Event], timerValues: TimerValues): Iterator[SessionBatch] = {
-    var pending = if (buf.exists()) buf.get().toVector else Vector.empty[Event]
-    val out = Vector.newBuilder[SessionBatch]
-    rows.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-      // strict > : Spark's session_window MERGES an event at exactly
-      // last + gap (touching intervals coalesce — pinned by the boundary
-      // test in StreamingParitySpec), so only a strictly-later arrival
-      // closes the session, matching the q09 oracle's break rule
-      if (pending.nonEmpty && e.ts.getTime > pending.map(_.ts.getTime).max + gapMs) {
-        out += toBatch(key, pending) // session closed by a later arrival
-        pending = Vector.empty
-      }
-      pending = pending :+ e
-    }
-    if (pending.isEmpty) buf.clear()
-    else {
-      buf.put(pending.toArray)
-      // (re)arm the trailing-session timer at session end + gap
-      val deadline = pending.map(_.ts.getTime).max + gapMs
-      if (curTimer.exists() && curTimer.get() != deadline) getHandle.deleteTimer(curTimer.get())
-      if (!curTimer.exists() || curTimer.get() != deadline) {
-        getHandle.registerTimer(deadline)
-        curTimer.update(deadline)
-      }
-    }
-    out.result().iterator
+    val pending = if (buf.exists()) buf.get().toVector else Vector.empty[Event]
+    buf.put((pending ++ rows).toArray)
+    flushClosed(key, timerValues.getCurrentWatermarkInMs())
   }
 
   override def handleExpiredTimer(
       key: Long, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionBatch] = {
-    val pending = if (buf.exists()) buf.get().toVector else Vector.empty[Event]
-    if (pending.isEmpty) Iterator.empty
-    else {
-      buf.clear()
-      curTimer.clear()
-      Iterator.single(toBatch(key, pending))
-    }
+    curTimer.clear()
+    flushClosed(key, timerValues.getCurrentWatermarkInMs())
   }
 }

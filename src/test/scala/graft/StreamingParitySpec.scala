@@ -302,6 +302,33 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(got == Set((B, 2L), (B + 8000, 1L), (B + 10000, 1L)))
   }
 
+  test("out-of-order arrival across batches merges into the right session") {
+    // an event for an EARLIER session arrives after a later session has
+    // opened (still above the watermark): arrival-order flushing would
+    // glue it to the newest session; watermark-driven flushing must not
+    val B = 1700000000L
+    def ev(id: Long, tSec: Long, v: Double = 1.0) =
+      Event(id, new java.sql.Timestamp(tSec * 1000), 1L, "view", v, "{}")
+    val chunks = Seq(
+      Seq(ev(1, B), ev(2, B + 300)),      // session A [B, B+300]
+      Seq(ev(3, B + 5000)),               // session B opens; wm trails far behind (3h delay)
+      Seq(ev(4, B + 600, 2.0)),           // late for session A — within watermark
+      Seq(ev(9, B + 100000)))             // advances wm, closes everything
+    val streamed = runStream(
+      df => df.withWatermark("ts", "3 hours").as[Event].groupByKey(_.user_id)
+        .transformWithState(new SessionFlushProcessor(30 * 60 * 1000L),
+          TimeMode.EventTime(), OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[SessionBatch])
+        .toDF(),
+      chunks, "append")
+    val got = streamed.as[SessionBatch].collect()
+      .map(b => (b.session_start, b.n, b.sum_value)).toSet
+    // session A = {1,2,4} (the late event merged back, NOT glued to B),
+    // session B = {3}; the final event's session correctly stays open
+    // (the watermark never passes its end + gap)
+    assert(got == Set((B, 3L, 4.0), (B + 5000, 1L, 1.0)))
+  }
+
   test("session boundary: event at exactly start+gap MERGES in all engines") {
     // Spark coalesces touching session intervals: an event landing at
     // exactly last + gap belongs to the same session (strict-> break).
