@@ -236,6 +236,30 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("as-of enrichment is event-time-disciplined under out-of-order arrival") {
+    val B = 1700000000L
+    def ev(id: Long, tSec: Long, typ: String) =
+      Event(id, new java.sql.Timestamp(tSec * 1000), 1L, typ, 1.0, "{}")
+    val chunks = Seq(
+      Seq(ev(1, B, "signup")),
+      Seq(ev(2, B + 1000, "signup")),
+      Seq(ev(3, B + 500, "signup")),       // out-of-order signup → middle version
+      Seq(ev(4, B + 2000, "purchase")),    // → newest signup ≤ B+2000 = #2
+      Seq(ev(5, B + 700, "purchase")))     // late purchase → version at B+700 = #3, NOT #2
+    val streamed = runStream(
+      df => df.as[Event].groupByKey(_.user_id)
+        .transformWithState(new AsofEnrichProcessor, TimeMode.None(), OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[AsofRow])
+        .toDF(),
+      chunks, "append")
+    val got = streamed.as[AsofRow].collect()
+      .map(r => r.purchase_id -> Option(r.asof_signup_id).map(_.toLong)).toMap
+    // matches batch q36 on the same five events: the late purchase sees
+    // the version history, not the latest-arrival value (#2) and not a
+    // future signup
+    assert(got == Map(4L -> Some(2L), 5L -> Some(3L)))
+  }
+
   test("event-time timers: SessionFlushProcessor == q09 session windows") {
     val streamed = runStream(
       df => df.withWatermark("ts", "10 minutes").as[Event].groupByKey(_.user_id)
