@@ -204,6 +204,7 @@ case class TopKAgg(
 
 /** Mutable bounded top-k list kept sorted by (score DESC, id ASC). */
 final class TopKBuf(k: Int) {
+  require(k > 0, s"top-k needs k > 0, got $k")
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
   var size: Int = 0
