@@ -45,7 +45,10 @@ object FkJoin {
   final case class FkJoined(
       pk: Long, fk: Long, lval: String, rval: String, seq: Long, retracted: Boolean)
 
-  /** Phase 1: per-pk FK bookkeeping, emits retract+upsert envelopes. */
+  /** Phase 1: per-pk FK bookkeeping, emits retract+upsert envelopes.
+    * A left row with `lval == null` is a tombstone (the KTable delete):
+    * it retracts the subscription at the last FK and clears the
+    * bookkeeping, so the joined row disappears downstream. */
   class FkRouter extends StatefulProcessor[Long, LeftRow, FkMsg] {
     @transient private var lastFk: ValueState[Long] = _
 
@@ -56,11 +59,18 @@ object FkJoin {
         key: Long, rows: Iterator[LeftRow], timerValues: TimerValues): Iterator[FkMsg] = {
       val out = Vector.newBuilder[FkMsg]
       rows.toVector.sortBy(_.seq).foreach { r =>
-        if (lastFk.exists() && lastFk.get() != r.fk) {
-          out += FkMsg(lastFk.get(), "L", r.pk, lastFk.get(), null, null, r.seq, retract = true)
+        if (r.lval == null) { // left tombstone
+          if (lastFk.exists()) {
+            out += FkMsg(lastFk.get(), "L", r.pk, lastFk.get(), null, null, r.seq, retract = true)
+            lastFk.clear()
+          }
+        } else {
+          if (lastFk.exists() && lastFk.get() != r.fk) {
+            out += FkMsg(lastFk.get(), "L", r.pk, lastFk.get(), null, null, r.seq, retract = true)
+          }
+          lastFk.update(r.fk)
+          out += FkMsg(r.fk, "L", r.pk, r.fk, r.lval, null, r.seq, retract = false)
         }
-        lastFk.update(r.fk)
-        out += FkMsg(r.fk, "L", r.pk, r.fk, r.lval, null, r.seq, retract = false)
       }
       out.result().iterator
     }
@@ -91,8 +101,9 @@ object FkJoin {
           val lr = LeftRow(m.pk, m.fk, m.lval, m.seq)
           lefts.updateValue(m.pk, lr)
           out += FkJoined(m.pk, m.fk, m.lval, rv, m.seq, retracted = false)
-        } else { // right upsert: fan out to all subscribers
-          right.update(RightRow(key, m.rval, m.seq))
+        } else { // right upsert or tombstone: fan out to all subscribers
+          if (m.rval == null) right.clear() // right delete → left-join nulls
+          else right.update(RightRow(key, m.rval, m.seq))
           lefts.iterator().foreach { case (pk, lr) =>
             out += FkJoined(pk, key, lr.lval, m.rval, m.seq, retracted = false)
           }

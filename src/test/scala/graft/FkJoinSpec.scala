@@ -61,15 +61,46 @@ class FkJoinSpec extends SparkSpecBase {
     assert(rows.filter(_.seq == 3).map(_.pk).toSet == Set(1L, 2L))
   }
 
-  test("streaming FK join final state == batch join on random replay") {
+  test("FK join tombstones: left delete retracts, right delete fans out nulls") {
+    implicit val sq = spark.sqlContext
+    val lms = MemoryStream[LeftRow]
+    val rms = MemoryStream[RightRow]
+    val q = FkJoin.fkJoinStream(lms.toDS(), rms.toDS())
+      .toDF().writeStream.format("memory").queryName("fksink3")
+      .outputMode("update").start()
+    try {
+      lms.addData(Seq(LeftRow(1, 10, "a1", 1), LeftRow(2, 10, "b1", 2)))
+      rms.addData(Seq(RightRow(10, "M10", 3)))
+      q.processAllAvailable()
+      // left 1 deleted; right 10 deleted afterwards
+      lms.addData(Seq(LeftRow(1, 0, null, 4)))
+      q.processAllAvailable()
+      rms.addData(Seq(RightRow(10, null, 5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("fksink3").as[FkJoined].collect().toSeq
+    val got = finalState(rows)
+    // pk 1 gone (tombstoned); pk 2 survives with null rval (right deleted)
+    assert(got == Map(2L -> ((10L, "b1", null: String))))
+    // the left tombstone produced a retraction
+    assert(rows.exists(r => r.pk == 1 && r.seq == 4 && r.retracted))
+    // the right delete fanned out ONLY to the still-subscribed left
+    assert(rows.filter(_.seq == 5).map(_.pk).toSet == Set(2L))
+  }
+
+  test("streaming FK join final state == batch join on random replay (with tombstones)") {
     implicit val sq = spark.sqlContext
     val rnd = new scala.util.Random(42)
     var seq = 0L
     val leftUpdates = (1 to 120).map { _ =>
-      seq += 1; LeftRow(rnd.nextInt(20).toLong, rnd.nextInt(5).toLong, s"v$seq", seq)
+      seq += 1
+      val lval = if (rnd.nextInt(10) == 0) null else s"v$seq" // ~10% deletes
+      LeftRow(rnd.nextInt(20).toLong, rnd.nextInt(5).toLong, lval, seq)
     }
     val rightUpdates = (1 to 30).map { _ =>
-      seq += 1; RightRow(rnd.nextInt(5).toLong, s"m$seq", seq)
+      seq += 1
+      val rval = if (rnd.nextInt(10) == 0) null else s"m$seq"
+      RightRow(rnd.nextInt(5).toLong, rval, seq)
     }
     val lms = MemoryStream[LeftRow]
     val rms = MemoryStream[RightRow]
@@ -77,20 +108,31 @@ class FkJoinSpec extends SparkSpecBase {
       .toDF().writeStream.format("memory").queryName("fksink2")
       .outputMode("update").start()
     try {
-      leftUpdates.grouped(40).zipAll(rightUpdates.grouped(10).toSeq, Nil, Nil).foreach {
-        case (lc, rc) =>
-          if (lc.nonEmpty) lms.addData(lc)
-          if (rc.nonEmpty) rms.addData(rc)
-          q.processAllAvailable()
+      // replay the unified changelog in causal (seq) order — both sides
+      // advance together, as two topics consumed by one app would; the
+      // last-writer-wins-by-seq reconstruction below is only meaningful
+      // under causal replay (a right update fed "from the future" would
+      // legitimately fan out stale-but-then-current left values)
+      val unified: Seq[Either[LeftRow, RightRow]] =
+        (leftUpdates.map(Left(_)) ++ rightUpdates.map(Right(_)))
+          .sortBy(_.fold(_.seq, _.seq))
+      unified.grouped(50).foreach { chunk =>
+        val (ls, rs) = chunk.partition(_.isLeft)
+        if (ls.nonEmpty) lms.addData(ls.collect { case Left(l) => l })
+        if (rs.nonEmpty) rms.addData(rs.collect { case Right(r) => r })
+        q.processAllAvailable()
       }
     } finally q.stop()
 
     val got = finalState(spark.table("fksink2").as[FkJoined].collect().toSeq)
-    // batch oracle: latest left per pk joined to latest right per rk
+    // batch oracle: latest left per pk joined to latest right per rk;
+    // a pk whose latest update is a tombstone is absent, a tombstoned
+    // right key contributes null rval
     val latestLeft = leftUpdates.groupBy(_.pk).view.mapValues(_.maxBy(_.seq)).toMap
+      .filter { case (_, l) => l.lval != null }
     val latestRight = rightUpdates.groupBy(_.rk).view.mapValues(_.maxBy(_.seq)).toMap
     val want = latestLeft.map { case (pk, l) =>
-      pk -> ((l.fk, l.lval, latestRight.get(l.fk).map(_.rval).orNull))
+      pk -> ((l.fk, l.lval, latestRight.get(l.fk).filter(_.rval != null).map(_.rval).orNull))
     }
     assert(got == want)
   }
