@@ -50,8 +50,9 @@ class SessionFlushProcessor(gapMs: Long) extends StatefulProcessor[Long, Event, 
       BigDecimal(events.map(_.value).sum)
         .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
-  /** Split ts-sorted events into maximal ≤-gap runs. */
-  private def sessionize(sorted: Vector[Event]): Vector[Vector[Event]] = {
+  /** Split ts-sorted events into maximal ≤-gap runs (package-visible for
+    * the property spec). */
+  private[graft] def sessionize(sorted: Vector[Event]): Vector[Vector[Event]] = {
     val out = Vector.newBuilder[Vector[Event]]
     var cur = Vector.empty[Event]
     sorted.foreach { e =>

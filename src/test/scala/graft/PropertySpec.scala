@@ -68,6 +68,27 @@ class PropertySpec extends SparkSpecBase {
     assert(one == many)
   }
 
+  test("sessionize equals the gaps-and-islands reference, including exact boundaries") {
+    import graft.streaming.{Event, SessionFlushProcessor}
+    val gapMs = 1000L
+    val proc = new SessionFlushProcessor(gapMs)
+    for (_ <- 1 to 40) {
+      // timestamps on a coarse grid so exact-gap boundaries occur often
+      val ts = Vector.fill(1 + rnd.nextInt(30))(rnd.nextInt(12) * 500L).sorted
+      val evs = ts.zipWithIndex.map { case (t, i) =>
+        Event(i.toLong, new java.sql.Timestamp(t), 1L, "view", 1.0, "{}")
+      }
+      val got = proc.sessionize(evs).map(_.map(_.event_id))
+      // reference: break strictly when the gap EXCEEDS gapMs (merge at ==)
+      val ref = evs.foldLeft(Vector.empty[Vector[Event]]) { (acc, e) =>
+        if (acc.nonEmpty && e.ts.getTime <= acc.last.last.ts.getTime + gapMs)
+          acc.init :+ (acc.last :+ e)
+        else acc :+ Vector(e)
+      }.map(_.map(_.event_id))
+      assert(got == ref, s"ts=$ts")
+    }
+  }
+
   test("TopKBuf equals sort-take reference for arbitrary inputs, splits, and k") {
     import graft.functions.TopKBuf
     for (_ <- 1 to 50) {
