@@ -4,6 +4,11 @@ import graft.streaming.FkJoin
 import graft.streaming.FkJoin._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
+/** JVM-singleton probe for the restart test (closures serialize). */
+object FkRestartProbe {
+  val rows = new java.util.concurrent.ConcurrentLinkedQueue[FkJoin.FkJoined]()
+}
+
 /** Streaming KTable FK-join parity (ResponsiveForeignKeyJoinIntegrationTest
   * analog): replay left/right changelogs, assert the final joined state
   * equals the batch answer, including right-update fan-out and FK-change
@@ -135,5 +140,57 @@ class FkJoinSpec extends SparkSpecBase {
       pk -> ((l.fk, l.lval, latestRight.get(l.fk).filter(_.rval != null).map(_.rval).orNull))
     }
     assert(got == want)
+  }
+
+  test("FK join state survives a checkpoint restart mid-changelog") {
+    // the chained router/joiner pipeline holds TWO stateful operators;
+    // both must recover: post-restart right updates fan out to
+    // subscriptions recorded before the stop, FK changes retract
+    // pre-stop subscriptions
+    implicit val sq = spark.sqlContext
+    FkRestartProbe.rows.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fk-ckpt").toString
+    val lms = MemoryStream[LeftRow]
+    val rms = MemoryStream[RightRow]
+    def start() = FkJoin.fkJoinStream(lms.toDS(), rms.toDS())
+      .toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.as[FkJoined](org.apache.spark.sql.Encoders.product[FkJoined])
+          .collect().foreach(FkRestartProbe.rows.add)
+      }
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      lms.addData(Seq(LeftRow(1, 10, "a1", 1), LeftRow(2, 10, "b1", 2), LeftRow(3, 20, "c1", 3)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      // right arrives only AFTER the restart: fan-out must reach the
+      // pre-restart subscribers of fk 10
+      rms.addData(Seq(RightRow(10, "M10", 4)))
+      q2.processAllAvailable()
+      // FK change recorded before restart must be retracted correctly
+      lms.addData(Seq(LeftRow(1, 20, "a2", 5)))
+      q2.processAllAvailable()
+      rms.addData(Seq(RightRow(10, "M10v2", 6)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val rows = FkRestartProbe.rows.iterator().asScala.toSeq
+    val got = finalState(rows)
+    assert(got == Map(
+      1L -> ((20L, "a2", null: String)),
+      2L -> ((10L, "b1", "M10v2")),
+      3L -> ((20L, "c1", null: String))))
+    // post-restart fan-out reached both pre-restart subscribers
+    assert(rows.filter(_.seq == 4).map(_.pk).toSet == Set(1L, 2L))
+    // post-restart right update reached only the remaining subscriber
+    assert(rows.filter(_.seq == 6).map(_.pk).toSet == Set(2L))
+    // the pre-restart fk-10 subscription of pk 1 was retracted after restart
+    assert(rows.exists(r => r.pk == 1 && r.seq == 5 && r.retracted && r.fk == 10))
   }
 }
