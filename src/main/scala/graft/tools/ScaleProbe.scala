@@ -54,7 +54,10 @@ object ScaleProbe {
     }
 
     val targets = Seq("q02_agg", "q04_join_chain", "q07_tumbling_window",
-      "q08_hopping_window", "q10_interval_join", "q14_dedup_first", "q17_topk",
+      "q08_hopping_window", "q09_session_window", "q10_interval_join",
+      "q12_ttl_default", "q13b_ttl_from_key", "q14_dedup_first", "q17_topk",
+      "q22_batch_by_key", "q36_asof_join", "q37_window_backward_fetch",
+      "q38_stratified_sample",
       "dd1_dedup_exact", "dd3_dedup_minhash_lsh", "dd5_dedup_simhash",
       "dd6_dedup_clusters", "sim1_ann_brute_topk", "sim2_ann_ivf_topk",
       "sim3_ann_ivf_kmeans", "td1_curation_pipeline", "td2_decontamination",
