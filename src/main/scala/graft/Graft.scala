@@ -26,19 +26,30 @@ object Graft {
       master: String = "local[*]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors,
       appName: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
+    val required = Map(
+      "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.session.timeZone" -> "UTC",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val builder = SparkSession.builder()
       .appName(appName)
       .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    required.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    // getOrCreate silently returns any pre-existing session, dropping
+    // every config above — fail fast instead of handing back a session
+    // that looks configured but is not (wrong timezone/state provider
+    // corrupts results, not just performance)
+    val drifted = required.filter { case (k, v) => spark.conf.getOption(k) != Some(v) }
+    require(drifted.isEmpty,
+      s"Graft.session: pre-existing SparkSession overrides load-bearing configs: " +
+        drifted.map { case (k, v) => s"$k=${spark.conf.getOption(k).orNull} (need $v)" }
+          .mkString(", "))
     functions.GraftFunctions.register(spark)
     spark
   }

@@ -37,13 +37,18 @@ object SkewOps {
     require(salts > 0, "salts must be positive")
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"saltedJoin supports fact-preserving joins, not $joinType")
+    // the helper column must not collide with caller data — silently
+    // overwriting and then dropping a real __salt column would corrupt
+    // both the join keys and the output schema
+    val saltCol = Iterator.from(0).map(i => if (i == 0) "__salt" else s"__salt$i")
+      .find(c => !fact.columns.contains(c) && !dim.columns.contains(c)).get
     // deterministic per-row salt: hash of the full fact row, so replays,
     // task retries, and speculative attempts route a row the same way
     val factCols = fact.columns.map(col).toIndexedSeq
-    val salted = fact.withColumn("__salt", pmod(xxhash64(struct(factCols: _*)), lit(salts)))
+    val salted = fact.withColumn(saltCol, pmod(xxhash64(struct(factCols: _*)), lit(salts)))
     val replicated = dim
-      .withColumn("__salt", explode(expr(s"sequence(0, ${salts - 1})")))
-      .withColumn("__salt", col("__salt").cast("long"))
-    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+      .withColumn(saltCol, explode(expr(s"sequence(0, ${salts - 1})")))
+      .withColumn(saltCol, col(saltCol).cast("long"))
+    salted.join(replicated, Seq(key, saltCol), joinType).drop(saltCol)
   }
 }

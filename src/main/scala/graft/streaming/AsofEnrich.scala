@@ -60,10 +60,14 @@ class AsofEnrichProcessor extends StatefulProcessor[Long, Event, AsofRow] {
       }
     }
     // watermark compaction: versions shadowed by a newer version that is
-    // itself at-or-below the watermark can never answer a future query
+    // itself STRICTLY below the watermark can never answer a future query.
+    // A purchase at ts == wm is still admissible and its tie rule is
+    // (ts equal && signup.event_id <= purchase.event_id), so every
+    // version at ts == wm must survive — shadow only below the newest
+    // version with ts_ms < wm.
     val wm = timerValues.getCurrentWatermarkInMs()
     if (wm > 0 && refs.nonEmpty) {
-      val shadowIdx = refs.lastIndexWhere(_.ts_ms <= wm)
+      val shadowIdx = refs.lastIndexWhere(_.ts_ms < wm)
       if (shadowIdx > 0) {
         refs = refs.drop(shadowIdx)
         dirty = true

@@ -33,6 +33,13 @@ object KvStoreProcessor {
   *    clears the key's state and emits a `deleted = true` changelog row —
   *    the null-value ⇒ delete path of `ResponsiveKeyValueStore.put`
   *    (ResponsiveKeyValueStore.java:148-155). A later event re-inserts.
+  *    The delete obeys the same last-write-wins order as upserts: a
+  *    tombstone older than the stored winner is a no-op, no matter which
+  *    microbatch delivers it, so final state never depends on batch
+  *    boundaries. The delete is physical (the statestore drops the key);
+  *    with the marker gone, an upsert older than an already-applied
+  *    tombstone that arrives even later re-inserts — the Kafka-compaction
+  *    behavior once delete.retention.ms lapses.
   *  - **putIfAbsent mode**: first write wins, later upserts are ignored
   *    (ResponsiveKeyValueStore.java:158-164 applied store-wide — the
   *    fact-table write discipline, api/stores/ResponsiveStores.java:73-96).
@@ -68,8 +75,12 @@ class KvStoreProcessor(putIfAbsent: Boolean = false)
     var lastTomb: Event = null
     rows.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
       if (e.event_type == KvStoreProcessor.Tombstone) {
-        if (latest != null) { latest = null; changed = true }
-        lastTomb = e
+        // consistent LWW: a tombstone deletes only data it is newer than
+        if (latest != null &&
+            (e.ts.getTime > latest.ts.getTime ||
+             (e.ts.getTime == latest.ts.getTime && e.event_id > latest.event_id))) {
+          latest = null; changed = true; lastTomb = e
+        }
       } else if (putIfAbsent) {
         if (latest == null) { latest = e; changed = true }
       } else if (latest == null ||
