@@ -53,71 +53,19 @@ object Dedup {
       .toDF("doc_id", "grams")
   }
 
-  /** Memoization registry, shared by the whole dd-family. Frames are
-    * persist(MEMORY_AND_DISK)-cached and eagerly materialized: the
-    * columnar cache compresses, keeps lineage (executor loss recomputes
-    * — fault-tolerant, unlike localCheckpoint), and stays visible to
-    * AQE's size estimation. Entries are evicted (and blocks unpersisted)
-    * when their session's application ends, so a long-lived JVM cycling
-    * sessions does not retain block-manager memory without bound. At
-    * production scale these intermediates would be written tables. */
-  private val caches =
-    scala.collection.mutable.ListBuffer
-      .empty[scala.collection.concurrent.TrieMap[(SparkSession, String), _]]
-
-  private def newCache[V]() = {
-    val c = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), V]
-    caches.synchronized { caches += c }
-    c
-  }
-
-  private val hooked = scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
-
-  /** Evict every memoized frame belonging to `s` (registered to fire on
-    * application end; callable directly for explicit invalidation).
-    * Unpersists the cached blocks as it drops the entries. */
-  def clearCaches(s: SparkSession): Unit =
-    caches.synchronized(caches.toList).foreach(_.filterInPlace { case ((ss, _), v) =>
-      val keep = ss ne s
-      if (!keep) v match {
-        case df: DataFrame => df.unpersist(false)
-        case (a: DataFrame, b: DataFrame) => a.unpersist(false); b.unpersist(false)
-        case _ =>
-      }
-      keep
-    })
-
-  /** Cache + eagerly materialize: columnar, compressed, lineage kept. */
-  private def mat(df: DataFrame): DataFrame = {
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    df.count()
-    df
-  }
-
-  private def memo[V](cache: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
-      s: SparkSession, d: String)(build: => V): V = {
-    hooked.getOrElseUpdate(s, {
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = clearCaches(s)
-      })
-    })
-    cache.getOrElseUpdate((s, d), build)
-  }
-
   /** (doc_id, gh) exploded 64-bit-hashed shingles plus per-doc set size.
     * Materialized once per (session, dir) and memoized: the shingle
     * projection is referenced 2-4× per dedup plan and across the whole
     * dd-family (dd2/dd3/dd5/dd6 + signatures), and the interpreted
     * transform() lambda is the expensive part — compute it once per run. */
-  private val gramCache = newCache[(DataFrame, DataFrame)]()
+  private val gramCache = Memo.newCache[(DataFrame, DataFrame)]()
 
   private def grams(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    memo(gramCache, s, d) {
-      val g = mat(withShingles(s, d)
+    Memo.get(gramCache, s, d) {
+      val g = Memo.mat(withShingles(s, d)
         .select(col("doc_id"), explode(col("grams")).as("gram"))
         .select(col("doc_id"), xxhash64(col("gram")).as("gh")))
-      val sizes = mat(g.groupBy("doc_id").agg(count(lit(1)).as("sz")))
+      val sizes = Memo.mat(g.groupBy("doc_id").agg(count(lit(1)).as("sz")))
       (g, sizes)
     }
 
@@ -126,19 +74,19 @@ object Dedup {
     * decontamination pipeline (Pipeline.td2) alongside the dd family. */
   def gramTable(s: SparkSession, d: String): (DataFrame, DataFrame) = grams(s, d)
 
-  private val sigCache = newCache[DataFrame]()
+  private val sigCache = Memo.newCache[DataFrame]()
 
   /** 128-slot MinHash signatures as one array<bigint> per doc, via the
     * MinHashAgg TypedImperativeAggregate: one partial-agg shuffle of
     * (docs × 1 KB) buffers. Shared by dd3 and Simhash.dd5. */
   def minhashSigs(s: SparkSession, d: String): DataFrame =
-    memo(sigCache, s, d) {
+    Memo.get(sigCache, s, d) {
       val (g, _) = grams(s, d)
-      mat(g.groupBy("doc_id")
+      Memo.mat(g.groupBy("doc_id")
         .agg(graft.functions.SketchAggs.minhash(col("gh"), NumHashes).as("mh")))
     }
 
-  private val candCache = newCache[DataFrame]()
+  private val candCache = Memo.newCache[DataFrame]()
 
   /** LSH-banded candidate pair set (d1 < d2), memoized: hash each run of
     * BandRows signature slots; docs sharing any band value become
@@ -146,37 +94,37 @@ object Dedup {
     * (dd3 verification, dd5's simhash filter, dd6/td1 clustering) — at
     * 100 TB the banding shuffle runs once, not once per operator. */
   def lshCandidates(s: SparkSession, d: String): DataFrame =
-    memo(candCache, s, d) {
+    Memo.get(candCache, s, d) {
       val sig = minhashSigs(s, d)
       val banded = sig.select(col("doc_id"),
           explode(expr(s"transform(sequence(0, ${NumBands - 1})," +
             s" b -> struct(b AS band, xxhash64(slice(mh, b * $BandRows + 1, $BandRows)) AS bv))")).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.bv").as("bv"))
-      mat(banded.select(col("doc_id").as("d1"), col("band"), col("bv"))
+      Memo.mat(banded.select(col("doc_id").as("d1"), col("band"), col("bv"))
         .join(banded.select(col("doc_id").as("d2"), col("band"), col("bv")), Seq("band", "bv"))
         .filter(col("d1") < col("d2"))
         .select("d1", "d2").distinct())
     }
 
-  private val pairCache = newCache[DataFrame]()
+  private val pairCache = Memo.newCache[DataFrame]()
 
   /** Verified near-dup pair set — exact Jaccard over the LSH candidates —
     * memoized because it is the hub of the family: dd3 returns it, dd5
     * refines it, dd6 clusters it, td1 consumes the clusters. */
   def verifiedPairs(s: SparkSession, d: String): DataFrame =
-    memo(pairCache, s, d) {
-      mat(verifyJaccard(s, d, lshCandidates(s, d)))
+    Memo.get(pairCache, s, d) {
+      Memo.mat(verifyJaccard(s, d, lshCandidates(s, d)))
     }
 
-  private val gsetCache = newCache[DataFrame]()
+  private val gsetCache = Memo.newCache[DataFrame]()
 
   /** Per-doc SORTED gram-hash set as one array<bigint> row (plus its
     * size): the verification-side layout. ~1 KB per doc, built with one
     * keyed aggregation over the exploded gram table. */
   def gramSets(s: SparkSession, d: String): DataFrame =
-    memo(gsetCache, s, d) {
+    Memo.get(gsetCache, s, d) {
       val (g, _) = grams(s, d)
-      mat(g.groupBy("doc_id")
+      Memo.mat(g.groupBy("doc_id")
         .agg(sort_array(collect_list(col("gh"))).as("ghs"))
         .withColumn("sz", size(col("ghs"))))
     }
@@ -313,12 +261,12 @@ object Dedup {
     * label sum. At 100 TB this is the same alternating-contraction loop
     * (large-star/small-star) used for web-scale dedup; components in
     * dedup graphs are tiny, so few rounds suffice. */
-  private val clusterCache = newCache[DataFrame]()
+  private val clusterCache = Memo.newCache[DataFrame]()
 
   /** Connected-component canonical map (doc_id → canonical_id), memoized
     * so td1 reuses dd6's clustering instead of re-running propagation. */
   def clusters(s: SparkSession, d: String): DataFrame =
-    memo(clusterCache, s, d) {
+    Memo.get(clusterCache, s, d) {
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val dup = verifiedPairs(s, d).select(col("d1"), col("d2"))
       val edges0 = dup.union(dup.select(col("d2").as("d1"), col("d1").as("d2")))
@@ -366,7 +314,7 @@ object Dedup {
         prevSum = sum2
         rounds += 1
       }
-      mat(docs.join(labels, Seq("doc_id"), "left_outer")
+      Memo.mat(docs.join(labels, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id")))
     }
 

@@ -23,6 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache is a TEMP FILE PER READ/WRITE —
+    * thousands of disk create/delete cycles per partition and wildly
+    * I/O-contention-dependent timings. Every codec call goes through
+    * this per-JVM one-shot switch to the in-memory cache instead.
+    * (Executor-side: the lazy val re-runs once per executor JVM.) */
+  private lazy val imageIoInMemory: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    imageIoInMemory
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+  }
+
+  private def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    imageIoInMemory
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** A synthesized media blob: the source byte length rides along as
     * typed metadata (the only field the decoder cannot recover). */
   final case class MediaBlob(doc_id: Long, src_bytes: Int, payload: Array[Byte])
@@ -60,29 +80,35 @@ object Multimodal {
     * This is the ingest seam — at 100 TB the payloads arrive as real
     * media instead of being synthesized, and everything downstream is
     * unchanged. */
-  def pngTable(s: SparkSession, d: String): Dataset[MediaBlob] = {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id").as[Long], col("text").as[String])
-      .mapPartitions(_.map { case (id, text) =>
-        val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-        val w = 16 + n % 64
-        val h = 16 + (n / 64) % 64
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        img.setRGB(0, 0, (id & 0xffffff).toInt)
-        img.setRGB(w - 1, h - 1, ((id * 2654435761L) & 0xffffff).toInt)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
-        MediaBlob(id, n, bos.toByteArray)
-      })
-  }
+  private val pngCache = Memo.newCache[Dataset[MediaBlob]]()
+
+  def pngTable(s: SparkSession, d: String): Dataset[MediaBlob] =
+    Memo.get(pngCache, s, d) {
+      import s.implicits._
+      val ds = Tables.documents(s, d)
+        .select(col("doc_id").as[Long], col("text").as[String])
+        .mapPartitions(_.map { case (id, text) =>
+          val n = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          val w = 16 + n % 64
+          val h = 16 + (n / 64) % 64
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          img.setRGB(0, 0, (id & 0xffffff).toInt)
+          img.setRGB(w - 1, h - 1, ((id * 2654435761L) & 0xffffff).toInt)
+          MediaBlob(id, n, writePng(img))
+        })
+      // memoized like the dd-family intermediates: synthesized once,
+      // decoded by mm1 and resized by mm3
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ds.count()
+      ds
+    }
 
   /** Real decode: parse the PNG with javax.imageio and report the
     * image's own width/height/band count; falls back to the documented
     * stub when no reader recognizes the payload. */
   def decodePng(blob: MediaBlob): MediaMeta = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob.payload))
+    val img = readImage(blob.payload)
     if (img == null) decodeStub(blob.doc_id, blob.src_bytes)
     else MediaMeta(
       doc_id = blob.doc_id,
@@ -148,7 +174,7 @@ object Multimodal {
   def thumbnails(s: SparkSession, d: String): Dataset[Thumb] = {
     import s.implicits._
     pngTable(s, d).mapPartitions(_.map { blob =>
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob.payload))
+      val img = readImage(blob.payload)
       val out = new java.awt.image.BufferedImage(
         ThumbSize, ThumbSize, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
       val gfx = out.createGraphics()
@@ -157,10 +183,8 @@ object Multimodal {
         java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
       gfx.drawImage(img, 0, 0, ThumbSize, ThumbSize, null)
       gfx.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(out, "png", bos)
-      val bytes = bos.toByteArray
-      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val bytes = writePng(out)
+      val back = readImage(bytes)
       Thumb(blob.doc_id, blob.src_bytes, back.getWidth, back.getHeight,
         back.getRaster.getNumBands, bytes)
     })
