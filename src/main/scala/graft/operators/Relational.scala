@@ -475,7 +475,39 @@ object Relational {
            |FROM k GROUP BY event_type""".stripMargin)
   )
 
+  /** Q39 — corpus mixing: per-source keep rates (the training-mixture
+    * reweighting step — downweight low-quality sources, keep scarce ones
+    * whole). Rates derive from the source index (src0 keeps all, src19
+    * keeps 5%: rate = (20 - i)/20); membership hangs on the same md5
+    * content-hash bucket as q35/q38 — reproducible across engines, runs,
+    * partitionings, retries, never rand(). Scale: a codegen'd filter
+    * expression on the scan, one aggregation shuffle on `source`. */
+  val q39 = QueryDef(
+    "q39_corpus_mix",
+    (s, d) => {
+      val threshold = expr("CAST(65536 * (20 - CAST(substring(source, 4) AS INT)) AS BIGINT) div 20")
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10).cast("long"))
+        .withColumn("kept", (col("bucket") < threshold).cast("int"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("kept")).as("n_kept"),
+          min(when(col("kept") === 1, col("doc_id"))).as("first_kept"))
+    },
+    Some("""WITH b AS (
+           |  SELECT source, doc_id,
+           |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INTEGER AS BIGINT) AS bucket,
+           |    (65536 * (20 - CAST(substring(source, 4) AS INT))) // 20 AS threshold
+           |  FROM documents)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  min(CASE WHEN bucket < threshold THEN doc_id END) AS first_kept
+           |FROM b GROUP BY source""".stripMargin)
+  )
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24,
-      q27, q28, q31, q32, q33, q34, q35, q38)
+      q27, q28, q31, q32, q33, q34, q35, q38, q39)
 }

@@ -137,5 +137,125 @@ object TextOps {
            |FROM documents""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(tx1, tx2, tx3, tx4)
+  /** The PII pattern set (Java and RE2 agree on this subset): emails,
+    * NANP-style phone numbers, dotted-quad IPs. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** tx5 — PII detection + redaction. The fixture corpus carries no PII
+    * (30-word synthetic vocabulary), so the query first plants
+    * deterministic PII derived from doc_id — the SAME expression in both
+    * engines, so the oracle still checks the regex scan/redact, not the
+    * planting. Counts come from the regex engine, redaction replaces
+    * every match with a fixed token; clean_len proves the replacement
+    * ran. Per-row projection: no shuffle, scales linearly. */
+  val tx5 = QueryDef(
+    "tx5_pii_redact",
+    (s, d) => {
+      val planted = concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 1,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 2,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .withColumn("aug", planted)
+        .withColumn("clean",
+          regexp_replace(regexp_replace(regexp_replace(col("aug"),
+            EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>"))
+        .select(
+          col("doc_id"),
+          regexp_count(col("aug"), lit(EmailRe)).cast("int").as("n_emails"),
+          regexp_count(col("aug"), lit(PhoneRe)).cast("int").as("n_phones"),
+          regexp_count(col("aug"), lit(IpRe)).cast("int").as("n_ips"),
+          length(col("clean")).cast("int").as("clean_len"))
+    },
+    Some("""WITH a AS (SELECT doc_id,
+           |    text ||
+           |    CASE WHEN doc_id % 3 = 0
+           |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           |         ELSE '' END ||
+           |    CASE WHEN doc_id % 4 = 1
+           |         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+           |              '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |         ELSE '' END ||
+           |    CASE WHEN doc_id % 5 = 2
+           |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+           |              '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+           |         ELSE '' END AS aug
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+           |  CAST(len(regexp_extract_all(aug, '\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+           |  CAST(len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+           |  CAST(length(
+           |    regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |        '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+           |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS INTEGER) AS clean_len
+           |FROM a""".stripMargin)
+  )
+
+  /** tx6 — repetition signals (the Gopher-rule shape): most-frequent-word
+    * count and duplicate-bigram count per document, the filters that
+    * catch boilerplate and degenerate generations. Integer numerators +
+    * denominators (never ratios) so the cross-engine compare is exact;
+    * computed in one typed map per row — per-doc hash counting beats a
+    * per-doc explode+groupBy shuffle and stays embarrassingly parallel. */
+  val tx6 = QueryDef(
+    "tx6_repetition",
+    (s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id").as[Long], col("text").as[String])
+        .map { case (id, t) =>
+          val ws = t.split(" ", -1)
+          val counts = scala.collection.mutable.HashMap.empty[String, Int]
+          ws.foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
+          val bigrams = scala.collection.mutable.HashSet.empty[String]
+          var i = 0
+          while (i < ws.length - 1) { bigrams += (ws(i) + " " + ws(i + 1)); i += 1 }
+          val nBigrams = math.max(ws.length - 1, 0)
+          (id, ws.length.toLong, counts.size.toLong, counts.values.max.toLong,
+            nBigrams.toLong, (nBigrams - bigrams.size).toLong)
+        }
+        .toDF("doc_id", "n_words", "n_distinct", "top_word_n", "n_bigrams", "dup_bigram_n")
+    },
+    Some("""WITH w AS (SELECT doc_id,
+           |    unnest(string_split(text, ' ')) AS word,
+           |    generate_subscripts(string_split(text, ' '), 1) AS pos
+           |  FROM documents),
+           |wc AS (SELECT doc_id, max(c) AS top_word_n FROM (
+           |    SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |bg AS (SELECT doc_id,
+           |    CAST(count(*) AS BIGINT) AS n_bigrams,
+           |    CAST(count(*) - count(DISTINCT bigram) AS BIGINT) AS dup_bigram_n
+           |  FROM (
+           |    SELECT doc_id, pos,
+           |      word || ' ' || lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+           |    FROM w QUALIFY bigram IS NOT NULL)
+           |  GROUP BY 1)
+           |SELECT d.doc_id,
+           |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+           |  CAST(len(list_distinct(string_split(d.text, ' '))) AS BIGINT) AS n_distinct,
+           |  CAST(wc.top_word_n AS BIGINT) AS top_word_n,
+           |  coalesce(bg.n_bigrams, 0) AS n_bigrams,
+           |  coalesce(bg.dup_bigram_n, 0) AS dup_bigram_n
+           |FROM documents d
+           |JOIN wc ON d.doc_id = wc.doc_id
+           |LEFT JOIN bg ON d.doc_id = bg.doc_id""".stripMargin)
+  )
+
+  val all: Seq[QueryDef] = Seq(tx1, tx2, tx3, tx4, tx5, tx6)
 }

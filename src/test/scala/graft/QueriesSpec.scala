@@ -38,7 +38,9 @@ class QueriesSpec extends SparkSpecBase {
     "sim1_ann_brute_topk" -> 50, "sim2_ann_ivf_topk" -> 50,
     "sim3_ann_ivf_kmeans" -> 10,
     "tx1_token_stats" -> 500, "tx2_langid_ngram" -> 500,
-    "tx3_quality_score" -> 500, "tx4_fingerprint" -> 500)
+    "tx3_quality_score" -> 500, "tx4_fingerprint" -> 500,
+    "tx5_pii_redact" -> 500, "tx6_repetition" -> 500,
+    "q39_corpus_mix" -> 20, "dd7_dedup_embedding_lsh" -> 32)
 
   test("registry covers every golden query and vice versa") {
     assert(SparkEntry.queries.keySet == goldenCounts.keySet)
