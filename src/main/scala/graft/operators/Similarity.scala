@@ -196,5 +196,92 @@ object Similarity {
     doc = "k-means IVF: recall-gated vs sim1 (trained centroids are float-order sensitive)"
   )
 
-  val all: Seq[QueryDef] = Seq(sim1, sim2, sim3)
+  val PqM = 8        // subspaces
+  val PqSubDim = 8   // 64 dims / 8 subspaces
+  val PqK = 16       // centroids per subspace (4-bit codes)
+  val PqIters = 3
+  val ReRankFactor = 20
+
+  /** sim4 — product-quantization ANN: per-subspace k-means codebooks
+    * (PqM × PqK, Lloyd-trained like sim3), corpus encoded to one 4-bit
+    * code per subspace, queries scored by asymmetric distance — a
+    * per-query lookup table of subspace dot products, summed over codes
+    * — then the top ReRankFactor×k candidates re-ranked with exact
+    * cosine. The 100 TB shape vector search actually deploys: codebooks
+    * broadcast (PqM × PqK × PqSubDim doubles), the corpus is scanned
+    * once for encoding (8 B/vector at rest vs 256 B raw), ADC scoring
+    * touches codes + a 10×128-entry broadcast table (never the raw
+    * vectors), and only candidates fetch vectors for re-rank. Like sim3
+    * the trained codebooks are float-summation-order sensitive, so the
+    * driver oracle is the recall GATE (per-qid ok = recall@5 ≥ 0.6 vs
+    * the exact answer; measured well above with exact re-rank). */
+  val sim4 = QueryDef(
+    "sim4_ann_pq_topk",
+    (s, d) => {
+      val e = withNorm(Tables.embeddings(s, d))
+      // cosine reduces to dot on the unit sphere: normalize once, then
+      // every PQ stage works with plain inner products
+      val u = e.select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
+      val subs = u.select(col("vec_id"), explode(expr(
+          s"transform(sequence(0, ${PqM - 1})," +
+            s" m -> struct(m AS m, slice(u, m * $PqSubDim + 1, $PqSubDim) AS sv))")).as("x"))
+        .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+      // deterministic init: sub-vectors of the first PqK vectors
+      var cents = subs.filter(col("vec_id") < PqK)
+        .select(col("m"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
+      // Lloyd in each subspace (all PqM trained in one plan): assign by
+      // min L2 ⇔ max (dot(sv,cv) - |cv|²/2), re-estimate per-dim means
+      def assign(df: DataFrame): DataFrame =
+        df.join(broadcast(cents), Seq("m"))
+          .withColumn("score",
+            VectorExprs.dot(col("sv"), col("cv")) -
+              VectorExprs.dot(col("cv"), col("cv")) / 2)
+          .groupBy(col("vec_id"), col("m"))
+          .agg(expr("max_by(cid, struct(score, -cid))").as("cid"),
+            first(col("sv")).as("sv"))
+      for (_ <- 1 to PqIters) {
+        cents = assign(subs)
+          .select(col("m"), col("cid"), posexplode(col("sv")))
+          .groupBy(col("m"), col("cid"), col("pos")).agg(avg(col("col")).as("c"))
+          .groupBy(col("m"), col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+          .localCheckpoint(true)
+      }
+      // encode the corpus: (vec_id, m, cid) — 4 bits per subspace at rest
+      val codes = assign(subs).select(col("vec_id"), col("m"), col("cid"))
+      // per-query ADC lookup tables: dot(query sub-vector, centroid)
+      val qsubs = subs.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("m"), col("sv").as("qsv"))
+      val table = qsubs.join(broadcast(cents), Seq("m"))
+        .select(col("qid"), col("m"), col("cid"),
+          VectorExprs.dot(col("qsv"), col("cv")).as("p"))
+      // approximate score = Σ_m table[qid][m][code(vec, m)]
+      val approx = codes.join(broadcast(table), Seq("m", "cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("p")).as("apx"))
+      val candK = ReRankFactor * TopK
+      val cands = approx.groupBy(col("qid"))
+        .agg(graft.functions.SketchAggs.topk(col("apx"), col("vec_id"), candK).as("top"))
+        .select(col("qid"), explode(col("top.id")).as("vec_id"))
+      // exact re-rank of the shortlist only
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      val reranked = cands
+        .join(e, Seq("vec_id"))
+        .join(broadcast(q), Seq("qid"))
+        .withColumn("cos", VectorExprs.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      val exact = sim1.fn(s, d).select(col("qid"), col("neighbor_id"))
+      topkPerQid(reranked)
+        .join(exact.withColumn("hit", lit(1)), Seq("qid", "neighbor_id"), "left_outer")
+        .groupBy(col("qid"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("matched"))
+        .select(col("qid"),
+          (col("matched") >= math.ceil(TopK * RecallGate).toInt).cast("int").as("ok"))
+    },
+    Some("SELECT CAST(vec_id AS BIGINT) AS qid, 1 AS ok FROM embeddings WHERE vec_id < 10"),
+    doc = "PQ ANN: ADC over 4-bit codes + exact re-rank; recall-gated vs sim1"
+  )
+
+  val all: Seq[QueryDef] = Seq(sim1, sim2, sim3, sim4)
 }
