@@ -507,7 +507,98 @@ object Relational {
            |FROM b GROUP BY source""".stripMargin)
   )
 
+  /** Q40 — sequence packing: greedy token-budget packing of documents
+    * into fixed-size training sequences (the context-window packing step
+    * of an LLM data pipeline). Docs are laid out in doc_id order within
+    * each source shard; a running token sum assigns each doc to pack
+    * `floor(previous_cum / budget)` — deterministic, oracle-replayable,
+    * and the exact shape of a packer that tolerates packs overflowing
+    * the budget boundary by one doc (no reset-on-threshold scan needed).
+    * Scale: one shuffle on `source` (the shard key) for the running sum
+    * — shards pack independently, so 100 TB packs as
+    * one-window-per-shard with no global order. */
+  val PackBudget = 200
+  val q40 = QueryDef(
+    "q40_sequence_packing",
+    (s, d) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .withColumn("cum", sum(col("tokens")).over(w))
+        .withColumn("pack_id", expr(s"(cum - tokens) div $PackBudget"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    },
+    Some(s"""WITH t AS (SELECT source, doc_id,
+            |  CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens FROM documents),
+            |c AS (SELECT source, doc_id, tokens,
+            |        sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+            |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            |      FROM t)
+            |SELECT source, CAST((cum - tokens) // $PackBudget AS BIGINT) AS pack_id,
+            |  CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(tokens) AS BIGINT) AS pack_tokens, min(doc_id) AS first_doc
+            |FROM c GROUP BY source, pack_id""".stripMargin),
+    doc = "token-budget sequence packing per source shard (running-sum pack assignment)"
+  )
+
+  /** Q41 — CDC snapshot diff: the engine's changelog-capture semantics
+    * (reference: every store write doubles as a changelog record,
+    * kafka-client/src/main/java/dev/responsive/kafka/internal/clients/ResponsiveProducer.java)
+    * expressed as a batch operator — diff two latest-event-per-user
+    * snapshots taken over sliding 7-day retention windows and emit
+    * insert/update/delete rows. Latest = max_by on (ts, event_id), the
+    * same LWW order the streaming KV store applies; users whose state is
+    * identical in both snapshots produce no row (CDC emits changes
+    * only). Scale: two filtered scans partial-aggregated on user_id,
+    * one full-outer merge join on the same key — no fact-table shuffle
+    * beyond the per-user aggregation. */
+  val q41 = QueryDef(
+    "q41_cdc_snapshot_diff",
+    (s, d) => {
+      def snap(lo: String, hi: String) =
+        Tables.events(s, d)
+          .filter(col("ts") >= ts(lo) && col("ts") < ts(hi))
+          .groupBy(col("user_id"))
+          .agg(expr("max_by(event_id, struct(ts, event_id))").as("event_id"))
+      val a = snap("2024-01-13", "2024-01-20")
+      val b = snap("2024-01-16", "2024-01-23")
+      a.select(col("user_id"), col("event_id").as("old_id"))
+        .join(b.select(col("user_id"), col("event_id").as("new_id")), Seq("user_id"), "full_outer")
+        .withColumn("op",
+          when(col("old_id").isNull, lit("I"))
+            .when(col("new_id").isNull, lit("D"))
+            .when(col("old_id") =!= col("new_id"), lit("U")))
+        .filter(col("op").isNotNull)
+        .select(col("user_id"), col("op"),
+          coalesce(col("old_id"), lit(-1L)).as("old_id"),
+          coalesce(col("new_id"), lit(-1L)).as("new_id"))
+    },
+    Some("""WITH s1 AS (SELECT user_id, event_id FROM (
+           |         SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+           |           ORDER BY ts DESC, event_id DESC) AS rn
+           |         FROM events WHERE ts >= TIMESTAMP '2024-01-13' AND ts < TIMESTAMP '2024-01-20')
+           |       WHERE rn = 1),
+           |s2 AS (SELECT user_id, event_id FROM (
+           |         SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+           |           ORDER BY ts DESC, event_id DESC) AS rn
+           |         FROM events WHERE ts >= TIMESTAMP '2024-01-16' AND ts < TIMESTAMP '2024-01-23')
+           |       WHERE rn = 1)
+           |SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+           |  CASE WHEN s1.user_id IS NULL THEN 'I'
+           |       WHEN s2.user_id IS NULL THEN 'D'
+           |       ELSE 'U' END AS op,
+           |  coalesce(s1.event_id, -1) AS old_id,
+           |  coalesce(s2.event_id, -1) AS new_id
+           |FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+           |WHERE s1.user_id IS NULL OR s2.user_id IS NULL OR s1.event_id <> s2.event_id""".stripMargin),
+    doc = "changelog-as-batch: I/U/D diff of two latest-per-key retention-window snapshots"
+  )
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24,
-      q27, q28, q31, q32, q33, q34, q35, q38, q39)
+      q27, q28, q31, q32, q33, q34, q35, q38, q39, q40, q41)
 }

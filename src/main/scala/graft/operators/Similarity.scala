@@ -260,11 +260,11 @@ object Similarity {
     doc = "k-means IVF: recall-gated vs sim1 (trained centroids are float-order sensitive)"
   )
 
-  val PqM = 8        // subspaces
-  val PqSubDim = 8   // 64 dims / 8 subspaces
+  val PqM = 16       // subspaces
+  val PqSubDim = 4   // 64 dims / 16 subspaces
   val PqK = 16       // centroids per subspace (4-bit codes)
   val PqIters = 3
-  val ReRankFactor = 20
+  val ReRankFactor = 50
 
   /** sim4 — product-quantization ANN: per-subspace k-means codebooks
     * (PqM × PqK, Lloyd-trained like sim3), corpus encoded to one 4-bit

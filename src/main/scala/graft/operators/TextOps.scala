@@ -257,5 +257,43 @@ object TextOps {
            |LEFT JOIN bg ON d.doc_id = bg.doc_id""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(tx1, tx2, tx3, tx4, tx5, tx6)
+  /** tx7 — corpus bigram-LM novelty scoring (the CCNet/KenLM-shaped
+    * quality signal): count every bigram occurrence across the corpus,
+    * then score each document by the mean corpus frequency of its
+    * bigrams — low mean frequency = novel/rare text, high = boilerplate.
+    * The score is the integer `(1000 × Σ freq) div n_bigrams` so the
+    * cross-engine compare is exact (no float log-probs). Scale: one
+    * count shuffle on the bigram key + one join back — the "LM" is the
+    * corpus itself, no model table; at 100 TB the frequency table is
+    * the corpus-wide aggregation a real LM-filter pipeline builds once
+    * and reuses. */
+  val tx7 = QueryDef(
+    "tx7_bigram_novelty",
+    (s, d) => {
+      import s.implicits._
+      val bi = Tables.documents(s, d)
+        .select(col("doc_id").as[Long], col("text").as[String])
+        .flatMap { case (id, t) =>
+          val ws = t.split(" ", -1)
+          Iterator.range(0, ws.length - 1).map(i => (id, ws(i) + " " + ws(i + 1)))
+        }
+        .toDF("doc_id", "bigram")
+      val freq = bi.groupBy(col("bigram")).agg(count(lit(1)).as("f"))
+      bi.join(freq, Seq("bigram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("f")).as("fsum"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("(1000 * fsum) div n_bigrams").as("mean_freq_x1000"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+           |      FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) ix),
+           |f AS (SELECT bigram, count(*) AS f FROM b GROUP BY 1)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  CAST((1000 * sum(f.f)) // count(*) AS BIGINT) AS mean_freq_x1000
+           |FROM b JOIN f USING (bigram) GROUP BY doc_id""".stripMargin),
+    doc = "bigram-LM novelty: mean corpus bigram frequency per doc, integer-exact"
+  )
+
+  val all: Seq[QueryDef] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7)
 }
