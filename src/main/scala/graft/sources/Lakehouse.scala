@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch sink surface — the `.to(topic)` analog for tables at rest
+  * (reference sink: `.to(topic, Produced.with)`,
+  * kafka-client-examples/simple-example/src/main/java/dev/responsive/examples/simpleapp/STJoinExample.java:95-98;
+  * the streaming twin is graft.streaming.Topics.writeStream).
+  *
+  * At 100 TB the sink IS the performance surface: a written table's
+  * partition layout decides what later queries prune, its file sizes
+  * decide task granularity (thousands of KB-files starve the scheduler,
+  * one 10 GB file kills parallelism), and bucketing decides whether the
+  * next join shuffles at all. Three primitives:
+  *
+  *  - [[writePartitioned]] — hive-style `partitionBy` layout with a
+  *    per-file record bound; readers prune partition directories on the
+  *    partition predicate (PartitionFilters, no file listing beyond the
+  *    matching dirs).
+  *  - [[writeBucketed]] — `bucketBy` table write; two tables bucketed on
+  *    the same key join with ZERO exchange on either side (asserted in
+  *    LakehouseSpec against the physical plan).
+  *  - [[compact]] — small-file compaction: rewrite a directory into
+  *    size-targeted files. The round-trip answer to incremental sinks
+  *    (every micro-batch appends a file per partition; a day of
+  *    5-minute batches is 288 slivers per partition).
+  */
+object Lakehouse {
+
+  /** Write `df` hive-partitioned by `partitionCols`. `maxRecordsPerFile`
+    * bounds file size (Spark splits writer output at the bound);
+    * `sortCols` sort within each output file so downstream range/point
+    * scans hit contiguous row groups (parquet min/max pruning). */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 0L,
+      sortCols: Seq[String] = Nil): Unit = {
+    val arranged0 = df.repartition(partitionCols.map(col): _*)
+    val arranged =
+      if (sortCols.isEmpty) arranged0
+      else arranged0.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    arranged.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** Write `df` as a bucketed session-catalog table: `numBuckets` hash
+    * buckets on `bucketCols`, sorted within each bucket. Joins and
+    * aggregations keyed on `bucketCols` against another table with the
+    * same bucketing read co-located — no Exchange in the plan. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Compact a parquet directory in place-shape: read `inPath`, rewrite
+    * to `outPath` with ~`targetRecordsPerFile` rows per file (ceil so a
+    * remainder never creates a sliver file). Preserves hive partition
+    * columns if present (`basePath` keeps them in the schema). */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetRecordsPerFile: Long,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val df = spark.read.option("basePath", inPath).parquet(inPath)
+    val arranged =
+      if (partitionCols.isEmpty) {
+        // one writer task per target file; maxRecordsPerFile catches skew
+        val n = df.count()
+        df.repartition(math.max(1L, (n + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt)
+      } else
+        // co-locate each hive partition in one task; the per-file bound
+        // re-splits oversized partitions
+        df.repartition(partitionCols.map(col): _*)
+    val w = arranged.write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*)).parquet(outPath)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.sources.Lakehouse
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The batch sink surface: partition pruning, file-size bounds,
+  * bucketed no-shuffle joins, small-file compaction. */
+class LakehouseSpec extends SparkSpecBase {
+
+  private def tmp(name: String): String = {
+    val p = Files.createTempDirectory(s"graft-lh-$name")
+    p.toFile.deleteOnExit()
+    p.resolve("t").toString
+  }
+
+  private def parquetFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Nil
+    walk(new java.io.File(dir))
+  }
+
+  test("partitioned write: hive layout, pruned reads, bounded files, read-back equality") {
+    val out = tmp("part")
+    val events = Tables.events(spark, sfDir)
+    Lakehouse.writePartitioned(events, out,
+      partitionCols = Seq("event_type"), maxRecordsPerFile = 100L, sortCols = Seq("ts"))
+
+    // hive directory layout, one dir per type
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.forall(_.startsWith("event_type=")) && dirs.length >= 4, dirs.mkString(","))
+    // every file respects the record bound
+    val back = spark.read.parquet(out)
+    val counts = parquetFiles(out).map(f => spark.read.parquet(f.getPath).count())
+    assert(counts.forall(_ <= 100), s"oversized files: ${counts.filter(_ > 100)}")
+    // read-back equality (modulo column order: partition col moves last)
+    assert(back.count() == events.count())
+    val a = events.select(col("event_id"), col("event_type")).orderBy("event_id").collect().toSeq
+    val b = back.select(col("event_id"), col("event_type")).orderBy("event_id").collect().toSeq
+    assert(a == b)
+    // partition pruning visible in the plan
+    val plan = back.filter(col("event_type") === "view").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"), plan.take(500))
+  }
+
+  test("bucketed tables join with zero exchange") {
+    val wh = Files.createTempDirectory("graft-lh-wh")
+    wh.toFile.deleteOnExit()
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val events = Tables.events(s, sfDir)
+      val users = events.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      Lakehouse.writeBucketed(events.select("event_id", "user_id", "value"),
+        "lh_events_b", Seq("user_id"), 4)
+      Lakehouse.writeBucketed(users, "lh_users_b", Seq("user_id"), 4)
+      val joined = s.table("lh_events_b").join(s.table("lh_users_b"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n${plan.take(800)}")
+      assert(joined.count() == events.count())
+    } finally {
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.sql("DROP TABLE IF EXISTS lh_events_b")
+      s.sql("DROP TABLE IF EXISTS lh_users_b")
+    }
+  }
+
+  test("compaction merges slivers into size-targeted files") {
+    val in = tmp("slivers")
+    val out = tmp("compacted")
+    // simulate a micro-batch sink: 32 sliver files
+    Tables.events(spark, sfDir).repartition(32).write.parquet(in)
+    assert(parquetFiles(in).length >= 16)
+    Lakehouse.compact(spark, in, out, targetRecordsPerFile = 600L)
+    val files = parquetFiles(out)
+    assert(files.length <= 3, s"expected <=3 files, got ${files.length}")
+    assert(spark.read.parquet(out).count() == 1000)
+  }
+
+  test("partitioned compaction keeps the hive layout") {
+    val in = tmp("pslivers")
+    val out = tmp("pcompacted")
+    Tables.events(spark, sfDir).repartition(16)
+      .write.partitionBy("event_type").parquet(in)
+    val before = parquetFiles(in).length
+    Lakehouse.compact(spark, in, out, 10000L, partitionCols = Seq("event_type"))
+    val after = parquetFiles(out).length
+    val dirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName)
+    assert(dirs.forall(_.startsWith("event_type=")))
+    assert(after < before, s"$after !< $before")
+    // one file per partition dir at this size
+    assert(after == dirs.length, s"$after files vs ${dirs.length} partitions")
+    assert(spark.read.parquet(out).count() == 1000)
+  }
+}
