@@ -64,10 +64,10 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(hiRate > loRate)
   }
 
-  test("dd7: LSH pairs are a subset of dd4's exact pairs, recall is substantial") {
+  test("dd7: IVF-cell pairs are a subset of dd4's exact pairs, recall is substantial") {
     val exact = SparkEntry.queries("dd4_dedup_embedding_cosine")(spark, sfDir)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = SparkEntry.queries("dd7_dedup_embedding_lsh")(spark, sfDir)
+    val lsh = SparkEntry.queries("dd7_dedup_embedding_ivf")(spark, sfDir)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact), s"LSH emitted non-verified pairs: ${lsh.diff(exact).take(5)}")
     val recall = lsh.size.toDouble / exact.size

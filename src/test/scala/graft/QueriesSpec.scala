@@ -40,7 +40,7 @@ class QueriesSpec extends SparkSpecBase {
     "tx1_token_stats" -> 500, "tx2_langid_ngram" -> 500,
     "tx3_quality_score" -> 500, "tx4_fingerprint" -> 500,
     "tx5_pii_redact" -> 500, "tx6_repetition" -> 500,
-    "q39_corpus_mix" -> 20, "dd7_dedup_embedding_lsh" -> 32,
+    "q39_corpus_mix" -> 20, "dd7_dedup_embedding_ivf" -> 53,
     "q40_sequence_packing" -> 142, "q41_cdc_snapshot_diff" -> 15,
     "tx7_bigram_novelty" -> 500)
 
