@@ -51,6 +51,29 @@ object Tables {
     }
   }
 
+  /** events restricted to `[loIso, hiIso)` with the range predicate
+    * applied to the RAW ns long BEFORE the µs conversion, so it reaches
+    * the parquet scan as a comparable pushed filter (row-group min/max
+    * pruning). Filtering the converted `timestamp_micros(...)` column
+    * only pushes IsNotNull — at 100 TB that is a full-table read. */
+  def eventsBetween(s: SparkSession, d: String, loIso: String, hiIso: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    import org.apache.spark.sql.types.LongType
+    def ns(iso: String): Long =
+      java.time.LocalDate.parse(iso).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.getEpochSecond * 1000000000L
+    val raw = s.read.parquet(s"$d/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.filter(col("ts") >= lit(ns(loIso)) && col("ts") < lit(ns(hiIso)))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        events(s, d).filter(
+          col("ts") >= lit(loIso).cast("timestamp") && col("ts") < lit(hiIso).cast("timestamp"))
+    }
+  }
+
   def region(s: SparkSession, d: String)    = load(s, d, "region")
   def nation(s: SparkSession, d: String)    = load(s, d, "nation")
   def customer(s: SparkSession, d: String)  = load(s, d, "customer")

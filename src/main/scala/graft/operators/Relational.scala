@@ -560,8 +560,7 @@ object Relational {
     "q41_cdc_snapshot_diff",
     (s, d) => {
       def snap(lo: String, hi: String) =
-        Tables.events(s, d)
-          .filter(col("ts") >= ts(lo) && col("ts") < ts(hi))
+        Tables.eventsBetween(s, d, lo, hi) // raw-ns range pushed to the scan
           .groupBy(col("user_id"))
           .agg(expr("max_by(event_id, struct(ts, event_id))").as("event_id"))
       val a = snap("2024-01-13", "2024-01-20")
