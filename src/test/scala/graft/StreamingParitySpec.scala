@@ -382,4 +382,59 @@ class StreamingParitySpec extends SparkSpecBase {
       .map(b => (b.session_start, b.n)).toSet
     assert(got == batchSessions)
   }
+
+  test("CDC: KV changelog compacted at two cutoffs == batch snapshot diff (q41 semantics)") {
+    // cutoffs at 1/3 and 2/3 of the replay; phase B additionally
+    // delivers tombstones for a user subset — the diff must surface
+    // them as deletes, exactly like q41 classifies a vanished key
+    val t1Sec = sortedEvents(sortedEvents.size / 3).ts.getTime / 1000
+    val t2Sec = sortedEvents(2 * sortedEvents.size / 3).ts.getTime / 1000
+    val aEvents = sortedEvents.filter(_.ts.getTime / 1000 <= t1Sec)
+    val bEvents = sortedEvents.filter(e =>
+      e.ts.getTime / 1000 > t1Sec && e.ts.getTime / 1000 <= t2Sec)
+    val tombUsers = aEvents.map(_.user_id).distinct.filter(_ % 5 == 0)
+    val tombs = tombUsers.map(u =>
+      Event(900000000L + u, new java.sql.Timestamp((t2Sec + 1) * 1000), u,
+        KvStoreProcessor.Tombstone, 0.0, "{}"))
+
+    def kv(df: DataFrame): DataFrame =
+      df.as[Event].groupByKey(_.user_id)
+        .transformWithState(new KvStoreProcessor, TimeMode.None(), OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[KvRow])
+        .toDF()
+    // store-side snapshots: compact each changelog to its last row per key
+    def compact(log: DataFrame): Map[Long, KvRow] =
+      log.as[KvRow].collect().groupBy(_.user_id)
+        .map { case (u, rs) => u -> rs.maxBy(r => (r.ts_sec, r.event_id)) }
+        .filter(!_._2.deleted)
+    val snap1 = compact(runStream(kv, aEvents.grouped(200).toSeq, "update"))
+    val snap2 = compact(runStream(kv,
+      (aEvents ++ bEvents).grouped(200).toSeq ++ Seq(tombs), "update"))
+    val streamDiff = (snap1.keySet ++ snap2.keySet).flatMap { u =>
+      (snap1.get(u), snap2.get(u)) match {
+        case (None, Some(n))                                => Some((u, "I", -1L, n.event_id))
+        case (Some(o), None)                                => Some((u, "D", o.event_id, -1L))
+        case (Some(o), Some(n)) if o.event_id != n.event_id => Some((u, "U", o.event_id, n.event_id))
+        case _                                              => None
+      }
+    }
+    // batch analog: max_by LWW snapshots straight off the event log
+    def batchSnap(es: Seq[Event]): Map[Long, Long] =
+      es.groupBy(_.user_id).flatMap { case (u, ue) =>
+        val w = ue.maxBy(e => (e.ts.getTime, e.event_id))
+        if (w.event_type == KvStoreProcessor.Tombstone) None else Some(u -> w.event_id)
+      }
+    val b1 = batchSnap(aEvents)
+    val b2 = batchSnap(aEvents ++ bEvents ++ tombs)
+    val batchDiff = (b1.keySet ++ b2.keySet).flatMap { u =>
+      (b1.get(u), b2.get(u)) match {
+        case (None, Some(n))                  => Some((u, "I", -1L, n))
+        case (Some(o), None)                  => Some((u, "D", o, -1L))
+        case (Some(o), Some(n)) if o != n     => Some((u, "U", o, n))
+        case _                                => None
+      }
+    }
+    assert(tombUsers.nonEmpty && batchDiff.exists(_._2 == "D"))
+    assert(streamDiff == batchDiff)
+  }
 }
