@@ -65,6 +65,52 @@ object Lakehouse {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Z-order (Morton) clustering: write `df` laid out along the
+    * interleaved-bit curve of `zCols`, so file AND row-group min/max
+    * ranges narrow on EVERY z column simultaneously — a point/range
+    * predicate on any of them prunes most files. A single-column sort
+    * gives perfect pruning on that column and none on the others; at
+    * 100 TB the multi-dimensional layout is what makes secondary-key
+    * scans affordable (the Delta/Iceberg OPTIMIZE ZORDER technique,
+    * built here from plain Spark expressions).
+    *
+    * Columns are normalized to 16-bit ranks via their min/max (one
+    * small extra aggregation job), then bit-interleaved with codegen'd
+    * shift/mask expressions — no UDF. Rows route to files via
+    * repartitionByRange on the z-address + an in-partition z sort. */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      zCols: Seq[String],
+      numFiles: Int): Unit = {
+    require(zCols.nonEmpty && zCols.size <= 4, s"1-4 z columns, got ${zCols.size}")
+    val bits = 16
+    val statCols = zCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).cast("double").as(s"mn$i"), max(col(c)).cast("double").as(s"mx$i"))
+    }
+    val stats = df.agg(statCols.head, statCols.tail: _*).head()
+    // per-column normalized 16-bit value: floor((v - min) / span * 65535)
+    val normed = zCols.zipWithIndex.map { case (c, i) =>
+      val mn = stats.getDouble(2 * i); val mx = stats.getDouble(2 * i + 1)
+      val span = math.max(mx - mn, 1e-12)
+      least(lit((1 << bits) - 1),
+        floor((col(c).cast("double") - lit(mn)) / lit(span) * lit((1 << bits) - 1)))
+        .cast("long")
+    }
+    // Morton interleave: bit b of column i lands at position b*k + i
+    val k = zCols.size
+    val z = (0 until bits).flatMap { b =>
+      normed.zipWithIndex.map { case (n, i) =>
+        shiftleft(shiftright(n, b).bitwiseAND(lit(1L)), b * k + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Compact a parquet directory in place-shape: read `inPath`, rewrite
     * to `outPath` with ~`targetRecordsPerFile` rows per file (ceil so a
     * remainder never creates a sliver file). Preserves hive partition

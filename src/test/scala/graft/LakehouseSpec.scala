@@ -80,6 +80,39 @@ class LakehouseSpec extends SparkSpecBase {
     assert(spark.read.parquet(out).count() == 1000)
   }
 
+  test("z-order layout narrows file ranges on BOTH columns vs single-column sort") {
+    val zOut = tmp("zorder")
+    val linOut = tmp("linear")
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_quantity")
+    val nFiles = 16
+    Lakehouse.writeZOrdered(li, zOut, Seq("l_orderkey", "l_partkey"), nFiles)
+    li.repartitionByRange(nFiles, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.parquet(linOut)
+
+    // pruning power per dimension: expected fraction of files whose
+    // [min,max] covers a uniform random point = Σ_files span / (files ×
+    // global span). The single-column sort prunes perfectly on orderkey
+    // and not at all on partkey; z-order must prune on BOTH.
+    def spans(dir: String): Seq[(Double, Double)] =
+      parquetFiles(dir).map { f =>
+        val r = spark.read.parquet(f.getPath)
+          .agg(min("l_orderkey"), max("l_orderkey"), min("l_partkey"), max("l_partkey")).head()
+        ((r.getLong(1) - r.getLong(0) + 1).toDouble, (r.getLong(3) - r.getLong(2) + 1).toDouble)
+      }
+    val g = li.agg(
+      (max("l_orderkey") - min("l_orderkey") + 1).cast("double"),
+      (max("l_partkey") - min("l_partkey") + 1).cast("double")).head()
+    def eff(ss: Seq[(Double, Double)]): (Double, Double) =
+      (ss.map(_._1).sum / (ss.size * g.getDouble(0)), ss.map(_._2).sum / (ss.size * g.getDouble(1)))
+    val (zo, zp) = eff(spans(zOut))
+    val (lo, lp) = eff(spans(linOut))
+    assert(lp > 0.9, s"sanity: linear layout should not prune partkey (lp=$lp)")
+    assert(zp < 0.5 * lp, s"z-order partkey pruning $zp !< ${0.5 * lp}")
+    assert(zo + zp < lo + lp, s"z-order combined ${zo + zp} !< linear ${lo + lp}")
+    assert(spark.read.parquet(zOut).count() == li.count())
+  }
+
   test("partitioned compaction keeps the hive layout") {
     val in = tmp("pslivers")
     val out = tmp("pcompacted")
