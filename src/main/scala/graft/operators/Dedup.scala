@@ -322,6 +322,59 @@ object Dedup {
     doc = "IVF-cell-blocked embedding near-dup: deterministic coarse quantizer, exact verify"
   )
 
+  val SubstrWin = 8
+
+  /** dd8 — exact-substring duplication signal (the suffix-array-style
+    * "dedup exact substrings across documents" method, recast as a
+    * window-hash overlap statistic): every overlapping SubstrWin-word
+    * window is hashed; a window that occurs in ≥ 2 distinct documents
+    * is cross-doc duplicated text, and each doc reports how much of it
+    * is covered by such windows (integer basis points — the filter
+    * signal a curation pipeline thresholds on). Windows are 64-bit
+    * hashes, not strings (collision odds over ~10⁶ windows ≈ 10⁻⁷ —
+    * same contract as the gram tables above). Scale: occurrence stream
+    * is a typed flatMap (no interpreted HOF), the shared-window set is
+    * one count shuffle on the window hash, and the per-doc rollup
+    * partial-aggregates before its doc_id exchange — all linear in
+    * corpus size, never pairwise. */
+  val dd8 = QueryDef(
+    "dd8_dedup_substring",
+    (s, d) => {
+      import s.implicits._
+      val wins = Tables.documents(s, d)
+        .select(col("doc_id").as[Long], col("text").as[String])
+        .flatMap { case (id, t) =>
+          val ws = t.split(" ", -1)
+          if (ws.length < SubstrWin) Iterator.empty
+          else ws.sliding(SubstrWin).map(w => (id, w.mkString(" ")))
+        }
+        .toDF("doc_id", "win")
+        .select(col("doc_id"), xxhash64(col("win")).as("wh"))
+      val shared = wins.select(col("doc_id"), col("wh")).distinct()
+        .groupBy(col("wh")).agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 2)
+        .select(col("wh"))
+      wins.join(shared.withColumn("hit", lit(1)), Seq("wh"), "left_outer")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(coalesce(col("hit"), lit(0))).as("n_shared"))
+        .select(col("doc_id"), col("n_windows"), col("n_shared"),
+          expr("(10000 * n_shared) div n_windows").as("shared_bp"))
+    },
+    Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            |win AS (SELECT doc_id,
+            |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+            |    ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7] AS win
+            |  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - ${SubstrWin - 2})) AS i) ix),
+            |shared AS (SELECT win FROM (SELECT win, count(DISTINCT doc_id) AS nd
+            |                            FROM win GROUP BY 1) WHERE nd >= 2)
+            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+            |  CAST(sum(CASE WHEN s.win IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+            |  CAST((10000 * sum(CASE WHEN s.win IS NOT NULL THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS shared_bp
+            |FROM win LEFT JOIN shared s USING (win) GROUP BY doc_id""".stripMargin),
+    doc = "exact-substring overlap signal: cross-doc duplicated window coverage, integer bp"
+  )
+
   /** dd6 — near-dup clustering: connected components over the MinHash/LSH
     * pair graph, electing the min-doc_id canonical per cluster — the
     * "keep one copy" step after pair detection. Iterative min-label
@@ -394,5 +447,5 @@ object Dedup {
     Some(clusterOracle)
   )
 
-  val all: Seq[QueryDef] = Seq(dd1, dd2, dd3, dd4, dd6, dd7)
+  val all: Seq[QueryDef] = Seq(dd1, dd2, dd3, dd4, dd6, dd7, dd8)
 }
