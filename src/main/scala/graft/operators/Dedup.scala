@@ -58,33 +58,47 @@ object Dedup {
     * projection is referenced 2-4× per dedup plan and across the whole
     * dd-family (dd2/dd3/dd5/dd6 + signatures), and the interpreted
     * transform() lambda is the expensive part — compute it once per run. */
-  private val gramCache = Memo.newCache[(DataFrame, DataFrame)]()
+  private val gramCache = Memo.newCache[DataFrame]()
 
-  private def grams(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  /** The exploded (doc_id, gh) hashed-shingle stream, memoized — the
+    * input to both the banding path and the doc index. */
+  private def gramStream(s: SparkSession, d: String): DataFrame =
     Memo.get(gramCache, s, d) {
-      val g = Memo.mat(withShingles(s, d)
+      Memo.mat(withShingles(s, d)
         .select(col("doc_id"), explode(col("grams")).as("gram"))
         .select(col("doc_id"), xxhash64(col("gram")).as("gh")))
-      val sizes = Memo.mat(g.groupBy("doc_id").agg(count(lit(1)).as("sz")))
-      (g, sizes)
     }
+
+  private def grams(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    (gramStream(s, d), docIndex(s, d).select(col("doc_id"), col("sz")))
 
   /** Public view of the memoized hashed-shingle projection:
     * ((doc_id, gh) exploded grams, (doc_id, sz) set sizes). Used by the
     * decontamination pipeline (Pipeline.td2) alongside the dd family. */
   def gramTable(s: SparkSession, d: String): (DataFrame, DataFrame) = grams(s, d)
 
-  private val sigCache = Memo.newCache[DataFrame]()
+  private val docIndexCache = Memo.newCache[DataFrame]()
 
-  /** 128-slot MinHash signatures as one array<bigint> per doc, via the
-    * MinHashAgg TypedImperativeAggregate: one partial-agg shuffle of
-    * (docs × 1 KB) buffers. Shared by dd3 and Simhash.dd5. */
-  def minhashSigs(s: SparkSession, d: String): DataFrame =
-    Memo.get(sigCache, s, d) {
-      val (g, _) = grams(s, d)
+  /** The per-doc dedup index — MinHash signature (MinHashAgg
+    * TypedImperativeAggregate buffer), SORTED gram-hash array, set size
+    * — built with ONE keyed aggregation over the exploded gram table.
+    * Signatures, verification arrays and sizes previously each paid
+    * their own doc_id shuffle of the gram table; at 100 TB this is the
+    * single "build the dedup index" pass the whole family reads. */
+  private def docIndex(s: SparkSession, d: String): DataFrame =
+    Memo.get(docIndexCache, s, d) {
+      val g = gramStream(s, d)
       Memo.mat(g.groupBy("doc_id")
-        .agg(graft.functions.SketchAggs.minhash(col("gh"), NumHashes).as("mh")))
+        .agg(
+          graft.functions.SketchAggs.minhash(col("gh"), NumHashes).as("mh"),
+          sort_array(collect_list(col("gh"))).as("ghs"))
+        .withColumn("sz", size(col("ghs"))))
     }
+
+  /** 128-slot MinHash signatures as one array<bigint> per doc. Shared
+    * by dd3 and Simhash.dd5 (projection of the shared doc index). */
+  def minhashSigs(s: SparkSession, d: String): DataFrame =
+    docIndex(s, d).select(col("doc_id"), col("mh"))
 
   private val candCache = Memo.newCache[DataFrame]()
 
@@ -116,18 +130,11 @@ object Dedup {
       Memo.mat(verifyJaccard(s, d, lshCandidates(s, d)))
     }
 
-  private val gsetCache = Memo.newCache[DataFrame]()
-
   /** Per-doc SORTED gram-hash set as one array<bigint> row (plus its
-    * size): the verification-side layout. ~1 KB per doc, built with one
-    * keyed aggregation over the exploded gram table. */
+    * size): the verification-side layout, ~1 KB per doc (projection of
+    * the shared doc index). */
   def gramSets(s: SparkSession, d: String): DataFrame =
-    Memo.get(gsetCache, s, d) {
-      val (g, _) = grams(s, d)
-      Memo.mat(g.groupBy("doc_id")
-        .agg(sort_array(collect_list(col("gh"))).as("ghs"))
-        .withColumn("sz", size(col("ghs"))))
-    }
+    docIndex(s, d).select(col("doc_id"), col("ghs"), col("sz"))
 
   /** Exact Jaccard on a given candidate-pair set (d1 < d2): the shared
     * verification tail of the LSH/SimHash pipelines — touches only the
