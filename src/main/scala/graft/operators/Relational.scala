@@ -597,7 +597,40 @@ object Relational {
     doc = "changelog-as-batch: I/U/D diff of two latest-per-key retention-window snapshots"
   )
 
+  /** Q42 — incremental aggregate maintenance (the materialized-view
+    * refresh the reference's state stores embody: a KTable aggregate is
+    * never recomputed from scratch, new records merge into stored
+    * partials). Batch form: the per-user aggregate over [Jan 1, Jan 16)
+    * is the stored "view"; the (Jan 16, Feb 1) delta aggregates
+    * separately and MERGES — count adds, integer-cent sums add (cents,
+    * not doubles: float addition is non-associative, so a mergeable sum
+    * must be exact to equal the recompute bit-for-bit). The oracle IS
+    * the from-scratch recompute over the full range, so the driver
+    * hash-check proves merge(view, delta) == recompute. Scale: each leg
+    * partial-aggregates map-side behind a pushed raw-ns range scan; the
+    * union re-aggregates rows-per-user, never raw events — the view
+    * refresh touches |delta| + |view| rows, not the full history. */
+  val q42 = QueryDef(
+    "q42_incremental_agg",
+    (s, d) => {
+      def leg(lo: String, hi: String) =
+        Tables.eventsBetween(s, d, lo, hi)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+      leg("2024-01-01", "2024-01-16").union(leg("2024-01-16", "2024-02-01"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n_events"), sum(col("cents")).as("sum_cents"))
+    },
+    Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+           |FROM events
+           |WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
+           |GROUP BY user_id""".stripMargin),
+    doc = "incremental view maintenance: merge(stored partials, delta partials) == full recompute"
+  )
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24,
-      q27, q28, q31, q32, q33, q34, q35, q38, q39, q40, q41)
+      q27, q28, q31, q32, q33, q34, q35, q38, q39, q40, q41, q42)
 }

@@ -42,7 +42,8 @@ class QueriesSpec extends SparkSpecBase {
     "tx5_pii_redact" -> 500, "tx6_repetition" -> 500,
     "q39_corpus_mix" -> 20, "dd7_dedup_embedding_ivf" -> 53,
     "q40_sequence_packing" -> 142, "q41_cdc_snapshot_diff" -> 15,
-    "tx7_bigram_novelty" -> 500, "dd8_dedup_substring" -> 500)
+    "tx7_bigram_novelty" -> 500, "dd8_dedup_substring" -> 500,
+    "q42_incremental_agg" -> 15)
 
   test("registry covers every golden query and vice versa") {
     assert(SparkEntry.queries.keySet == goldenCounts.keySet)
