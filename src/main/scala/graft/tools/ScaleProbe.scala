@@ -64,7 +64,7 @@ object ScaleProbe {
       "td2_decontamination", "q35_deterministic_split",
       "q39_corpus_mix", "q40_sequence_packing", "q41_cdc_snapshot_diff",
       "dd7_dedup_embedding_ivf", "tx5_pii_redact", "tx6_repetition",
-      "tx7_bigram_novelty", "dd8_dedup_substring")
+      "tx7_bigram_novelty", "dd8_dedup_substring", "q42_incremental_agg")
     for (name <- targets) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, Out).count()
