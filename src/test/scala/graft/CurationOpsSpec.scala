@@ -82,4 +82,36 @@ class CurationOpsSpec extends SparkSpecBase {
       assert(hiRecall >= 0.8, s"high-sim recall $hiRecall")
     }
   }
+
+  test("dd8: substring overlap matches an independent in-memory recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val wins = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      id -> (if (ws.length < 8) Array.empty[String] else ws.sliding(8).map(_.mkString(" ")).toArray)
+    }.toMap
+    val shared = wins.toSeq.flatMap { case (id, w) => w.distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val expected = wins.collect { case (id, w) if w.nonEmpty =>
+      val nShared = w.count(shared)
+      id -> ((w.length.toLong, nShared.toLong, 10000L * nShared / w.length))
+    }
+    val got = SparkEntry.queries("dd8_dedup_substring")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
+  test("q40: packing conserves tokens and docs per source, pack ids start at 0") {
+    val byDoc = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val wantTokens = byDoc.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val wantDocs = byDoc.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val packs = SparkEntry.queries("q40_sequence_packing")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val gotTokens = packs.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val gotDocs = packs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(gotTokens == wantTokens && gotDocs == wantDocs)
+    assert(packs.groupBy(_._1).values.forall(_.map(_._2).min == 0L))
+  }
 }

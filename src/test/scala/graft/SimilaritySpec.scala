@@ -22,6 +22,12 @@ class SimilaritySpec extends SparkSpecBase {
     assert(oks.size == 10 && oks.values.forall(_ == 1), s"recall gate failed: $oks")
   }
 
+  test("PQ ANN clears the recall gate for every query") {
+    val oks = SparkEntry.queries("sim4_ann_pq_topk")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(oks.size == 10 && oks.values.forall(_ == 1), s"recall gate failed: $oks")
+  }
+
   test("LSH and SimHash dedup find exactly the exhaustive-Jaccard pairs") {
     def pairs(name: String): Set[(Long, Long)] =
       SparkEntry.queries(name)(spark, sfDir)
