@@ -69,8 +69,13 @@ object Tables {
         raw.filter(col("ts") >= lit(ns(loIso)) && col("ts") < lit(ns(hiIso)))
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _ =>
+        // bounds as explicit UTC-µs literals, NOT lit(iso).cast: a cast
+        // parses in the session timezone, which would silently shift the
+        // window in any non-UTC session while the LongType branch above
+        // stays UTC-pinned
         events(s, d).filter(
-          col("ts") >= lit(loIso).cast("timestamp") && col("ts") < lit(hiIso).cast("timestamp"))
+          col("ts") >= expr(s"timestamp_micros(${ns(loIso) / 1000}L)") &&
+            col("ts") < expr(s"timestamp_micros(${ns(hiIso) / 1000}L)"))
     }
   }
 

@@ -242,9 +242,7 @@ object Dedup {
   val dd4 = QueryDef(
     "dd4_dedup_embedding_cosine",
     (s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(VectorExprs.dot(col("v"), col("v"))))
+      val e = Similarity.normed(s, d) // memoized (vec_id, v, nrm), shared with sim1-4/dd7
       val a = e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
       val b = e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
       a.join(broadcast(b), col("id1") < col("id2"))
@@ -270,7 +268,10 @@ object Dedup {
     * fetch vectors for exact cosine verification at dd4's threshold.
     * Output is the cell-recalled subset of dd4 — fully deterministic
     * ((acos DESC, aid) probe ranking = the oracle's row_number), so the
-    * oracle replays the identical algorithm in SQL.
+    * oracle replays the identical algorithm in SQL. (The ranking
+    * compares float cosines produced by two engines' kernels; a probe
+    * flip needs two anchors within ~1 ulp of a vector — not observed at
+    * any SF, same accepted risk as sim2's replayed ranking.)
     *
     * Replaces the round-2 signed-random-projection banding: measured on
     * the 10× probe, 4-bit SRP bands put ~1/16 of the corpus in each
@@ -287,9 +288,7 @@ object Dedup {
   val dd7 = QueryDef(
     "dd7_dedup_embedding_ivf",
     (s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        .withColumn("nrm", sqrt(VectorExprs.dot(col("v"), col("v"))))
+      val e = Similarity.normed(s, d) // memoized; dd7 references it three times
       val anchors = e.filter(col("vec_id") < Dd7Anchors)
         .select(col("vec_id").as("aid"), col("v").as("av"), col("nrm").as("an"))
       val assigned = e.crossJoin(broadcast(anchors))

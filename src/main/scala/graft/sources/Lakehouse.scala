@@ -57,13 +57,15 @@ object Lakehouse {
       df: DataFrame,
       table: String,
       bucketCols: Seq[String],
-      numBuckets: Int): Unit =
+      numBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Z-order (Morton) clustering: write `df` laid out along the
     * interleaved-bit curve of `zCols`, so file AND row-group min/max
@@ -84,11 +86,19 @@ object Lakehouse {
       zCols: Seq[String],
       numFiles: Int): Unit = {
     require(zCols.nonEmpty && zCols.size <= 4, s"1-4 z columns, got ${zCols.size}")
-    val bits = 16
+    // keep the interleaved address inside 63 bits: bit positions reach
+    // (bits-1)*k + k-1 = bits*k - 1, and position 63 is the long sign
+    // bit — a 4-column curve at 16 bits/col would wrap negative and
+    // break the range sort at the curve midpoint
+    val bits = math.min(16, 63 / zCols.size)
     val statCols = zCols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col(c)).cast("double").as(s"mn$i"), max(col(c)).cast("double").as(s"mx$i"))
     }
     val stats = df.agg(statCols.head, statCols.tail: _*).head()
+    if (stats.isNullAt(0)) { // empty input (or all-NULL z column): nothing to cluster
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     // per-column normalized 16-bit value: floor((v - min) / span * 65535)
     val normed = zCols.zipWithIndex.map { case (c, i) =>
       val mn = stats.getDouble(2 * i); val mx = stats.getDouble(2 * i + 1)

@@ -7,13 +7,27 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The batch sink surface: partition pruning, file-size bounds,
   * bucketed no-shuffle joins, small-file compaction. */
-class LakehouseSpec extends SparkSpecBase {
+class LakehouseSpec extends SparkSpecBase with org.scalatest.BeforeAndAfterAll {
+
+  private val tmpRoots = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
 
   private def tmp(name: String): String = {
     val p = Files.createTempDirectory(s"graft-lh-$name")
-    p.toFile.deleteOnExit()
+    tmpRoots.synchronized(tmpRoots += p)
     p.resolve("t").toString
   }
+
+  // deleteOnExit cannot remove non-empty dirs — reap the written
+  // parquet trees so repeated suite runs don't accumulate in /tmp
+  override protected def afterAll(): Unit =
+    try tmpRoots.synchronized {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      tmpRoots.foreach(p => rm(p.toFile))
+      tmpRoots.clear()
+    } finally super.afterAll()
 
   private def parquetFiles(dir: String): Seq[java.io.File] = {
     def walk(f: java.io.File): Seq[java.io.File] =
