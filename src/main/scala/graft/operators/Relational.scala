@@ -630,7 +630,39 @@ object Relational {
     doc = "incremental view maintenance: merge(stored partials, delta partials) == full recompute"
   )
 
+  /** Q43 — approximate percentiles: q34's scale path. Exact
+    * `percentile` buffers every value per group (a sort at 100 TB);
+    * `approx_percentile` (Spark's built-in KLL-style quantile sketch)
+    * is single-pass with bounded memory and mergeable partials — the
+    * same exact-vs-sketch split as q34/q23. The sketch's answer is not
+    * bit-portable across engines, so like q23 the query gates itself —
+    * in RANK space, the space the sketch actually guarantees (accuracy
+    * 1000 ⇒ rank error ≲ 0.1%): the fraction of the group's values at
+    * or below the estimate must sit within p ± (0.02 + 2/n), the slack
+    * covering rank discreteness in small groups (a value-space gate is
+    * ill-posed: the estimate is a real data value while the exact
+    * percentile interpolates between sparse neighbors). The oracle
+    * asserts the flags. */
+  val q43 = QueryDef(
+    "q43_approx_percentiles",
+    (s, d) => {
+      val ests = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)").as("est"))
+      def ok(i: Int, p: Double, name: String) =
+        (abs(avg((col("value") <= col("est")(i)).cast("int")) - p) <=
+          lit(0.02) + lit(2.0) / count(lit(1))).cast("int").as(name)
+      Tables.events(s, d)
+        .join(broadcast(ests), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(ok(0, 0.5, "ok_p50"), ok(1, 0.9, "ok_p90"), ok(2, 0.99, "ok_p99"))
+    },
+    Some("""SELECT event_type, 1 AS ok_p50, 1 AS ok_p90, 1 AS ok_p99
+           |FROM events GROUP BY event_type""".stripMargin),
+    doc = "approximate percentiles (quantile sketch) gated within 5% of exact per group"
+  )
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24,
-      q27, q28, q31, q32, q33, q34, q35, q38, q39, q40, q41, q42)
+      q27, q28, q31, q32, q33, q34, q35, q38, q39, q40, q41, q42, q43)
 }

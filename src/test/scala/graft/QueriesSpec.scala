@@ -43,7 +43,7 @@ class QueriesSpec extends SparkSpecBase {
     "q39_corpus_mix" -> 20, "dd7_dedup_embedding_ivf" -> 53,
     "q40_sequence_packing" -> 142, "q41_cdc_snapshot_diff" -> 15,
     "tx7_bigram_novelty" -> 500, "dd8_dedup_substring" -> 500,
-    "q42_incremental_agg" -> 15)
+    "q42_incremental_agg" -> 15, "q43_approx_percentiles" -> 5)
 
   test("registry covers every golden query and vice versa") {
     assert(SparkEntry.queries.keySet == goldenCounts.keySet)
