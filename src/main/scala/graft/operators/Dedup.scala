@@ -285,9 +285,12 @@ object Dedup {
     * (cell, id) pairs — never vectors — and candidate volume is
     * n²P²/K with K the anchor-count knob (∝ corpus size at 100 TB;
     * fixed here so the oracle replays). */
-  val dd7 = QueryDef(
-    "dd7_dedup_embedding_ivf",
-    (s, d) => {
+  private val ivfPairCache = Memo.newCache[DataFrame]()
+
+  /** dd7's IVF-cell-verified pair set, memoized: dd9's semantic-dedup
+    * clustering consumes it the way dd6 consumes verifiedPairs. */
+  def ivfPairs(s: SparkSession, d: String): DataFrame =
+    Memo.get(ivfPairCache, s, d) {
       val e = Similarity.normed(s, d) // memoized; dd7 references it three times
       val anchors = e.filter(col("vec_id") < Dd7Anchors)
         .select(col("vec_id").as("aid"), col("v").as("av"), col("nrm").as("an"))
@@ -300,13 +303,17 @@ object Dedup {
         .join(assigned.select(col("cell"), col("vec_id").as("id2")), Seq("cell"))
         .filter(col("id1") < col("id2"))
         .select("id1", "id2").distinct()
-      cand
+      Memo.mat(cand
         .join(e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1")), Seq("id1"))
         .join(e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2")), Seq("id2"))
         .withColumn("cos", VectorExprs.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
         .filter(col("cos") >= 0.4)
-        .select(col("id1"), col("id2"), round(col("cos"), 3).as("cos_sim"))
-    },
+        .select(col("id1"), col("id2"), round(col("cos"), 3).as("cos_sim")))
+    }
+
+  val dd7 = QueryDef(
+    "dd7_dedup_embedding_ivf",
+    (s, d) => ivfPairs(s, d),
     Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             |anchors AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < $Dd7Anchors),
             |assigned AS (
@@ -396,9 +403,19 @@ object Dedup {
     * so td1 reuses dd6's clustering instead of re-running propagation. */
   def clusters(s: SparkSession, d: String): DataFrame =
     Memo.get(clusterCache, s, d) {
-      val docs = Tables.documents(s, d).select(col("doc_id"))
-      val dup = verifiedPairs(s, d).select(col("d1"), col("d2"))
-      val edges0 = dup.union(dup.select(col("d2").as("d1"), col("d1").as("d2")))
+      Memo.mat(connectedComponents(
+        Tables.documents(s, d).select(col("doc_id").as("id")),
+        verifiedPairs(s, d).select(col("d1"), col("d2")))
+        .select(col("id").as("doc_id"), col("canonical_id")))
+    }
+
+  /** Generic connected components over an undirected (d1, d2) pair
+    * graph: every id gets the min id reachable from it (its canonical).
+    * `ids` is one column `id` (the full population — singletons come
+    * out as their own canonical); min-label propagation with pointer
+    * doubling, as documented on dd6. */
+  private[operators] def connectedComponents(ids: DataFrame, dup: DataFrame): DataFrame = {
+      val edges0 = dup.union(dup.select(dup.columns(1), dup.columns(0)))
         .toDF("a", "b").localCheckpoint(true) // materialize once for the loop
       // the edge graph is tiny relative to the corpus (only docs with a
       // near-dup); size the iteration's parallelism to it so each round
@@ -410,20 +427,20 @@ object Dedup {
       val edges = edges0
       // propagate only over docs that appear in an edge — singletons are
       // their own canonical and join back at the end
-      var labels = edges.select(col("a").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id")).localCheckpoint(true)
+      var labels = edges.select(col("a").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint(true)
       var prevSum = Long.MinValue
       // a corpus with no near-dups has no edge graph — nothing to iterate
       var converged = nEdges == 0
       var rounds = 0
       while (!converged && rounds < 20) {
         val neighborMin = edges
-          .join(maybeB(labels.select(col("doc_id").as("nb"), col("label").as("nl"))),
+          .join(maybeB(labels.select(col("id").as("nb"), col("label").as("nl"))),
             col("b") === col("nb"))
           .groupBy(col("a")).agg(min(col("nl")).as("nlabel"))
         val stepped = labels
-          .join(maybeB(neighborMin), labels("doc_id") === neighborMin("a"), "left_outer")
-          .select(labels("doc_id"),
+          .join(maybeB(neighborMin), labels("id") === neighborMin("a"), "left_outer")
+          .select(labels("id"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         // pointer doubling: also adopt the CURRENT label of one's label
         // (labels always point at component members, so the lookup hits).
@@ -432,9 +449,9 @@ object Dedup {
         // the remaining distance each round → O(log diameter).
         // localCheckpoint truncates the growing iteration lineage.
         val next = stepped.as("x")
-          .join(maybeB(stepped.select(col("doc_id").as("ld"), col("label").as("ll"))),
+          .join(maybeB(stepped.select(col("id").as("ld"), col("label").as("ll"))),
             col("x.label") === col("ld"), "left_outer")
-          .select(col("x.doc_id"),
+          .select(col("x.id"),
             least(col("x.label"), coalesce(col("ll"), col("x.label"))).as("label"))
           .localCheckpoint(true)
         val sum2 = next.agg(sum(col("label"))).head().getLong(0)
@@ -443,9 +460,9 @@ object Dedup {
         prevSum = sum2
         rounds += 1
       }
-      Memo.mat(docs.join(labels, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("canonical_id")))
-    }
+      ids.join(labels, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("label"), col("id")).as("canonical_id"))
+  }
 
   val dd6 = QueryDef(
     "dd6_dedup_clusters",
@@ -453,5 +470,61 @@ object Dedup {
     Some(clusterOracle)
   )
 
-  val all: Seq[QueryDef] = Seq(dd1, dd2, dd3, dd4, dd6, dd7, dd8)
+  val SemThreshold = 0.6
+
+  /** dd9 — semantic deduplication (the SemDeDup shape: embedding-space
+    * near-dup groups pruned to one representative): connected components
+    * over dd7's IVF-cell-verified pair graph restricted to
+    * cos ≥ SemThreshold, electing the min-vec_id canonical — dd6's
+    * clustering applied to the embedding modality. Emits the full
+    * population with (canonical_id, keep); the kept set is the
+    * semantically-deduplicated corpus a training pipeline feeds
+    * downstream. Deterministic end-to-end (dd7's quantizer + rounded
+    * cosine threshold + min-label CC), so the oracle replays the pair
+    * mining in SQL and closes it with a recursive CTE. The ≥ filter is
+    * applied to the ROUNDED cosine in both engines — the same values
+    * the dd7 hash-check already proves identical. Scale: inherits dd7's
+    * bucketed pair mining (never all-pairs) and dd6's O(log diameter)
+    * propagation over an edge set that is tiny relative to the corpus. */
+  val dd9 = QueryDef(
+    "dd9_semantic_dedup",
+    (s, d) => {
+      val ids = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+      val edges = ivfPairs(s, d).filter(col("cos_sim") >= SemThreshold)
+        .select(col("id1"), col("id2"))
+      connectedComponents(ids, edges)
+        .select(col("id").as("vec_id"), col("canonical_id"),
+          (col("id") === col("canonical_id")).cast("int").as("keep"))
+    },
+    Some(s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            |anchors AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < $Dd7Anchors),
+            |assigned AS (
+            |  SELECT vec_id, cell FROM (
+            |    SELECT e.vec_id, a.aid AS cell,
+            |      row_number() OVER (PARTITION BY e.vec_id
+            |        ORDER BY list_cosine_similarity(e.v, a.av) DESC, a.aid) AS r
+            |    FROM e CROSS JOIN anchors a)
+            |  WHERE r <= $Dd7Probes),
+            |cand AS (
+            |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+            |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+            |dup AS (
+            |  SELECT cand.id1 AS d1, cand.id2 AS d2
+            |  FROM cand JOIN e a ON cand.id1 = a.vec_id JOIN e b ON cand.id2 = b.vec_id
+            |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+            |    AND round(list_cosine_similarity(a.v, b.v), 3) >= $SemThreshold),
+            |und AS (SELECT d1 AS a, d2 AS b FROM dup UNION SELECT d2, d1 FROM dup),
+            |reach(a, b) AS (SELECT a, b FROM und
+            |                UNION
+            |                SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+            |mins AS (SELECT a, min(b) AS mn FROM reach GROUP BY a)
+            |SELECT v.vec_id,
+            |  CAST(least(v.vec_id, coalesce(m.mn, v.vec_id)) AS BIGINT) AS canonical_id,
+            |  CAST(CASE WHEN least(v.vec_id, coalesce(m.mn, v.vec_id)) = v.vec_id
+            |       THEN 1 ELSE 0 END AS INTEGER) AS keep
+            |FROM embeddings v LEFT JOIN mins m ON v.vec_id = m.a""".stripMargin),
+    doc = "SemDeDup: CC over IVF-verified embedding pairs at cos >= 0.6, min-id canonical election"
+  )
+
+  val all: Seq[QueryDef] = Seq(dd1, dd2, dd3, dd4, dd6, dd7, dd8, dd9)
 }

@@ -662,7 +662,57 @@ object Relational {
     doc = "approximate percentiles (quantile sketch) gated within 5% of exact per group"
   )
 
+  val CmsDepth = 4
+  val CmsWidth = 1024
+  val HhK = 10
+
+  /** Q46 — approximate heavy hitters via a count-min sketch, completing
+    * the sketch family (q23 HLL cardinality, q43 quantile sketch, q46
+    * frequency sketch). The CMS is built declaratively: each event fans
+    * out to CmsDepth rows, lands in bucket xxhash64(key, row) mod
+    * CmsWidth, and the (row, bucket) groupBy IS the sketch — map-side
+    * partial aggregation means each partition ships at most
+    * CmsDepth × CmsWidth counters regardless of input size, exactly the
+    * mergeable-buffer property that makes CMS a 100 TB structure (the
+    * sketch table is ≤ 4096 rows total, broadcastable anywhere).
+    * Estimates (min over rows of the key's bucket counts) are checked
+    * for the exact top-HhK keys against the CMS guarantees: est ≥ exact
+    * always (buckets only over-count, arithmetic is exact), and
+    * est ≤ exact + 8·N/width — vastly wider than the expected error
+    * (N/width per row, min over CmsDepth independent rows) — so the
+    * flags are stable at every SF while still failing on any real
+    * sketch defect. Like q23/q43 the gate itself is what the oracle
+    * asserts: sketch contents are not bit-portable across engines, the
+    * guarantee is. */
+  val q46 = QueryDef(
+    "q46_heavy_hitters",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val rows = expr(s"explode(sequence(0, ${CmsDepth - 1}))")
+      val sketch = ev.select(col("user_id"), rows.as("r"))
+        .withColumn("bucket", pmod(xxhash64(col("user_id"), col("r")), lit(CmsWidth)))
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(HhK)
+      val probes = exact.select(col("user_id"), col("n_exact"), rows.as("r"))
+        .withColumn("bucket", pmod(xxhash64(col("user_id"), col("r")), lit(CmsWidth)))
+      val totals = ev.agg(count(lit(1)).as("total"))
+      sketch.join(broadcast(probes), Seq("r", "bucket"))
+        .groupBy(col("user_id"), col("n_exact")).agg(min(col("c")).as("est"))
+        .crossJoin(broadcast(totals))
+        .select(col("user_id"), col("n_exact"),
+          (col("est") >= col("n_exact") &&
+            col("est") <= col("n_exact") + lit(8) * col("total") / lit(CmsWidth))
+            .cast("int").as("ok"))
+    },
+    Some(s"""SELECT user_id, n_exact, 1 AS ok FROM (
+            |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+            |  FROM events GROUP BY user_id
+            |  ORDER BY n_exact DESC, user_id LIMIT $HhK)""".stripMargin),
+    doc = "count-min heavy hitters: declarative CMS, estimates gated by the sketch's own bounds"
+  )
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24,
-      q27, q28, q31, q32, q33, q34, q35, q38, q39, q40, q41, q42, q43)
+      q27, q28, q31, q32, q33, q34, q35, q38, q39, q40, q41, q42, q43, q46)
 }

@@ -295,5 +295,44 @@ object TextOps {
     doc = "bigram-LM novelty: mean corpus bigram frequency per doc, integer-exact"
   )
 
-  val all: Seq[QueryDef] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7)
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** q45 — document chunking (the context-window splitting step of a
+    * training pipeline, the complement of q40's packing): each document's
+    * token sequence is cut into windows of ChunkSize tokens advancing by
+    * ChunkStride, so consecutive chunks overlap by ChunkSize−ChunkStride
+    * = 16 tokens (boundary context is preserved across the cut). A doc
+    * with ≤ ChunkSize tokens is one chunk; otherwise
+    * 1 + ⌈(n − ChunkSize) / ChunkStride⌉ chunks, the last one short.
+    * Emits one row per chunk (doc_id, chunk_idx, start_tok, chunk_len).
+    * Scale: pure per-row arithmetic + a sequence/posexplode generator —
+    * no shuffle, stays in whole-stage codegen, output is a constant
+    * ~C/S × input rows. */
+  val q45 = QueryDef(
+    "q45_doc_chunking",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        .withColumn("n_chunks",
+          expr(s"1 + (greatest(n_tokens - $ChunkSize, 0) + ${ChunkStride - 1}) div $ChunkStride"))
+        .select(col("doc_id"), col("n_tokens"),
+          posexplode(expr("sequence(0L, n_chunks - 1)")))
+        .select(col("doc_id"),
+          col("pos").cast("int").as("chunk_idx"),
+          (col("col") * ChunkStride).cast("int").as("start_tok"),
+          least(lit(ChunkSize), col("n_tokens") - col("col") * ChunkStride)
+            .cast("int").as("chunk_len")),
+    Some(s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+            |c AS (SELECT doc_id, n_tokens,
+            |        1 + (greatest(n_tokens - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride AS n_chunks
+            |      FROM t)
+            |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+            |  CAST(i * $ChunkStride AS INTEGER) AS start_tok,
+            |  CAST(least($ChunkSize, n_tokens - i * $ChunkStride) AS INTEGER) AS chunk_len
+            |FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i) ix""".stripMargin),
+    doc = "context-window chunking: overlapping token windows (size 64, stride 48) per document"
+  )
+
+  val all: Seq[QueryDef] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, q45)
 }

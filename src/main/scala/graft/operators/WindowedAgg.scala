@@ -190,5 +190,43 @@ object WindowedAgg {
            |FROM r WHERE recency <= 3""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(q07, q08, q09, q09b, q11, q37)
+  /** Q44 — suppressed / final-result window emission (Kafka Streams
+    * `suppress(untilWindowCloses)`, which the reference's window stores
+    * back like any other DSL op): a window's aggregate is emitted
+    * exactly once, when stream time has passed window_end + grace —
+    * intermediate updates never leave the operator. Batch analog with
+    * global stream time = max(ts): keep q07's windows whose
+    * window_end + 10 min grace ≤ max ts; still-open windows (the tail
+    * of the stream) are withheld. The streaming twin is watermarked
+    * append-mode output — Spark's append mode IS suppress-until-close
+    * (results materialize only when the watermark passes the window) —
+    * asserted equal to this batch set in StreamingParitySpec. Scale:
+    * the global max(ts) is one scalar broadcast against the same
+    * single-shuffle q07 plan. */
+  val q44 = QueryDef(
+    "q44_suppress_final",
+    (s, d) => {
+      val maxTs = Tables.events(s, d).agg(max(col("ts")).cast("long").as("stream_time"))
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("long").as("window_start"),
+          col("window.end").cast("long").as("window_end"),
+          col("user_id"), col("n"), col("sum_value"))
+        .crossJoin(broadcast(maxTs))
+        .filter(col("window_end") + lit(600) <= col("stream_time"))
+        .select(col("window_start"), col("user_id"), col("n"), col("sum_value"))
+    },
+    Some("""WITH agg AS (
+           |  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           |    user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+           |  FROM events GROUP BY 1, 2),
+           |st AS (SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS stream_time FROM events)
+           |SELECT window_start, user_id, n, sum_value
+           |FROM agg CROSS JOIN st
+           |WHERE window_start + 3600 + 600 <= stream_time""".stripMargin),
+    doc = "suppress-until-window-closes: final results only, emitted once past window_end + grace"
+  )
+
+  val all: Seq[QueryDef] = Seq(q07, q08, q09, q09b, q11, q37, q44)
 }
