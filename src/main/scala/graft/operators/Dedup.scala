@@ -470,7 +470,7 @@ object Dedup {
     Some(clusterOracle)
   )
 
-  val SemThreshold = 0.6
+  val SemThreshold = 0.45
 
   /** dd9 — semantic deduplication (the SemDeDup shape: embedding-space
     * near-dup groups pruned to one representative): connected components
@@ -523,7 +523,7 @@ object Dedup {
             |  CAST(CASE WHEN least(v.vec_id, coalesce(m.mn, v.vec_id)) = v.vec_id
             |       THEN 1 ELSE 0 END AS INTEGER) AS keep
             |FROM embeddings v LEFT JOIN mins m ON v.vec_id = m.a""".stripMargin),
-    doc = "SemDeDup: CC over IVF-verified embedding pairs at cos >= 0.6, min-id canonical election"
+    doc = "SemDeDup: CC over IVF-verified embedding pairs at cos >= 0.45, min-id canonical election"
   )
 
   val all: Seq[QueryDef] = Seq(dd1, dd2, dd3, dd4, dd6, dd7, dd8, dd9)

@@ -115,4 +115,54 @@ class PropertySpec extends SparkSpecBase {
       assert(out(b2) == ref, s"merged k=$k items=$items")
     }
   }
+
+  test("q45 chunks tile every document: stride grid, full coverage, bounded length") {
+    import graft.operators.TextOps.{ChunkSize, ChunkStride}
+    val chunks = SparkEntry.queries("q45_doc_chunking")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1)
+    val nTokens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.keySet == nTokens.keySet) // every doc chunked
+    for ((doc, cs) <- chunks) {
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._2 == 0 && sorted.head._3 == 0) // starts at token 0
+      for (Array(a, b) <- sorted.sliding(2) if sorted.length > 1)
+        assert(b._2 == a._2 + 1 && b._3 == a._3 + ChunkStride) // contiguous stride grid
+      val last = sorted.last
+      assert(last._3 + last._4 == nTokens(doc), s"doc $doc not fully covered") // covers the tail
+      assert(cs.forall(c => c._4 >= 1 && c._4 <= ChunkSize)) // bounded chunk length
+      assert(sorted.init.forall(_._4 == ChunkSize)) // only the last chunk may be short
+    }
+  }
+
+  test("q46's count-min sketch never under-counts ANY key (not just the gated top-k)") {
+    import graft.operators.Relational.{CmsDepth, CmsWidth}
+    val ev = Tables.events(spark, sfDir).select(col("user_id"))
+    val rowsE = expr(s"explode(sequence(0, ${CmsDepth - 1}))")
+    val sketch = ev.select(col("user_id"), rowsE.as("r"))
+      .withColumn("bucket", pmod(xxhash64(col("user_id"), col("r")), lit(CmsWidth)))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+    val under = exact.select(col("user_id"), col("n_exact"), rowsE.as("r"))
+      .withColumn("bucket", pmod(xxhash64(col("user_id"), col("r")), lit(CmsWidth)))
+      .join(sketch, Seq("r", "bucket"))
+      .groupBy(col("user_id"), col("n_exact")).agg(min(col("c")).as("est"))
+      .filter(col("est") < col("n_exact"))
+    assert(under.count() == 0)
+  }
+
+  test("dd9 canonical map is a closure: canonical of canonical is itself, keep iff self") {
+    val m = SparkEntry.queries("dd9_semantic_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val canon = m.map(t => t._1 -> t._2).toMap
+    for ((id, c, keep) <- m) {
+      assert(c <= id) // min-label canonical
+      assert(canon(c) == c, s"canonical $c of $id is not its own canonical")
+      assert((keep == 1) == (id == c))
+    }
+    // and it actually deduplicates something at this SF
+    assert(m.count(_._3 == 0) > 0)
+  }
 }

@@ -43,7 +43,9 @@ class QueriesSpec extends SparkSpecBase {
     "q39_corpus_mix" -> 20, "dd7_dedup_embedding_ivf" -> 53,
     "q40_sequence_packing" -> 142, "q41_cdc_snapshot_diff" -> 15,
     "tx7_bigram_novelty" -> 500, "dd8_dedup_substring" -> 500,
-    "q42_incremental_agg" -> 15, "q43_approx_percentiles" -> 5)
+    "q42_incremental_agg" -> 15, "q43_approx_percentiles" -> 5,
+    "q44_suppress_final" -> 950, "q45_doc_chunking" -> 705,
+    "q46_heavy_hitters" -> 10, "dd9_semantic_dedup" -> 500)
 
   test("registry covers every golden query and vice versa") {
     assert(SparkEntry.queries.keySet == goldenCounts.keySet)

@@ -58,6 +58,16 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("suppress-until-close: append emissions == batch q44 final-window set") {
+    // NO sentinel: the watermark ends at max ts - 10 min, so append mode
+    // has emitted exactly the windows that closed under the 10-min grace
+    // — Kafka Streams suppress(untilWindowCloses) semantics. Batch q44
+    // computes the same set declaratively (window_end + grace <= max ts).
+    val streamed = runStream(StreamOps.tumblingAgg(_), chunksOf(200), "append")
+    val batch = SparkEntry.queries("q44_suppress_final")(spark, sfDir)
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("hopping window: streamed replay == batch (q08 semantics)") {
     val streamed = runStream(StreamOps.hoppingAgg(_), chunksOf(200) :+ Seq(sentinel("view")), "append")
       .filter(col("user_id") =!= -1L)
