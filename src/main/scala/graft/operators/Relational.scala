@@ -712,7 +712,46 @@ object Relational {
     doc = "count-min heavy hitters: declarative CMS, estimates gated by the sketch's own bounds"
   )
 
+  val GroupTopK = 5
+
+  /** Q47 — per-group top-k (top-GroupTopK users by spend per event
+    * type) via the bounded-heap TopKAgg: the aggregate form sim1/sim2
+    * use, applied to the relational surface. The row_number-window form
+    * (q19/q37, fine for small groups) shuffles and sorts EVERY group
+    * row; TopKAgg's map-side partial aggregation ships k (score, id)
+    * pairs per (group, partition) and never sorts — per-group
+    * TakeOrdered. Scores are integer cents cast to double (exact in
+    * IEEE range), so ordering and output agree with the oracle
+    * bit-for-bit; ties break by user_id inside the buffer exactly as
+    * the oracle's ORDER BY. */
+  val q47 = QueryDef(
+    "q47_topk_per_group",
+    (s, d) => {
+      val per = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      per.groupBy(col("event_type"))
+        .agg(graft.functions.SketchAggs.topk(
+          col("cents").cast("double"), col("user_id"), GroupTopK).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("user_id"), col("col.score").cast("long").as("cents"))
+    },
+    Some(s"""WITH per AS (
+            |  SELECT event_type, user_id,
+            |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+            |  FROM events GROUP BY 1, 2),
+            |r AS (
+            |  SELECT event_type, user_id, cents,
+            |    row_number() OVER (PARTITION BY event_type
+            |                       ORDER BY cents DESC, user_id) AS rank
+            |  FROM per)
+            |SELECT event_type, CAST(rank AS INTEGER) AS rank, user_id, cents
+            |FROM r WHERE rank <= $GroupTopK""".stripMargin),
+    doc = "per-group top-k via bounded-heap aggregate: k pairs per partition cross the wire, zero sorts"
+  )
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24,
-      q27, q28, q31, q32, q33, q34, q35, q38, q39, q40, q41, q42, q43, q46)
+      q27, q28, q31, q32, q33, q34, q35, q38, q39, q40, q41, q42, q43, q46, q47)
 }

@@ -64,7 +64,9 @@ object ScaleProbe {
       "td2_decontamination", "q35_deterministic_split",
       "q39_corpus_mix", "q40_sequence_packing", "q41_cdc_snapshot_diff",
       "dd7_dedup_embedding_ivf", "tx5_pii_redact", "tx6_repetition",
-      "tx7_bigram_novelty", "dd8_dedup_substring", "q42_incremental_agg")
+      "tx7_bigram_novelty", "dd8_dedup_substring", "q42_incremental_agg",
+      "q44_suppress_final", "q45_doc_chunking", "q46_heavy_hitters",
+      "dd9_semantic_dedup")
     for (name <- targets) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, Out).count()
