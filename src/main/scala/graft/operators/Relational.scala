@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -514,19 +514,39 @@ object Relational {
     * `floor(previous_cum / budget)` — deterministic, oracle-replayable,
     * and the exact shape of a packer that tolerates packs overflowing
     * the budget boundary by one doc (no reset-on-threshold scan needed).
-    * Scale: one shuffle on `source` (the shard key) for the running sum
-    * — shards pack independently, so 100 TB packs as
-    * one-window-per-shard with no global order. */
+    * Scale: the naive plan (one window per source shard) pushes an
+    * entire shard through ONE task; instead the running sum is
+    * decomposed two-level — prefix-sum within contiguous doc_id range
+    * blocks of PackBlock ids (order-consistent with the global doc_id
+    * order, unlike hash sub-shards, so the decomposition is exact), plus
+    * a broadcast per-(source, block) prefix offset computed on the tiny
+    * per-block totals (input/PackBlock rows). Parallelism is ∝ #blocks,
+    * not #sources; same output, oracle unchanged. PackBlock is the
+    * n-proportional knob (like dd7's anchor count): size it so #blocks
+    * lands in the 10⁴–10⁶ range at the target corpus — offsets stay
+    * broadcastable while every core gets blocks. 256 suits the
+    * fixtures' 0–5k doc_id range. */
   val PackBudget = 200
+  val PackBlock = 256
   val q40 = QueryDef(
     "q40_sequence_packing",
     (s, d) => {
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("tokens"))
-        .withColumn("cum", sum(col("tokens")).over(w))
+        .withColumn("blk", expr(s"doc_id div $PackBlock"))
+      val wLocal = Window.partitionBy(col("source"), col("blk"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.partitionBy(col("source")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy(col("source"), col("blk"))
+        .agg(sum(col("tokens")).as("btot"))
+        .select(col("source"), col("blk"),
+          coalesce(sum(col("btot")).over(wOff), lit(0L)).as("off"))
+      docs.withColumn("lcum", sum(col("tokens")).over(wLocal))
+        .join(broadcast(offsets), Seq("source", "blk"))
+        .withColumn("cum", col("lcum") + col("off"))
         .withColumn("pack_id", expr(s"(cum - tokens) div $PackBudget"))
         .groupBy(col("source"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("pack_tokens"),
@@ -666,6 +686,26 @@ object Relational {
   val CmsWidth = 1024
   val HhK = 10
 
+  /** Fan each input row out to CmsDepth sketch rows, tagging each with
+    * its (r, bucket) coordinate — bucket = xxhash64(key, r) mod
+    * CmsWidth. Shared by q46 (sketch build AND probe side) and the
+    * no-undercount property spec, so the test exercises the exact
+    * construction the query ships rather than a parallel copy that can
+    * drift. */
+  def cmsRows(df: DataFrame, key: Column, depth: Int = CmsDepth,
+              width: Int = CmsWidth): DataFrame =
+    df.select(df.columns.map(col) :+
+        expr(s"explode(sequence(0, ${depth - 1}))").as("r"): _*)
+      .withColumn("bucket", pmod(xxhash64(key, col("r")), lit(width)))
+
+  /** The count-min sketch itself: (r, bucket) → counter. Map-side
+    * partial aggregation caps each partition's shuffle contribution at
+    * depth × width counters regardless of input size. */
+  def cmsSketch(df: DataFrame, key: Column, depth: Int = CmsDepth,
+                width: Int = CmsWidth): DataFrame =
+    cmsRows(df, key, depth, width)
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+
   /** Q46 — approximate heavy hitters via a count-min sketch, completing
     * the sketch family (q23 HLL cardinality, q43 quantile sketch, q46
     * frequency sketch). The CMS is built declaratively: each event fans
@@ -688,14 +728,10 @@ object Relational {
     "q46_heavy_hitters",
     (s, d) => {
       val ev = Tables.events(s, d).select(col("user_id"))
-      val rows = expr(s"explode(sequence(0, ${CmsDepth - 1}))")
-      val sketch = ev.select(col("user_id"), rows.as("r"))
-        .withColumn("bucket", pmod(xxhash64(col("user_id"), col("r")), lit(CmsWidth)))
-        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+      val sketch = cmsSketch(ev, col("user_id"))
       val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("user_id")).limit(HhK)
-      val probes = exact.select(col("user_id"), col("n_exact"), rows.as("r"))
-        .withColumn("bucket", pmod(xxhash64(col("user_id"), col("r")), lit(CmsWidth)))
+      val probes = cmsRows(exact, col("user_id"))
       val totals = ev.agg(count(lit(1)).as("total"))
       sketch.join(broadcast(probes), Seq("r", "bucket"))
         .groupBy(col("user_id"), col("n_exact")).agg(min(col("c")).as("est"))

@@ -114,4 +114,32 @@ class CurationOpsSpec extends SparkSpecBase {
     assert(gotTokens == wantTokens && gotDocs == wantDocs)
     assert(packs.groupBy(_._1).values.forall(_.map(_._2).min == 0L))
   }
+
+  test("q40: two-level prefix-sum decomposition == naive per-source window, more tasks than sources") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Relational.{PackBudget, PackBlock}
+    val naive = {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(spark, sfDir)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .withColumn("cum", sum(col("tokens")).over(w))
+        .withColumn("pack_id", expr(s"(cum - tokens) div $PackBudget"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("pack_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(SparkEntry.queries("q40_sequence_packing")(spark, sfDir)
+      .collect().map(key).sortBy(t => (t._1, t._2)).toSeq ==
+      naive.collect().map(key).sortBy(t => (t._1, t._2)).toSeq)
+    // the decomposition's parallelism units: (source, doc_id-range block)
+    // groups must outnumber the sources the naive plan is limited to
+    val units = Tables.documents(spark, sfDir)
+      .select(col("source"), expr(s"doc_id div $PackBlock").as("blk"))
+      .distinct()
+    assert(units.count() > units.select("source").distinct().count())
+  }
 }

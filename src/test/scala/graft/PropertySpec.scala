@@ -138,15 +138,11 @@ class PropertySpec extends SparkSpecBase {
   }
 
   test("q46's count-min sketch never under-counts ANY key (not just the gated top-k)") {
-    import graft.operators.Relational.{CmsDepth, CmsWidth}
+    import graft.operators.Relational.{cmsRows, cmsSketch}
     val ev = Tables.events(spark, sfDir).select(col("user_id"))
-    val rowsE = expr(s"explode(sequence(0, ${CmsDepth - 1}))")
-    val sketch = ev.select(col("user_id"), rowsE.as("r"))
-      .withColumn("bucket", pmod(xxhash64(col("user_id"), col("r")), lit(CmsWidth)))
-      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+    val sketch = cmsSketch(ev, col("user_id"))
     val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
-    val under = exact.select(col("user_id"), col("n_exact"), rowsE.as("r"))
-      .withColumn("bucket", pmod(xxhash64(col("user_id"), col("r")), lit(CmsWidth)))
+    val under = cmsRows(exact, col("user_id"))
       .join(sketch, Seq("r", "bucket"))
       .groupBy(col("user_id"), col("n_exact")).agg(min(col("c")).as("est"))
       .filter(col("est") < col("n_exact"))

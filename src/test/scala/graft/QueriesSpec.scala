@@ -45,7 +45,8 @@ class QueriesSpec extends SparkSpecBase {
     "tx7_bigram_novelty" -> 500, "dd8_dedup_substring" -> 500,
     "q42_incremental_agg" -> 15, "q43_approx_percentiles" -> 5,
     "q44_suppress_final" -> 950, "q45_doc_chunking" -> 705,
-    "q46_heavy_hitters" -> 10, "dd9_semantic_dedup" -> 500)
+    "q46_heavy_hitters" -> 10, "dd9_semantic_dedup" -> 500,
+    "q47_topk_per_group" -> 25)
 
   test("registry covers every golden query and vice versa") {
     assert(SparkEntry.queries.keySet == goldenCounts.keySet)
