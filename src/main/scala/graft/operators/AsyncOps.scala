@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.util.concurrent.Executors
+import java.util.concurrent.{ConcurrentHashMap, Executors}
 
 import scala.collection.mutable
 import scala.concurrent.duration._
@@ -9,6 +9,20 @@ import scala.util.{Failure, Success, Try}
 
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Dataset, Encoder}
+
+/** The key-scoped state view handed to stateful async records — the
+  * engine's analog of the KV store an async processor reads and writes
+  * (reference: async processors promise same-key state writes are
+  * visible to later same-key invocations,
+  * /root/reference/kafka-client/src/main/java/dev/responsive/kafka/api/async/AsyncProcessorSupplier.java:81-95).
+  * `get` after a same-key `put` returns the written value — within one
+  * invocation and across invocations — because same-key records are
+  * chained serially; `delete` is the tombstone. */
+trait KeyState[S] {
+  def get: Option[S]
+  def put(s: S): Unit
+  def delete(): Unit
+}
 
 /** Per-key-order-preserving async map — the engine's analog of the
   * reference's async processing framework (AsyncProcessorSupplier,
@@ -26,11 +40,18 @@ import org.apache.spark.sql.{Dataset, Encoder}
   *  - one record's failure fails THAT record (rethrown at its output
   *    position, failing the task like any Spark exception) without
   *    poisoning later same-key records — the chain continues past
-  *    failures, like the reference's per-event fault isolation.
+  *    failures, like the reference's per-event fault isolation. A failed
+  *    record's state writes up to the throw point remain (the reference
+  *    flushes per-event too); later same-key records see them.
   *
   * Lifecycle: the pool is torn down by a TaskContext completion listener,
   * so limit()/take()/task-abort cannot leak non-daemon threads even when
   * the output iterator is never drained.
+  *
+  * Memory safety of the stateful variant: the per-partition state map is
+  * a ConcurrentHashMap; same-key accesses are already serialized by the
+  * future chain (the executor's queue publishes writes between chain
+  * hops), and distinct keys touch distinct entries concurrently.
   *
   * Deviation: output preserves full input order (the reference forwards
   * in completion order) — stricter, and what keeps Spark plans
@@ -44,10 +65,37 @@ object AsyncOps {
     * task instead of wedging the executor thread forever. */
   val RecordTimeout: FiniteDuration = 10.minutes
 
+  /** Stateless async map (no cross-invocation state). */
   def asyncMapPartitions[T, R: Encoder](
       ds: Dataset[T],
       parallelism: Int,
       maxInFlight: Int = 64)(keyOf: T => Any)(f: T => R): Dataset[R] =
+    core(ds, parallelism, maxInFlight)(keyOf)(() => (t, _) => f(t))
+
+  /** Stateful async map: `f` receives a [[KeyState]] scoped to the
+    * record's key, with read-your-writes visibility across same-key
+    * invocations (the reference's async-processor state contract). */
+  def asyncMapPartitionsStateful[T, S, R: Encoder](
+      ds: Dataset[T],
+      parallelism: Int,
+      maxInFlight: Int = 64)(keyOf: T => Any)(f: (T, KeyState[S]) => R): Dataset[R] =
+    core(ds, parallelism, maxInFlight)(keyOf) { () =>
+      val states = new ConcurrentHashMap[Any, S]()
+      (t, k) =>
+        f(t, new KeyState[S] {
+          def get: Option[S] = Option(states.get(k))
+          def put(s: S): Unit = states.put(k, s)
+          def delete(): Unit = states.remove(k)
+        })
+    }
+
+  /** Shared scaffolding: per-key future chains over a bounded pool.
+    * `mkInvoke` is a per-partition factory so stateful runs get a
+    * partition-scoped state map. */
+  private def core[T, R: Encoder](
+      ds: Dataset[T],
+      parallelism: Int,
+      maxInFlight: Int)(keyOf: T => Any)(mkInvoke: () => (T, Any) => R): Dataset[R] =
     ds.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
@@ -56,6 +104,7 @@ object AsyncOps {
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
           pool.shutdownNow()
         })
+        val invoke = mkInvoke()
         val chains = mutable.Map.empty[Any, Future[Unit]]
         val inFlight = mutable.Queue.empty[Future[Try[R]]]
 
@@ -64,7 +113,7 @@ object AsyncOps {
             val t = it.next()
             val k = keyOf(t)
             val prev = chains.getOrElse(k, Future.unit)
-            val fut = prev.map(_ => Try(f(t)))
+            val fut = prev.map(_ => Try(invoke(t, k)))
             // the key's chain advances whether or not this record failed
             chains(k) = fut.map(_ => ())
             inFlight.enqueue(fut)

@@ -1,7 +1,29 @@
 package graft.streaming
 
-import org.apache.spark.sql.Encoders
+import graft.operators.TtlProvider
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** MIGRATE-mode seed preparation. The reference's changelog backfill
+  * skips point-lookups and drops rows already past their TTL while
+  * replaying a changelog into the new store
+  * (/root/reference/kafka-client/src/main/java/dev/responsive/kafka/internal/stores/PartitionedOperations.java:188-197,364-371)
+  * — otherwise a migration resurrects rows the old store had already
+  * let expire. Spark-first analog: the seed DataFrame is filtered
+  * through the store's [[graft.operators.TtlProvider]] policy BEFORE it
+  * reaches handleInitialState, a codegen'd predicate on the seed scan
+  * (no per-key state walk). */
+object Bootstrap {
+
+  /** Drop seed rows whose TTL has already elapsed at `migrateTime`
+    * (the stream-time at cutover). Rows with infinite/no TTL pass. */
+  def migrateSeed(
+      seed: DataFrame,
+      ttl: TtlProvider,
+      ts: Column,
+      migrateTime: Column): DataFrame =
+    ttl.retain(seed, ts, migrateTime)
+}
 
 /** Bootstrap / migration analog of the reference's changelog-migration
   * tool (kafka-client-bootstrap ChangelogMigrationTool.java /

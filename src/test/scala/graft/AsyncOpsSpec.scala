@@ -66,6 +66,53 @@ class AsyncOpsSpec extends SparkSpecBase {
     assert(seen.contains(4L), s"record 4 should have run past the failure; saw $seen")
   }
 
+  test("stateful: same-key state writes are visible to later invocations, in order") {
+    // each record increments its key's counter; the emitted value is the
+    // counter AFTER the increment, so per key the outputs must read
+    // 1,2,3,… in encounter order — any lost update, stale read, or
+    // reordering breaks the exact sequence
+    val input = (1L to 300L).map(i => (i % 5, i))
+    val ds = input.toDS().coalesce(1)
+    val out = AsyncOps.asyncMapPartitionsStateful[(Long, Long), Long, (Long, Long, Long)](
+      ds, parallelism = 8, maxInFlight = 16)(_._1) { (t, st) =>
+      val n = st.get.getOrElse(0L) + 1
+      st.put(n)
+      (t._1, t._2, n)
+    }.collect()
+    assert(out.length == 300)
+    for ((k, rows) <- out.groupBy(_._1)) {
+      val inOrder = rows.sortBy(_._2).map(_._3)
+      assert(inOrder.sameElements(1L to inOrder.length),
+        s"key $k counter sequence broken: ${inOrder.take(10).mkString(",")}")
+    }
+  }
+
+  test("stateful: keys are isolated and delete tombstones the entry") {
+    // key 1 puts then deletes; key 2 only reads — it must never observe
+    // key 1's value, and key 1's read after delete must be None
+    val input = Seq((1L, "put"), (2L, "read"), (1L, "del"), (1L, "read"), (2L, "read"))
+    val ds = input.toDS().coalesce(1)
+    val out = AsyncOps.asyncMapPartitionsStateful[(Long, String), String, String](
+      ds, parallelism = 4)(_._1) { (t, st) =>
+      t._2 match {
+        case "put"  => st.put("v1"); "ok"
+        case "del"  => st.delete(); "ok"
+        case "read" => st.get.getOrElse("none")
+      }
+    }.collect()
+    assert(out.toSeq == Seq("ok", "none", "ok", "none", "none"))
+  }
+
+  test("stateful: read-your-writes within one invocation") {
+    val ds = Seq((7L, 42L)).toDS().coalesce(1)
+    val out = AsyncOps.asyncMapPartitionsStateful[(Long, Long), Long, Long](
+      ds, parallelism = 2)(_._1) { (t, st) =>
+      st.put(t._2)
+      st.get.get // must see the value written two lines up
+    }.collect()
+    assert(out.toSeq == Seq(42L))
+  }
+
   test("early termination (limit) does not leak the worker pool") {
     // take(3) abandons the iterator; the TaskContext completion listener
     // must still shut the pool down — probe thread liveness by name

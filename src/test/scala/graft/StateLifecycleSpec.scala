@@ -57,6 +57,48 @@ class StateLifecycleSpec extends SparkSpecBase {
     assert(u0.event_type != "legacy")
   }
 
+  test("MIGRATE-mode bootstrap drops seed rows already past TTL (no resurrection)") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Ttl
+    // migration cutover at t=1000s; store default TTL 60s. The "legacy"
+    // store holds one row well past TTL (t=880s) and one alive (t=990s);
+    // the reference's backfill skips the expired one
+    // (PartitionedOperations.java:188-197) — so must migrateSeed.
+    val migrateSec = 1000L
+    val expired = Event(910001L, new java.sql.Timestamp(880L * 1000), 8801L, "legacy", 1.0, "{}")
+    val alive = Event(910002L, new java.sql.Timestamp(990L * 1000), 8802L, "legacy", 2.0, "{}")
+    val ttl = Ttl.withDefault(60L)
+    val seed = Bootstrap.migrateSeed(
+        Seq(expired, alive).toDS().toDF(), ttl, col("ts"),
+        lit(migrateSec).cast("timestamp")).as[Event]
+    // parity oracle: the equivalent batch filter over the legacy rows
+    val oracleIds = Seq(expired, alive)
+      .filter(e => e.ts.getTime / 1000 >= migrateSec - 60L).map(_.event_id)
+    assert(seed.collect().map(_.event_id).toSeq == oracleIds)
+
+    val ms = MemoryStream[Event]
+    val out = ms.toDF().as[Event].groupByKey(_.user_id)
+      .transformWithState(
+        new BootstrapKvProcessor, TimeMode.None(), OutputMode.Update(),
+        seed.groupByKey(_.user_id),
+        Encoders.product[KvRow], Encoders.product[Event])
+    val q = out.toDF().writeStream.format("memory").queryName("migsink")
+      .outputMode("update").start()
+    try {
+      // probe both users with ts=1ms events — OLDER than any seed, so a
+      // surviving seed row wins LWW and an expired one must be absent
+      ms.addData(Seq(
+        Event(910003L, new java.sql.Timestamp(1L), 8801L, "probe", 0.0, "{}"),
+        Event(910004L, new java.sql.Timestamp(1L), 8802L, "probe", 0.0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("migsink").as[KvRow].collect()
+    // expired user: legacy row must NOT have been seeded — probe is latest
+    assert(rows.filter(_.user_id == 8801L).maxBy(r => (r.ts_sec, r.event_id)).event_id == 910003L)
+    // alive user: legacy row survived migration and out-ranks the probe
+    assert(rows.filter(_.user_id == 8802L).maxBy(r => (r.ts_sec, r.event_id)).event_id == 910002L)
+  }
+
   test("checkpoint restore + statestore reader (interactive queries)") {
     implicit val sq = spark.sqlContext
     val ckpt = tmpDir("ckpt")
