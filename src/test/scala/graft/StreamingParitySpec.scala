@@ -447,4 +447,33 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(tombUsers.nonEmpty && batchDiff.exists(_._2 == "D"))
     assert(streamDiff == batchDiff)
   }
+
+  test("CMS sketch: streamed MapState merge == batch q46 sketch, cell-exact") {
+    import graft.operators.Relational
+    // stream side: fan out through the SAME cmsRows construction q46
+    // ships, merge per microbatch in the CmsProcessor's MapState
+    val streamed = runStream(df => {
+      Relational.cmsRows(df.select(col("user_id")), col("user_id"))
+        .select(col("r"), col("bucket")).as[CmsIn]
+        .groupByKey(_.r)
+        .transformWithState(new CmsProcessor, TimeMode.None(), OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[CmsCell])
+        .toDF()
+    }, chunksOf(500), "update")
+    // counters are monotone, so the final sketch is max per cell
+    val finalCells = streamed.groupBy(col("r"), col("bucket")).agg(max(col("c")).as("c"))
+    val batch = Relational.cmsSketch(
+      Tables.events(spark, sfDir).select(col("user_id")), col("user_id"))
+    assert(rows(finalCells) == rows(batch))
+    // and therefore the sketch ESTIMATES agree for every key: spot-check
+    // the exact top-10 (the q46 gate population)
+    val top = Tables.events(spark, sfDir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).orderBy(col("n").desc, col("user_id")).limit(10)
+    def estimates(sketch: DataFrame) =
+      Relational.cmsRows(top, col("user_id"))
+        .join(sketch, Seq("r", "bucket"))
+        .groupBy(col("user_id")).agg(min(col("c")).as("est"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(estimates(finalCells) == estimates(batch))
+  }
 }
