@@ -119,11 +119,44 @@ object Multimodal {
       n_frames = 1)
   }
 
-  /** Batch decode over partitions — the mapPartitions seam where any
-    * production codec plugs in. */
+  /** Rows handed to the codec per call — the Arrow-style record-batch
+    * granularity (pandas UDFs default to 10k rows/batch; media payloads
+    * are KBs–MBs each, so a smaller batch keeps a batch's payload bytes
+    * executor-memory-friendly). */
+  val DecodeBatchSize = 64
+
+  /** One columnar micro-batch of media blobs — the Arrow RecordBatch
+    * shape (one array per column, row i across arrays is one record).
+    * This is the mapInPandas seam: a production vectorized codec
+    * (Pandas UDF, JNI batch API) consumes exactly this layout; the
+    * JVM decoders below are the in-container stand-ins. */
+  final case class MediaBatch(
+      docIds: Array[Long],
+      srcBytes: Array[Int],
+      payloads: Array[Array[Byte]])
+
+  /** Chunk a partition's row iterator into columnar micro-batches and
+    * run `f` once per batch — per-row codec overhead (context setup,
+    * scratch allocation) amortizes across DecodeBatchSize rows, and the
+    * batch boundary is where an Arrow FFI would hand buffers off. */
+  def mapMediaBatches[R](it: Iterator[MediaBlob])(f: MediaBatch => Iterator[R]): Iterator[R] =
+    it.grouped(DecodeBatchSize).flatMap { rows =>
+      f(MediaBatch(
+        rows.map(_.doc_id).toArray,
+        rows.map(_.src_bytes).toArray,
+        rows.map(_.payload).toArray))
+    }
+
+  /** Batched decode over partitions — the columnar seam where any
+    * production codec plugs in. Output is identical to row-at-a-time
+    * decodePng; only the call granularity changes. */
   def decoded(s: SparkSession, d: String): Dataset[MediaMeta] = {
     import s.implicits._
-    pngTable(s, d).mapPartitions(_.map(decodePng))
+    pngTable(s, d).mapPartitions(mapMediaBatches(_) { batch =>
+      batch.docIds.indices.iterator.map { i =>
+        decodePng(MediaBlob(batch.docIds(i), batch.srcBytes(i), batch.payloads(i)))
+      }
+    })
   }
 
   /** Deterministic fake frame-sampling: byte offsets of every 256-byte
@@ -167,26 +200,33 @@ object Multimodal {
 
   val ThumbSize = 32
 
-  /** Real image resize in the same partition-local seam: decode the PNG,
+  /** Real image resize in the batched columnar seam: decode the PNG,
     * scale to ThumbSize² with Graphics2D bilinear interpolation,
     * re-encode, and decode the thumbnail BACK to report its dimensions —
-    * a full codec round trip per row, no shuffle. */
+    * a full codec round trip per row, no shuffle. The scratch target
+    * image and its Graphics2D context are allocated ONCE per batch and
+    * reused across its rows (each drawImage repaints the full ThumbSize²
+    * rect, so no state leaks between rows) — the per-row amortization
+    * the batch seam exists for. */
   def thumbnails(s: SparkSession, d: String): Dataset[Thumb] = {
     import s.implicits._
-    pngTable(s, d).mapPartitions(_.map { blob =>
-      val img = readImage(blob.payload)
+    pngTable(s, d).mapPartitions(mapMediaBatches(_) { batch =>
       val out = new java.awt.image.BufferedImage(
         ThumbSize, ThumbSize, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
       val gfx = out.createGraphics()
       gfx.setRenderingHint(
         java.awt.RenderingHints.KEY_INTERPOLATION,
         java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      gfx.drawImage(img, 0, 0, ThumbSize, ThumbSize, null)
+      val thumbs = batch.docIds.indices.map { i =>
+        val img = readImage(batch.payloads(i))
+        gfx.drawImage(img, 0, 0, ThumbSize, ThumbSize, null)
+        val bytes = writePng(out)
+        val back = readImage(bytes)
+        Thumb(batch.docIds(i), batch.srcBytes(i), back.getWidth, back.getHeight,
+          back.getRaster.getNumBands, bytes)
+      }
       gfx.dispose()
-      val bytes = writePng(out)
-      val back = readImage(bytes)
-      Thumb(blob.doc_id, blob.src_bytes, back.getWidth, back.getHeight,
-        back.getRaster.getNumBands, bytes)
+      thumbs.iterator
     })
   }
 
