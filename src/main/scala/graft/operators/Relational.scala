@@ -787,7 +787,108 @@ object Relational {
     doc = "per-group top-k via bounded-heap aggregate: k pairs per partition cross the wire, zero sorts"
   )
 
+  val BloomBits = 1 << 16
+  val BloomHashes = 5
+
+  /** Q48 — declarative Bloom-filter membership, the runtime-filter /
+    * decontamination structure (Spark's own InjectRuntimeFilter builds
+    * the same BloomFilterAggregate shape to prune a fact scan by a
+    * dimension's key set). The "seen" set is orders' o_custkey; each
+    * element sets BloomHashes positions xxhash64(key, i) mod BloomBits;
+    * the filter is the DISTINCT position relation — map-side partial
+    * distinct caps each partition's shuffle at BloomBits rows and the
+    * whole bitset (≤ 2^16 rows) broadcasts to the probe side, which is
+    * exactly how a 100 TB fact scan gets pre-filtered without shuffling
+    * the fact table. A probe is positive iff ALL its positions are set.
+    * Gates (oracle-portable, like q23/q43/q46 — sketch bits are not
+    * bit-portable across engines, the guarantee is): no false negatives
+    * (a customer with orders must test positive; structural, arithmetic
+    * exact), and per-nation false positives within 3× the analytic rate
+    * (1−e^{−kn/m})^k plus one (rank-discreteness slack for tiny
+    * nations). */
+  val q48 = QueryDef(
+    "q48_bloom_membership",
+    (s, d) => {
+      val seen = Tables.orders(s, d).select(col("o_custkey")).distinct()
+      val hashes = expr(s"explode(sequence(0, ${BloomHashes - 1}))")
+      val bits = seen.select(col("o_custkey"), hashes.as("i"))
+        .select(pmod(xxhash64(col("o_custkey"), col("i")), lit(BloomBits)).as("pos"))
+        .distinct()
+      val probes = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), hashes.as("i"))
+        .withColumn("pos", pmod(xxhash64(col("c_custkey"), col("i")), lit(BloomBits)))
+      val tested = probes
+        .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+        .groupBy(col("c_custkey"), col("c_nationkey"))
+        .agg((min(coalesce(col("hit"), lit(0))) === 1).cast("int").as("bloom_pos"))
+      val truth = seen.select(col("o_custkey").as("c_custkey"), lit(1).as("has_orders"))
+      val n = seen.agg(count(lit(1)).as("n_seen"))
+      tested.join(broadcast(truth), Seq("c_custkey"), "left")
+        .na.fill(0, Seq("has_orders"))
+        .crossJoin(broadcast(n))
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("has_orders")).cast("long").as("n_with_orders"),
+          min(when(col("has_orders") === 1, col("bloom_pos")).otherwise(lit(1)))
+            .cast("int").as("ok_fn"),
+          (sum(when(col("has_orders") === 0, col("bloom_pos")).otherwise(lit(0))) <=
+            ceil(lit(3.0) *
+              pow(lit(1.0) - exp(lit(-1.0) * BloomHashes * first(col("n_seen")) / BloomBits),
+                BloomHashes) *
+              sum(lit(1) - col("has_orders"))) + lit(1))
+            .cast("int").as("ok_fp"))
+    },
+    Some("""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+           |  CAST(sum(CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_with_orders,
+           |  1 AS ok_fn, 1 AS ok_fp
+           |FROM customer c
+           |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+           |  ON c.c_custkey = o.o_custkey
+           |GROUP BY c_nationkey""".stripMargin),
+    doc = "declarative Bloom filter: broadcastable bitset, no-false-negative + bounded-FP gates"
+  )
+
+  val RsK = 8
+
+  /** Q49 — deterministic per-group reservoir sample: k uniform docs per
+    * group without rand(), so the sample is replayable across runs and
+    * engines (the uniform-subsampling step of a corpus pipeline, and the
+    * same hash-priority trick as q35's split). Priority = first 48 bits
+    * of md5(event_id) — exact in a double, identically computable in
+    * DuckDB; the k smallest priorities per event_type are an exact
+    * uniform sample. Executed with the bounded-heap TopKAgg (score =
+    * −priority): k pairs per (group, partition) cross the wire, zero
+    * sorts — reservoir sampling's merge property, expressed as partial
+    * aggregation. */
+  val q49 = QueryDef(
+    "q49_reservoir_sample",
+    (s, d) => {
+      val prio = expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 12), 16, 10) AS DOUBLE)")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), prio.as("prio"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.SketchAggs.topk(-col("prio"), col("event_id"), RsK).as("top"))
+        .select(col("event_type"), posexplode(col("top")))
+        .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("event_id"), (-col("col.score")).cast("long").as("prio"))
+    },
+    Some(s"""WITH p AS (
+            |  SELECT event_type, event_id,
+            |    CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT) AS prio
+            |  FROM events),
+            |r AS (
+            |  SELECT event_type, event_id, prio,
+            |    row_number() OVER (PARTITION BY event_type ORDER BY prio, event_id) AS rank
+            |  FROM p)
+            |SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id, prio
+            |FROM r WHERE rank <= $RsK""".stripMargin),
+    doc = "deterministic reservoir sample: hash-priority bounded heap, replayable across engines"
+  )
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24,
-      q27, q28, q31, q32, q33, q34, q35, q38, q39, q40, q41, q42, q43, q46, q47)
+      q27, q28, q31, q32, q33, q34, q35, q38, q39, q40, q41, q42, q43, q46, q47,
+      q48, q49)
 }

@@ -66,7 +66,8 @@ object ScaleProbe {
       "dd7_dedup_embedding_ivf", "tx5_pii_redact", "tx6_repetition",
       "tx7_bigram_novelty", "dd8_dedup_substring", "q42_incremental_agg",
       "q44_suppress_final", "q45_doc_chunking", "q46_heavy_hitters",
-      "dd9_semantic_dedup", "q47_topk_per_group")
+      "dd9_semantic_dedup", "q47_topk_per_group", "q48_bloom_membership",
+      "q49_reservoir_sample")
     for (name <- targets) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, Out).count()

@@ -46,7 +46,8 @@ class QueriesSpec extends SparkSpecBase {
     "q42_incremental_agg" -> 15, "q43_approx_percentiles" -> 5,
     "q44_suppress_final" -> 950, "q45_doc_chunking" -> 705,
     "q46_heavy_hitters" -> 10, "dd9_semantic_dedup" -> 500,
-    "q47_topk_per_group" -> 25)
+    "q47_topk_per_group" -> 25, "q48_bloom_membership" -> 25,
+    "q49_reservoir_sample" -> 40)
 
   test("registry covers every golden query and vice versa") {
     assert(SparkEntry.queries.keySet == goldenCounts.keySet)

@@ -134,6 +134,44 @@ class StateLifecycleSpec extends SparkSpecBase {
     assert(users == expected)
   }
 
+  test("IQ position: committed-batch position advances, pinned reads are stable snapshots") {
+    implicit val sq = spark.sqlContext
+    val ckpt = tmpDir("ckpt-pos")
+    val ms = MemoryStream[Event]
+    def start() = ms.toDF().as[Event].groupByKey(_.user_id)
+      .transformWithState(new KvStoreProcessor, TimeMode.None(), OutputMode.Update(),
+        Encoders.product[KvRow])
+      .toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.count(); ()
+      }
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+
+    // phase 1: first 200 events, note the position
+    val q1 = start()
+    try { ms.addData(sortedEvents.take(200)); q1.processAllAvailable() }
+    finally q1.stop()
+    val p1 = InteractiveQueries.position(ckpt)
+    assert(p1 >= 0, "no committed batch after phase 1")
+    val phase1Users = sortedEvents.take(200).map(_.user_id).toSet
+
+    // phase 2: restart, 200 more events — position must advance
+    val q2 = start()
+    try { ms.addData(sortedEvents.slice(200, 400)); q2.processAllAvailable() }
+    finally q2.stop()
+    val p2 = InteractiveQueries.position(ckpt)
+    assert(p2 > p1, s"position did not advance: $p1 -> $p2")
+
+    def users(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("key.*")).collect().map(_.getLong(0)).toSet
+    // a read pinned at p1 is the phase-1 snapshot — the staleness bound
+    // made explicit — even though newer commits exist
+    assert(users(InteractiveQueries.stateAt(spark, ckpt, "kv", p1)) == phase1Users)
+    // the default (freshest) read reflects both phases
+    assert(users(InteractiveQueries.stateAt(spark, ckpt, "kv")) ==
+      sortedEvents.take(400).map(_.user_id).toSet)
+  }
+
   test("tombstones survive checkpoint restart: deleted keys stay deleted, state shrinks") {
     implicit val sq = spark.sqlContext
     val ckpt = tmpDir("ckpt-tomb")
