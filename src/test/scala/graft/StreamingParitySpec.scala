@@ -476,4 +476,20 @@ class StreamingParitySpec extends SparkSpecBase {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(estimates(finalCells) == estimates(batch))
   }
+
+  test("reservoir sample: streamed TopKBuf state == batch q49, row-exact") {
+    import graft.operators.Relational
+    val types = sortedEvents.map(_.event_type).distinct
+    def flush(t: String, i: Int): Event =
+      Event(-(i + 1L), new java.sql.Timestamp(maxTsMs + 1000), -1L, t, 0.0, "{}")
+    val streamed = runStream(df => {
+      df.as[Event].groupByKey(_.event_type)
+        .transformWithState(new ReservoirProcessor(Relational.RsK),
+          TimeMode.None(), OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[RsRow])
+        .toDF()
+    }, chunksOf(500) :+ types.zipWithIndex.map { case (t, i) => flush(t, i) }, "update")
+    val batch = SparkEntry.queries("q49_reservoir_sample")(spark, sfDir)
+    assert(rows(streamed) == rows(batch))
+  }
 }
