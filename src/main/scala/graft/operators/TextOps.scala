@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.RollingHash
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text analysis for training-data pipelines over `documents`:
   * token/char statistics, n-gram classification (language-ID-shaped
@@ -334,5 +335,83 @@ object TextOps {
     doc = "context-window chunking: overlapping token windows (size 64, stride 48) per document"
   )
 
-  val all: Seq[QueryDef] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, q45)
+  val PostingHead = 5
+
+  /** q50 — inverted-index / IDF dictionary export (the search-index and
+    * IDF-table build step of a corpus pipeline). One row per vocabulary
+    * term: document frequency, collection frequency, and the head of
+    * the posting list (first PostingHead doc_ids in doc_id order).
+    * Scale: the word-count shape — (term, doc) partial counts map-side,
+    * then one shuffle per grouping; the posting head uses the
+    * bounded-heap TopKAgg (score = −doc_id ⇒ k smallest), so even a
+    * stopword's "posting list" ships PostingHead ids per partition
+    * instead of the full millions-long list. The full-postings variant
+    * is Sharding.writeSorted territory (sorted export), deliberately
+    * not an unbounded array column. */
+  val q50 = QueryDef(
+    "q50_inverted_index",
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+          graft.functions.SketchAggs.topk(
+            -col("doc_id").cast("double"), col("doc_id"), PostingHead).as("top"))
+        .select(col("term"), col("df"), col("cf"),
+          array_join(expr("transform(top, p -> cast(p.id as string))"), ",").as("posting_head"))
+    },
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+            |tf AS (SELECT term, doc_id, count(*) AS tf FROM tok
+            |       WHERE term <> '' GROUP BY 1, 2)
+            |SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+            |  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, $PostingHead), ',')
+            |    AS posting_head
+            |FROM tf GROUP BY term""".stripMargin),
+    doc = "inverted-index export: df/cf per term + bounded-heap posting head, word-count shape"
+  )
+
+  val KwK = 5
+
+  /** q51 — tf-idf keyword extraction: the top KwK terms per document
+    * ranked by (tf DESC, df ASC, term ASC) — highest-frequency rarest
+    * terms first, the integer-exact tf-idf ordering (score floats never
+    * cross the engine boundary, so the oracle matches bit-for-bit; for
+    * equal tf, lower df ⇔ higher idf ⇔ higher tf·idf). The per-term df
+    * table is small (vocabulary-sized) and broadcasts; the per-doc
+    * ranking window partitions on doc_id — groups are bounded by
+    * document length, so the sort is per-doc-local and skew-free at any
+    * corpus size. */
+  val q51 = QueryDef(
+    "q51_tfidf_keywords",
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(broadcast(df), Seq("term"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= KwK)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+    },
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+            |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok
+            |       WHERE term <> '' GROUP BY 1, 2),
+            |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+            |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+            |        row_number() OVER (PARTITION BY tf.doc_id
+            |          ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+            |      FROM tf JOIN df USING (term))
+            |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df
+            |FROM r WHERE rank <= $KwK""".stripMargin),
+    doc = "tf-idf keyword extraction: integer-exact (tf desc, df asc) per-doc ranking"
+  )
+
+  val all: Seq[QueryDef] = Seq(tx1, tx2, tx3, tx4, tx5, tx6, tx7, q45, q50, q51)
 }

@@ -47,7 +47,8 @@ class QueriesSpec extends SparkSpecBase {
     "q44_suppress_final" -> 950, "q45_doc_chunking" -> 705,
     "q46_heavy_hitters" -> 10, "dd9_semantic_dedup" -> 500,
     "q47_topk_per_group" -> 25, "q48_bloom_membership" -> 25,
-    "q49_reservoir_sample" -> 40)
+    "q49_reservoir_sample" -> 40, "q50_inverted_index" -> 31,
+    "q51_tfidf_keywords" -> 2500)
 
   test("registry covers every golden query and vice versa") {
     assert(SparkEntry.queries.keySet == goldenCounts.keySet)
