@@ -790,6 +790,16 @@ object Relational {
   val BloomBits = 1 << 16
   val BloomHashes = 5
 
+  /** Fan each row out to BloomHashes (i, pos) coordinates — pos =
+    * xxhash64(key, i) mod BloomBits. Shared by q48 (build AND probe
+    * side), q52's pruning pre-filter, the streaming BloomProcessor, and
+    * the parity spec — one construction, no drift (same policy as
+    * cmsRows). */
+  def bloomRows(df: DataFrame, key: Column): DataFrame =
+    df.select(df.columns.map(col) :+
+        expr(s"explode(sequence(0, ${BloomHashes - 1}))").as("i"): _*)
+      .withColumn("pos", pmod(xxhash64(key, col("i")), lit(BloomBits)))
+
   /** Q48 — declarative Bloom-filter membership, the runtime-filter /
     * decontamination structure (Spark's own InjectRuntimeFilter builds
     * the same BloomFilterAggregate shape to prune a fact scan by a
@@ -810,13 +820,10 @@ object Relational {
     "q48_bloom_membership",
     (s, d) => {
       val seen = Tables.orders(s, d).select(col("o_custkey")).distinct()
-      val hashes = expr(s"explode(sequence(0, ${BloomHashes - 1}))")
-      val bits = seen.select(col("o_custkey"), hashes.as("i"))
-        .select(pmod(xxhash64(col("o_custkey"), col("i")), lit(BloomBits)).as("pos"))
-        .distinct()
-      val probes = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey"), hashes.as("i"))
-        .withColumn("pos", pmod(xxhash64(col("c_custkey"), col("i")), lit(BloomBits)))
+      val bits = bloomRows(seen, col("o_custkey")).select(col("pos")).distinct()
+      val probes = bloomRows(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+        col("c_custkey"))
       val tested = probes
         .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
         .groupBy(col("c_custkey"), col("c_nationkey"))
@@ -887,8 +894,63 @@ object Relational {
     doc = "deterministic reservoir sample: hash-priority bounded heap, replayable across engines"
   )
 
+  /** Q52 — the Bloom filter USED: q48 builds and gates the sketch; this
+    * query applies it as a runtime pre-filter on a fact table, the
+    * InjectRuntimeFilter pattern. The "seen" set is BUILDING-segment
+    * customers; orders pass the filter only if ALL BloomHashes positions
+    * are set, expressed as BloomHashes broadcast LEFT SEMI joins against
+    * the ≤ 2^16-row bitset — the fact table is never shuffled, each semi
+    * join is a broadcast hash probe. False positives are then removed by
+    * the exact (broadcast) semi join, so the OUTPUT is exact and the
+    * oracle is the plain semi-join aggregate — a runtime filter must be
+    * transparent. The gates make the pruning measurable: ok_contain
+    * (bloom never drops a true row — per-year passed ≥ exact) and
+    * ok_prune (per-year passed ≤ exact + 3× the analytic FP rate × the
+    * non-matching population + 1). At fixture scale the exact set is
+    * broadcastable anyway; at 100 TB the point is the 8 KB bitset prunes
+    * the scan long before the (much larger) exact probe structure is
+    * needed. */
+  val q52 = QueryDef(
+    "q52_bloom_pruned_join",
+    (s, d) => {
+      val seen = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val bits = bloomRows(seen, col("c_custkey")).select(col("pos")).distinct()
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+      val passed = (0 until BloomHashes).foldLeft(orders) { (df, i) =>
+        df.withColumn("pos", pmod(xxhash64(col("o_custkey"), lit(i)), lit(BloomBits)))
+          .join(broadcast(bits), Seq("pos"), "left_semi")
+      }.drop("pos")
+      val exact = orders.join(
+        broadcast(seen.withColumnRenamed("c_custkey", "o_custkey")),
+        Seq("o_custkey"), "left_semi")
+      val nSeen = seen.agg(count(lit(1)).as("n_seen"))
+      exact.groupBy(col("o_year")).agg(count(lit(1)).as("n_orders"))
+        .join(passed.groupBy(col("o_year")).agg(count(lit(1)).as("n_passed")), Seq("o_year"))
+        .join(orders.groupBy(col("o_year")).agg(count(lit(1)).as("n_total")), Seq("o_year"))
+        .crossJoin(broadcast(nSeen))
+        .select(col("o_year").cast("int").as("o_year"), col("n_orders"),
+          (col("n_passed") >= col("n_orders")).cast("int").as("ok_contain"),
+          (col("n_passed") - col("n_orders") <=
+            ceil(lit(3.0) *
+              pow(lit(1.0) - exp(lit(-1.0) * BloomHashes * col("n_seen") / BloomBits),
+                BloomHashes) *
+              (col("n_total") - col("n_orders"))) + lit(1))
+            .cast("int").as("ok_prune"))
+    },
+    Some("""SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,
+           |  CAST(count(*) AS BIGINT) AS n_orders, 1 AS ok_contain, 1 AS ok_prune
+           |FROM orders o
+           |WHERE EXISTS (SELECT 1 FROM customer c
+           |              WHERE c.c_custkey = o.o_custkey
+           |                AND c.c_mktsegment = 'BUILDING')
+           |GROUP BY 1""".stripMargin),
+    doc = "Bloom-pruned fact join: broadcast bitset semi-joins prune the scan, exact verify keeps the output oracle-clean"
+  )
+
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24,
       q27, q28, q31, q32, q33, q34, q35, q38, q39, q40, q41, q42, q43, q46, q47,
-      q48, q49)
+      q48, q49, q52)
 }

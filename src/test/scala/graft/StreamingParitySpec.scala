@@ -492,4 +492,27 @@ class StreamingParitySpec extends SparkSpecBase {
     val batch = SparkEntry.queries("q49_reservoir_sample")(spark, sfDir)
     assert(rows(streamed) == rows(batch))
   }
+
+  test("Bloom filter: streamed MapState bits == batch bitset, bit-exact") {
+    import graft.operators.Relational
+    // stream side: the SAME bloomRows fan-out q48/q52 ship, merged into
+    // the BloomProcessor's MapState; only newly-set bits are emitted, so
+    // the union of emissions is the filter
+    val streamed = runStream(df => {
+      Relational.bloomRows(df.select(col("user_id")), col("user_id"))
+        .select(col("i"), col("pos")).as[BloomIn]
+        .groupByKey(_.i)
+        .transformWithState(new BloomProcessor, TimeMode.None(), OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[BloomBit])
+        .toDF()
+    }, chunksOf(500), "update")
+    val streamedBits = streamed.select(col("pos")).distinct()
+    val batchBits = Relational.bloomRows(
+      Tables.events(spark, sfDir).select(col("user_id")), col("user_id"))
+      .select(col("pos")).distinct()
+    assert(rows(streamedBits) == rows(batchBits))
+    // monotone-emission invariant: no bit is announced twice by one key
+    val dup = streamed.groupBy(col("i"), col("pos")).count().filter(col("count") > 1)
+    assert(dup.count() == 0)
+  }
 }
