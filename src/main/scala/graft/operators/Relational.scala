@@ -894,6 +894,69 @@ object Relational {
     doc = "deterministic reservoir sample: hash-priority bounded heap, replayable across engines"
   )
 
+  val HllP = 12
+  val HllM = 1 << HllP
+
+  /** Project a keyed DataFrame to its HLL observation per row: bucket =
+    * low HllP bits of xxhash64(key), rho = position of the first 1-bit
+    * in the remaining 52 bits (counted from the MSB side, 1-based;
+    * 53 when they are all zero). rho is computed integer-exactly via
+    * length(bin(x)) — bin() of a positive long has exactly
+    * ⌊log2 x⌋ + 1 characters, so no float ever enters the register
+    * math. Shared by q53 and the streaming HllProcessor (same policy
+    * as cmsRows / bloomRows). */
+  def hllRows(df: DataFrame, key: Column): DataFrame = {
+    val h = xxhash64(key)
+    val rest = shiftrightunsigned(h, HllP)
+    df.withColumn("bucket", pmod(h, lit(HllM)))
+      .withColumn("rho",
+        when(rest === 0, lit(64 - HllP + 1))
+          .otherwise(lit(64 - HllP + 1) - length(bin(rest))).cast("int"))
+  }
+
+  /** The register table: bucket → max(rho), ≤ HllM rows total, map-side
+    * partial max — the mergeable-sketch property again. */
+  def hllRegisters(df: DataFrame, key: Column): DataFrame =
+    hllRows(df, key).groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
+
+  /** Q53 — declarative HyperLogLog cardinality, completing the
+    * hand-built sketch family (q46 CMS frequency, q48 Bloom membership,
+    * q49 reservoir sample — each with a streaming twin; q23 exercises
+    * Spark's own HLL++, this one is ours and therefore
+    * stream-mergeable). Registers are a ≤ 4096-row aggregation;
+    * the estimate applies the standard small-range linear-counting
+    * correction (m·ln(m/V) when the raw estimate ≤ 2.5m and empty
+    * buckets remain — always the regime at the fixture cardinalities,
+    * and the correction is what makes the 5% gate honest there).
+    * Like q23/q43/q46/q48 the oracle asserts the GATE, not the sketch
+    * bits: |est − exact| ≤ max(5% · exact, 3). */
+  val q53 = QueryDef(
+    "q53_hll_cardinality",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val regs = hllRegisters(ev, col("user_id"))
+      val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+      val est = regs
+        .agg(sum(pow(lit(2.0), -col("rho"))).as("z_used"), count(lit(1)).as("used"))
+        .select(
+          (col("z_used") + (lit(HllM) - col("used"))).as("z"),
+          (lit(HllM) - col("used")).as("v"))
+        .select(
+          when(col("v") > 0 &&
+              lit(alpha * HllM.toDouble * HllM) / col("z") <= lit(2.5 * HllM),
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
+            .otherwise(lit(alpha * HllM.toDouble * HllM) / col("z")).as("est"))
+      val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.crossJoin(broadcast(est))
+        .select(col("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            greatest(lit(0.05) * col("n_exact"), lit(3.0))).cast("int").as("ok"))
+    },
+    Some("""SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, 1 AS ok
+           |FROM events""".stripMargin),
+    doc = "declarative HyperLogLog: integer-exact registers, linear-counting correction, 5% gate"
+  )
+
   /** Q52 — the Bloom filter USED: q48 builds and gates the sketch; this
     * query applies it as a runtime pre-filter on a fact table, the
     * InjectRuntimeFilter pattern. The "seen" set is BUILDING-segment
@@ -952,5 +1015,5 @@ object Relational {
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24,
       q27, q28, q31, q32, q33, q34, q35, q38, q39, q40, q41, q42, q43, q46, q47,
-      q48, q49, q52)
+      q48, q49, q52, q53)
 }

@@ -48,7 +48,8 @@ class QueriesSpec extends SparkSpecBase {
     "q46_heavy_hitters" -> 10, "dd9_semantic_dedup" -> 500,
     "q47_topk_per_group" -> 25, "q48_bloom_membership" -> 25,
     "q49_reservoir_sample" -> 40, "q50_inverted_index" -> 31,
-    "q51_tfidf_keywords" -> 2500, "q52_bloom_pruned_join" -> 7)
+    "q51_tfidf_keywords" -> 2500, "q52_bloom_pruned_join" -> 7,
+    "q53_hll_cardinality" -> 1)
 
   test("registry covers every golden query and vice versa") {
     assert(SparkEntry.queries.keySet == goldenCounts.keySet)

@@ -515,4 +515,21 @@ class StreamingParitySpec extends SparkSpecBase {
     val dup = streamed.groupBy(col("i"), col("pos")).count().filter(col("count") > 1)
     assert(dup.count() == 0)
   }
+
+  test("HLL: streamed max-merged registers == batch q53 registers, register-exact") {
+    import graft.operators.Relational
+    val streamed = runStream(df => {
+      Relational.hllRows(df.select(col("user_id")), col("user_id"))
+        .select(lit(0).as("shard"), col("bucket"), col("rho")).as[HllIn]
+        .groupByKey(_.shard)
+        .transformWithState(new HllProcessor, TimeMode.None(), OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[HllReg])
+        .toDF()
+    }, chunksOf(500), "update")
+    // registers are monotone, so the sketch is max per bucket
+    val finalRegs = streamed.groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
+    val batchRegs = Relational.hllRegisters(
+      Tables.events(spark, sfDir).select(col("user_id")), col("user_id"))
+    assert(rows(finalRegs) == rows(batchRegs))
+  }
 }
