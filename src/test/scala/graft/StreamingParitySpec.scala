@@ -6,6 +6,13 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 
+/** JVM-singleton probe for the checkpoint-restart CMS test: foreachBatch
+  * closures are serialized, so a driver-side collection captured by
+  * value would stay empty — executors resolve this object in-process. */
+object CmsRestartProbe {
+  val cells = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+}
+
 /** Stream==batch parity (SURVEY §7 step 3): replay the events fixture
   * through Structured Streaming in ts-ordered chunks and assert the final
   * result equals the batch answer for the same logical query — the
@@ -514,6 +521,45 @@ class StreamingParitySpec extends SparkSpecBase {
     // monotone-emission invariant: no bit is announced twice by one key
     val dup = streamed.groupBy(col("i"), col("pos")).count().filter(col("count") > 1)
     assert(dup.count() == 0)
+  }
+
+  test("CMS twin survives checkpoint restart: merged cells stay cell-exact") {
+    import graft.operators.Relational
+    implicit val sq = spark.sqlContext
+    CmsRestartProbe.cells.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cms-ckpt").toString
+    val ms = MemoryStream[Event]
+    def start() = {
+      Relational.cmsRows(ms.toDF().select(col("user_id")), col("user_id"))
+        .select(col("r"), col("bucket")).as[CmsIn]
+        .groupByKey(_.r)
+        .transformWithState(new CmsProcessor, TimeMode.None(), OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[CmsCell])
+        .toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r =>
+            CmsRestartProbe.cells.add((r.getInt(0), r.getLong(1), r.getLong(2))))
+        }
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+    }
+    val chunks = chunksOf(500)
+    val (front, back) = chunks.splitAt(chunks.size / 2)
+    val q1 = start()
+    try { front.foreach { c => ms.addData(c); q1.processAllAvailable() } }
+    finally q1.stop()
+    // restart from the checkpoint — MapState must restore, counters
+    // must continue from where they were, not from zero
+    val q2 = start()
+    try { back.foreach { c => ms.addData(c); q2.processAllAvailable() } }
+    finally q2.stop()
+    // counters are monotone: the final sketch is max per cell across
+    // all emissions (re-emissions from a replayed batch can't inflate it)
+    val streamedCells = CmsRestartProbe.cells.toArray(Array.empty[(Int, Long, Long)])
+      .groupBy(c => (c._1, c._2)).map { case ((r, b), cs) => (r, b, cs.map(_._3).max) }.toSet
+    val batch = Relational.cmsSketch(
+      Tables.events(spark, sfDir).select(col("user_id")), col("user_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamedCells == batch)
   }
 
   test("HLL: streamed max-merged registers == batch q53 registers, register-exact") {
