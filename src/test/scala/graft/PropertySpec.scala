@@ -149,6 +149,46 @@ class PropertySpec extends SparkSpecBase {
     assert(under.count() == 0)
   }
 
+  test("q48's bloom has zero false negatives over EVERY seen key (not just the gated nations)") {
+    import graft.operators.Relational.bloomRows
+    val seen = Tables.orders(spark, sfDir).select(col("o_custkey")).distinct()
+    val bits = bloomRows(seen, col("o_custkey")).select(col("pos")).distinct()
+    // probe the seen set itself: every key must find ALL its positions
+    val missed = bloomRows(seen, col("o_custkey"))
+      .join(bits.withColumn("hit", lit(1)), Seq("pos"), "left")
+      .groupBy(col("o_custkey")).agg(min(coalesce(col("hit"), lit(0))).as("all_set"))
+      .filter(col("all_set") === 0)
+    assert(missed.count() == 0)
+  }
+
+  test("q53's SQL rho equals the JVM numberOfLeadingZeros reference for every event") {
+    import graft.operators.Relational.{hllRows, HllP}
+    val rows = hllRows(Tables.events(spark, sfDir).select(col("user_id")), col("user_id"))
+      .select(xxhash64(col("user_id")).as("h"), col("bucket"), col("rho"))
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val h = r.getLong(0)
+      val x = h >>> HllP
+      val expected = if (x == 0) 64 - HllP + 1 else java.lang.Long.numberOfLeadingZeros(x) - HllP + 1
+      assert(r.getInt(2) == expected, s"h=$h x=$x")
+      assert(r.getLong(1) == java.lang.Math.floorMod(h, 1L << HllP))
+    }
+  }
+
+  test("q50's bounded posting head equals the first entries of the FULL posting list") {
+    val full = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("term"), col("doc_id")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(graft.operators.TextOps.PostingHead)).toMap
+    val got = SparkEntry.queries("q50_inverted_index")(spark, sfDir)
+      .select(col("term"), col("posting_head")).collect()
+      .map(r => r.getString(0) -> r.getString(1).split(",").map(_.toLong).toSeq).toMap
+    assert(got == full.map { case (t, ds) => t -> ds.toSeq })
+  }
+
   test("dd9 canonical map is a closure: canonical of canonical is itself, keep iff self") {
     val m = SparkEntry.queries("dd9_semantic_dedup")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
