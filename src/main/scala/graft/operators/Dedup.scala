@@ -526,5 +526,58 @@ object Dedup {
     doc = "SemDeDup: CC over IVF-verified embedding pairs at cos >= 0.45, min-id canonical election"
   )
 
-  val all: Seq[QueryDef] = Seq(dd1, dd2, dd3, dd4, dd6, dd7, dd8, dd9)
+  val SegTokens = 8
+  val SegDupDocs = 2
+
+  /** dd10 — repeated-span (line-level) dedup, the C4/RefinedWeb step
+    * that REMOVES boilerplate spans occurring across documents (dd8
+    * measures cross-doc overlap; this one deletes it). The fixture text
+    * has no sentence boundaries, so "lines" are the non-overlapping
+    * SegTokens-token segments of each document; a segment is boilerplate
+    * when its exact text occurs in ≥ SegDupDocs distinct documents.
+    * Emits per doc: segment count, removed count, and surviving token
+    * count — the cleaned-corpus size accounting a pipeline reports.
+    * Scale: one shuffle on the segment key for the document-frequency
+    * aggregation (map-side partials; input/SegTokens rows), one
+    * shuffle-join back, one per-doc aggregation. Production would
+    * shuffle xxhash64(seg) instead of the segment string (64-bit
+    * collisions are negligible and the exchange narrows ~6×); the
+    * string key is kept here because the oracle must replay exactly. */
+  val dd10 = QueryDef(
+    "dd10_line_dedup",
+    (s, d) => {
+      val segs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), posexplode(expr(
+          s"""transform(sequence(0, CAST(ceil(size(ts) / ${SegTokens}.0) AS INT) - 1),
+             |          i -> array_join(slice(ts, i * $SegTokens + 1, $SegTokens), ' '))""".stripMargin)))
+        .select(col("doc_id"), col("col").as("seg"),
+          size(split(col("col"), " ")).cast("long").as("seg_toks"))
+      val docFreq = segs.groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("seg_df"))
+      segs.join(docFreq, Seq("seg"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum((col("seg_df") >= SegDupDocs).cast("long")).as("n_removed"),
+          sum(when(col("seg_df") < SegDupDocs, col("seg_toks")).otherwise(lit(0L)))
+            .as("kept_tokens"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            |seg AS (
+            |  SELECT doc_id,
+            |    array_to_string(ts[(i * $SegTokens + 1):(i * $SegTokens + $SegTokens)], ' ') AS seg
+            |  FROM tok, LATERAL (
+            |    SELECT unnest(range(0, CAST(ceil(len(ts) / ${SegTokens}.0) AS BIGINT))) AS i) ix),
+            |segt AS (SELECT doc_id, seg,
+            |           CAST(len(string_split(seg, ' ')) AS BIGINT) AS seg_toks FROM seg),
+            |cnt AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segt GROUP BY seg)
+            |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+            |  CAST(sum(CASE WHEN c.seg_df >= $SegDupDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+            |  CAST(sum(CASE WHEN c.seg_df < $SegDupDocs THEN s.seg_toks ELSE 0 END) AS BIGINT)
+            |    AS kept_tokens
+            |FROM segt s JOIN cnt c USING (seg) GROUP BY s.doc_id""".stripMargin),
+    doc = "repeated-span removal (line-level dedup): cross-doc segment DF, per-doc cleaned accounting"
+  )
+
+  val all: Seq[QueryDef] = Seq(dd1, dd2, dd3, dd4, dd6, dd7, dd8, dd9, dd10)
 }
