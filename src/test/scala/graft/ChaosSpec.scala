@@ -81,6 +81,58 @@ class ChaosSpec extends SparkSpecBase {
     assert(finalRows == batchAnswer, "post-chaos checksums must equal the batch digest")
   }
 
+  test("CMS twin under injected sink failure: replayed batch does not double-count (EOS)") {
+    import graft.operators.Relational
+    ChaosProbe.reset()
+    ChaosProbe.failAtBatch = 1L
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-chaos-cms").toString
+    val ms = MemoryStream[Event]
+
+    def start() = Relational.cmsRows(ms.toDF().select(col("user_id")), col("user_id"))
+      .select(col("r"), col("bucket")).as[CmsIn]
+      .groupByKey(_.r)
+      .transformWithState(new CmsProcessor, org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.Encoders.product[CmsCell])
+      .toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        val tries = ChaosProbe.attempts.merge(batchId, 1, (a, b) => a + b)
+        if (batchId == ChaosProbe.failAtBatch && tries == 1) {
+          throw new RuntimeException("injected sink failure (chaos)")
+        }
+        ChaosProbe.byBatch.put(batchId, batch.collect())
+        ()
+      }
+      .outputMode("update").option("checkpointLocation", ckpt).start()
+
+    val chunks = sortedEvents.grouped(300).toSeq
+    val q1 = start()
+    ms.addData(chunks(0)); q1.processAllAvailable()
+    ms.addData(chunks(1))
+    intercept[Exception] { q1.processAllAvailable(); q1.awaitTermination() }
+    q1.stop()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      chunks.drop(2).foreach { c => ms.addData(c); q2.processAllAvailable() }
+    } finally q2.stop()
+    assert(ChaosProbe.attempts.get(1L) >= 2, "failed batch must have been retried")
+
+    // counters are monotone and the sink is idempotent per batch: the
+    // final sketch is max per cell; any double-application of the
+    // replayed batch would inflate cells above the batch sketch
+    val streamedCells = ChaosProbe.byBatch.values().toArray
+      .flatMap(_.asInstanceOf[Array[Row]])
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .groupBy(c => (c._1, c._2)).map { case ((r, b), cs) => (r, b, cs.map(_._3).max) }.toSet
+    val batchCells = Relational.cmsSketch(
+      Tables.events(spark, sfDir).select(col("user_id")), col("user_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamedCells == batchCells,
+      "post-chaos CMS cells must equal the batch sketch (no double counting)")
+  }
+
   test("watermark drops data later than grace, keeps data within grace") {
     implicit val sq = spark.sqlContext
     def ev(id: Long, hhmm: String, u: Long): Event =
