@@ -148,5 +148,72 @@ object Pipeline {
            |WHERE sz.doc_id NOT IN (SELECT doc_id FROM bench)""".stripMargin)
   )
 
-  val all: Seq[QueryDef] = Seq(td1, td2)
+  val PackChunks = 4
+
+  /** td3 — chunk-level packing pipeline: the round-5 capstone chaining
+    * three operators in ONE declarative plan, the prepare-for-training
+    * tail of a corpus pipeline:
+    *
+    *   1. repeated-span removal (dd10) → per-doc surviving token count;
+    *   2. context-window chunking (q45's formula) over the CLEANED
+    *      length → per-doc chunk count (0 chunks for fully-boilerplate
+    *      docs);
+    *   3. sequence packing (q40's two-level prefix-sum decomposition,
+    *      via Relational.runningSumBySource) in CHUNK units — PackChunks
+    *      chunks per training sequence group, per source shard.
+    *
+    * Stages fuse: Catalyst plans the dd10 aggregation, the chunk
+    * projection, and the pack assignment as one job with no
+    * materialization between them. Scale properties are inherited from
+    * the audited parts (dd10's segment-DF shuffle, q40's block-parallel
+    * prefix sum). */
+  val td3 = QueryDef(
+    "td3_chunk_pack_pipeline",
+    (s, d) => {
+      import TextOps.{ChunkSize, ChunkStride}
+      val cleaned = Dedup.dd10.fn(s, d).select(col("doc_id"), col("kept_tokens"))
+      val chunked = cleaned
+        .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("n_chunks",
+          when(col("kept_tokens") === 0, lit(0L))
+            .otherwise(expr(
+              s"1 + (greatest(kept_tokens - $ChunkSize, 0) + ${ChunkStride - 1}) div $ChunkStride")))
+      Relational.runningSumBySource(chunked, col("n_chunks"))
+        .withColumn("pack_id", expr(s"(cum - n_chunks) div $PackChunks"))
+        .groupBy(col("source"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chunks")).as("pack_chunks"),
+          min(col("doc_id")).as("first_doc"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+            |seg AS (
+            |  SELECT doc_id,
+            |    array_to_string(ts[(i * ${Dedup.SegTokens} + 1):(i * ${Dedup.SegTokens} + ${Dedup.SegTokens})], ' ') AS seg
+            |  FROM tok, LATERAL (
+            |    SELECT unnest(range(0, CAST(ceil(len(ts) / ${Dedup.SegTokens}.0) AS BIGINT))) AS i) ix),
+            |segt AS (SELECT doc_id, seg,
+            |           CAST(len(string_split(seg, ' ')) AS BIGINT) AS seg_toks FROM seg),
+            |cnt AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segt GROUP BY seg),
+            |clean AS (
+            |  SELECT s.doc_id,
+            |    sum(CASE WHEN c.seg_df < ${Dedup.SegDupDocs} THEN s.seg_toks ELSE 0 END) AS kept
+            |  FROM segt s JOIN cnt c USING (seg) GROUP BY s.doc_id),
+            |ch AS (
+            |  SELECT d.source, cl.doc_id,
+            |    CASE WHEN cl.kept = 0 THEN 0
+            |         ELSE 1 + (greatest(cl.kept - ${TextOps.ChunkSize}, 0) + ${TextOps.ChunkStride - 1})
+            |                  // ${TextOps.ChunkStride} END AS n_chunks
+            |  FROM clean cl JOIN documents d USING (doc_id)),
+            |c2 AS (
+            |  SELECT source, doc_id, n_chunks,
+            |    sum(n_chunks) OVER (PARTITION BY source ORDER BY doc_id
+            |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            |  FROM ch)
+            |SELECT source, CAST((cum - n_chunks) // $PackChunks AS BIGINT) AS pack_id,
+            |  CAST(count(*) AS BIGINT) AS n_docs,
+            |  CAST(sum(n_chunks) AS BIGINT) AS pack_chunks, min(doc_id) AS first_doc
+            |FROM c2 GROUP BY source, pack_id""".stripMargin),
+    doc = "chunk-pack pipeline: line-dedup -> chunk -> two-level pack, one fused plan"
+  )
+
+  val all: Seq[QueryDef] = Seq(td1, td2, td3)
 }

@@ -528,25 +528,37 @@ object Relational {
     * fixtures' 0–5k doc_id range. */
   val PackBudget = 200
   val PackBlock = 256
+
+  /** Two-level per-source running sum over doc_id order — q40's exact
+    * prefix-sum decomposition, reusable (td3 packs chunk counts through
+    * the same path). Input needs (source, doc_id, `v`) columns; output
+    * adds `cum` = running sum of `v` by doc_id within source. */
+  def runningSumBySource(df: DataFrame, v: Column): DataFrame = {
+    val wLocal = Window.partitionBy(col("source"), col("blk"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(col("source")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withBlk = df
+      .withColumn("blk", expr(s"doc_id div $PackBlock"))
+      .withColumn("__v", v)
+    val offsets = withBlk.groupBy(col("source"), col("blk"))
+      .agg(sum(col("__v")).as("btot"))
+      .select(col("source"), col("blk"),
+        coalesce(sum(col("btot")).over(wOff), lit(0L)).as("off"))
+    withBlk.withColumn("lcum", sum(col("__v")).over(wLocal))
+      .join(broadcast(offsets), Seq("source", "blk"))
+      .withColumn("cum", col("lcum") + col("off"))
+      .drop("blk", "lcum", "off", "__v")
+  }
+
   val q40 = QueryDef(
     "q40_sequence_packing",
     (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("source"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("tokens"))
-        .withColumn("blk", expr(s"doc_id div $PackBlock"))
-      val wLocal = Window.partitionBy(col("source"), col("blk"))
-        .orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wOff = Window.partitionBy(col("source")).orderBy(col("blk"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = docs.groupBy(col("source"), col("blk"))
-        .agg(sum(col("tokens")).as("btot"))
-        .select(col("source"), col("blk"),
-          coalesce(sum(col("btot")).over(wOff), lit(0L)).as("off"))
-      docs.withColumn("lcum", sum(col("tokens")).over(wLocal))
-        .join(broadcast(offsets), Seq("source", "blk"))
-        .withColumn("cum", col("lcum") + col("off"))
+      runningSumBySource(docs, col("tokens"))
         .withColumn("pack_id", expr(s"(cum - tokens) div $PackBudget"))
         .groupBy(col("source"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("pack_tokens"),

@@ -49,7 +49,8 @@ class QueriesSpec extends SparkSpecBase {
     "q47_topk_per_group" -> 25, "q48_bloom_membership" -> 25,
     "q49_reservoir_sample" -> 40, "q50_inverted_index" -> 31,
     "q51_tfidf_keywords" -> 2500, "q52_bloom_pruned_join" -> 7,
-    "q53_hll_cardinality" -> 1, "dd10_line_dedup" -> 500)
+    "q53_hll_cardinality" -> 1, "dd10_line_dedup" -> 500,
+    "td3_chunk_pack_pipeline" -> 173)
 
   test("registry covers every golden query and vice versa") {
     assert(SparkEntry.queries.keySet == goldenCounts.keySet)
