@@ -74,7 +74,18 @@ object AsyncOps {
 
   /** Stateful async map: `f` receives a [[KeyState]] scoped to the
     * record's key, with read-your-writes visibility across same-key
-    * invocations (the reference's async-processor state contract). */
+    * invocations (the reference's async-processor state contract).
+    *
+    * PARTITION-LOCAL STATE: like the reference — where Kafka's
+    * partitioning guarantees a key's records all hit one task and its
+    * store (AsyncProcessorSupplier.java:96-118, "single stateful
+    * processor" per task) — the state map lives per partition. The
+    * cross-invocation contract therefore requires same-key records to
+    * be co-located: feed this from `repartition($"key")`, a
+    * groupByKey-shaped upstream, or a source that is already
+    * key-partitioned. Keys split across partitions get independent
+    * per-partition states (no error is possible here because `keyOf`
+    * is an opaque function, not a Column). */
   def asyncMapPartitionsStateful[T, S, R: Encoder](
       ds: Dataset[T],
       parallelism: Int,

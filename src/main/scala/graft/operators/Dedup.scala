@@ -529,6 +529,21 @@ object Dedup {
   val SegTokens = 8
   val SegDupDocs = 2
 
+  /** Shared oracle CTE prefix (tok/seg/segt/cnt) — dd10's segmentation
+    * expressed once in SQL and interpolated into BOTH dd10's and td3's
+    * oracles, so the definition of a "segment" cannot drift between the
+    * query and the pipeline that composes it. */
+  val SegOracleCtes: String =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |seg AS (
+       |  SELECT doc_id,
+       |    array_to_string(ts[(i * $SegTokens + 1):(i * $SegTokens + $SegTokens)], ' ') AS seg
+       |  FROM tok, LATERAL (
+       |    SELECT unnest(range(0, CAST(ceil(len(ts) / ${SegTokens}.0) AS BIGINT))) AS i) ix),
+       |segt AS (SELECT doc_id, seg,
+       |           CAST(len(string_split(seg, ' ')) AS BIGINT) AS seg_toks FROM seg),
+       |cnt AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segt GROUP BY seg)""".stripMargin
+
   /** dd10 — repeated-span (line-level) dedup, the C4/RefinedWeb step
     * that REMOVES boilerplate spans occurring across documents (dd8
     * measures cross-doc overlap; this one deletes it). The fixture text
@@ -562,15 +577,7 @@ object Dedup {
           sum(when(col("seg_df") < SegDupDocs, col("seg_toks")).otherwise(lit(0L)))
             .as("kept_tokens"))
     },
-    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-            |seg AS (
-            |  SELECT doc_id,
-            |    array_to_string(ts[(i * $SegTokens + 1):(i * $SegTokens + $SegTokens)], ' ') AS seg
-            |  FROM tok, LATERAL (
-            |    SELECT unnest(range(0, CAST(ceil(len(ts) / ${SegTokens}.0) AS BIGINT))) AS i) ix),
-            |segt AS (SELECT doc_id, seg,
-            |           CAST(len(string_split(seg, ' ')) AS BIGINT) AS seg_toks FROM seg),
-            |cnt AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segt GROUP BY seg)
+    Some(s"""WITH $SegOracleCtes
             |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_segments,
             |  CAST(sum(CASE WHEN c.seg_df >= $SegDupDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
             |  CAST(sum(CASE WHEN c.seg_df < $SegDupDocs THEN s.seg_toks ELSE 0 END) AS BIGINT)

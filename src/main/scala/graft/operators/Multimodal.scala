@@ -205,9 +205,9 @@ object Multimodal {
     * re-encode, and decode the thumbnail BACK to report its dimensions —
     * a full codec round trip per row, no shuffle. The scratch target
     * image and its Graphics2D context are allocated ONCE per batch and
-    * reused across its rows (each drawImage repaints the full ThumbSize²
-    * rect, so no state leaks between rows) — the per-row amortization
-    * the batch seam exists for. */
+    * reused across its rows, with an explicit black reset per row so an
+    * unreadable payload cannot inherit the previous row's pixels — the
+    * per-row amortization the batch seam exists for. */
   def thumbnails(s: SparkSession, d: String): Dataset[Thumb] = {
     import s.implicits._
     pngTable(s, d).mapPartitions(mapMediaBatches(_) { batch =>
@@ -219,7 +219,13 @@ object Multimodal {
         java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
       val thumbs = batch.docIds.indices.map { i =>
         val img = readImage(batch.payloads(i))
-        gfx.drawImage(img, 0, 0, ThumbSize, ThumbSize, null)
+        // reset the shared canvas each row: an unreadable payload (null
+        // image) or a future alpha-channel source must not inherit the
+        // previous row's pixels — a black thumb is the per-row-allocation
+        // behavior this batch reuse replaced
+        gfx.setColor(java.awt.Color.BLACK)
+        gfx.fillRect(0, 0, ThumbSize, ThumbSize)
+        if (img != null) gfx.drawImage(img, 0, 0, ThumbSize, ThumbSize, null)
         val bytes = writePng(out)
         val back = readImage(bytes)
         Thumb(batch.docIds(i), batch.srcBytes(i), back.getWidth, back.getHeight,

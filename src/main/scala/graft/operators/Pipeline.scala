@@ -184,15 +184,7 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chunks")).as("pack_chunks"),
           min(col("doc_id")).as("first_doc"))
     },
-    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-            |seg AS (
-            |  SELECT doc_id,
-            |    array_to_string(ts[(i * ${Dedup.SegTokens} + 1):(i * ${Dedup.SegTokens} + ${Dedup.SegTokens})], ' ') AS seg
-            |  FROM tok, LATERAL (
-            |    SELECT unnest(range(0, CAST(ceil(len(ts) / ${Dedup.SegTokens}.0) AS BIGINT))) AS i) ix),
-            |segt AS (SELECT doc_id, seg,
-            |           CAST(len(string_split(seg, ' ')) AS BIGINT) AS seg_toks FROM seg),
-            |cnt AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segt GROUP BY seg),
+    Some(s"""WITH ${Dedup.SegOracleCtes},
             |clean AS (
             |  SELECT s.doc_id,
             |    sum(CASE WHEN c.seg_df < ${Dedup.SegDupDocs} THEN s.seg_toks ELSE 0 END) AS kept

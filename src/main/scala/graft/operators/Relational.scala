@@ -534,6 +534,9 @@ object Relational {
     * the same path). Input needs (source, doc_id, `v`) columns; output
     * adds `cum` = running sum of `v` by doc_id within source. */
   def runningSumBySource(df: DataFrame, v: Column): DataFrame = {
+    val reserved = Seq("blk", "__v", "lcum", "off", "cum").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"runningSumBySource reserves column names ${reserved.mkString(", ")} — rename them first")
     val wLocal = Window.partitionBy(col("source"), col("blk"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -812,6 +815,15 @@ object Relational {
         expr(s"explode(sequence(0, ${BloomHashes - 1}))").as("i"): _*)
       .withColumn("pos", pmod(xxhash64(key, col("i")), lit(BloomBits)))
 
+  /** False-positive allowance shared by q48's ok_fp and q52's ok_prune:
+    * 3× the analytic rate (1−e^{−kn/m})^k times the non-member
+    * population, plus one for rank discreteness in tiny groups. One
+    * implementation so the two Bloom gates cannot drift. */
+  def bloomFpBound(nSeen: Column, population: Column): Column =
+    ceil(lit(3.0) *
+      pow(lit(1.0) - exp(lit(-1.0) * BloomHashes * nSeen / BloomBits), BloomHashes) *
+      population) + lit(1)
+
   /** Q48 — declarative Bloom-filter membership, the runtime-filter /
     * decontamination structure (Spark's own InjectRuntimeFilter builds
     * the same BloomFilterAggregate shape to prune a fact scan by a
@@ -852,10 +864,7 @@ object Relational {
           min(when(col("has_orders") === 1, col("bloom_pos")).otherwise(lit(1)))
             .cast("int").as("ok_fn"),
           (sum(when(col("has_orders") === 0, col("bloom_pos")).otherwise(lit(0))) <=
-            ceil(lit(3.0) *
-              pow(lit(1.0) - exp(lit(-1.0) * BloomHashes * first(col("n_seen")) / BloomBits),
-                BloomHashes) *
-              sum(lit(1) - col("has_orders"))) + lit(1))
+            bloomFpBound(first(col("n_seen")), sum(lit(1) - col("has_orders"))))
             .cast("int").as("ok_fp"))
     },
     Some("""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
@@ -931,6 +940,27 @@ object Relational {
   def hllRegisters(df: DataFrame, key: Column): DataFrame =
     hllRows(df, key).groupBy(col("bucket")).agg(max(col("rho")).as("rho"))
 
+  /** Fold a register table (optionally per group) to one `est` column:
+    * the standard HLL estimator with the small-range linear-counting
+    * correction. ONE implementation shared by q53 (global) and q54
+    * (per window) — same no-drift policy as cmsRows/bloomRows. */
+  def hllEstimate(regs: DataFrame, groupCols: String*): DataFrame = {
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(sum(pow(lit(2.0), -col("rho"))).as("z_used"), count(lit(1)).as("used"))
+      .withColumn("z", col("z_used") + (lit(HllM) - col("used")))
+      .withColumn("v", lit(HllM) - col("used"))
+      .select(groupCols.map(col) :+
+        when(col("v") > 0 &&
+            lit(alpha * HllM.toDouble * HllM) / col("z") <= lit(2.5 * HllM),
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
+          .otherwise(lit(alpha * HllM.toDouble * HllM) / col("z")).as("est"): _*)
+  }
+
+  /** HLL gate shared by q53/q54: |est − exact| ≤ max(5%·exact, 3). */
+  def hllOk(est: Column, exact: Column): Column =
+    (abs(est - exact) <= greatest(lit(0.05) * exact, lit(3.0))).cast("int")
+
   /** Q53 — declarative HyperLogLog cardinality, completing the
     * hand-built sketch family (q46 CMS frequency, q48 Bloom membership,
     * q49 reservoir sample — each with a streaming twin; q23 exercises
@@ -946,23 +976,10 @@ object Relational {
     "q53_hll_cardinality",
     (s, d) => {
       val ev = Tables.events(s, d).select(col("user_id"))
-      val regs = hllRegisters(ev, col("user_id"))
-      val alpha = 0.7213 / (1.0 + 1.079 / HllM)
-      val est = regs
-        .agg(sum(pow(lit(2.0), -col("rho"))).as("z_used"), count(lit(1)).as("used"))
-        .select(
-          (col("z_used") + (lit(HllM) - col("used"))).as("z"),
-          (lit(HllM) - col("used")).as("v"))
-        .select(
-          when(col("v") > 0 &&
-              lit(alpha * HllM.toDouble * HllM) / col("z") <= lit(2.5 * HllM),
-            lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
-            .otherwise(lit(alpha * HllM.toDouble * HllM) / col("z")).as("est"))
+      val est = hllEstimate(hllRegisters(ev, col("user_id")))
       val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
       exact.crossJoin(broadcast(est))
-        .select(col("n_exact"),
-          (abs(col("est") - col("n_exact")) <=
-            greatest(lit(0.05) * col("n_exact"), lit(3.0))).cast("int").as("ok"))
+        .select(col("n_exact"), hllOk(col("est"), col("n_exact")).as("ok"))
     },
     Some("""SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, 1 AS ok
            |FROM events""".stripMargin),
@@ -1008,10 +1025,7 @@ object Relational {
         .select(col("o_year").cast("int").as("o_year"), col("n_orders"),
           (col("n_passed") >= col("n_orders")).cast("int").as("ok_contain"),
           (col("n_passed") - col("n_orders") <=
-            ceil(lit(3.0) *
-              pow(lit(1.0) - exp(lit(-1.0) * BloomHashes * col("n_seen") / BloomBits),
-                BloomHashes) *
-              (col("n_total") - col("n_orders"))) + lit(1))
+            bloomFpBound(col("n_seen"), col("n_total") - col("n_orders")))
             .cast("int").as("ok_prune"))
     },
     Some("""SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS o_year,

@@ -32,51 +32,6 @@ import org.apache.spark.sql.expressions.Window
 object WindowedAgg {
 
   /** Q7 — tumbling 1h window per user (TimeWindows.ofSizeWithNoGrace). */
-  /** q54 — approximate distinct users per tumbling hour: the canonical
-    * streaming-analytics sketch query, composing the hand-built HLL
-    * (Relational.hllRows, q53) with the window grouping (q07). Registers
-    * aggregate per (window, bucket) — ≤ 4096 rows per window through the
-    * exchange no matter how many events the hour held — then fold to one
-    * estimate per window with the linear-counting small-range correction.
-    * Gate per window (oracle-portable): |est − exact| ≤ max(5%·exact, 3);
-    * at the fixtures' ≤ 15-users-per-hour density the estimate is in the
-    * linear-counting regime where the error is ≪ the slack. */
-  val q54 = QueryDef(
-    "q54_window_distinct_hll",
-    (s, d) => {
-      import graft.operators.Relational.{hllRows, HllM}
-      val ev = Tables.events(s, d)
-        .select(window(col("ts"), "1 hour")("start").cast("long").as("window_start"),
-          col("user_id"))
-      val alpha = 0.7213 / (1.0 + 1.079 / HllM)
-      val est = hllRows(ev, col("user_id"))
-        .groupBy(col("window_start"), col("bucket")).agg(max(col("rho")).as("rho"))
-        .groupBy(col("window_start"))
-        .agg(sum(pow(lit(2.0), -col("rho"))).as("z_used"), count(lit(1)).as("used"))
-        .select(col("window_start"),
-          (col("z_used") + (lit(HllM) - col("used"))).as("z"),
-          (lit(HllM) - col("used")).as("v"))
-        .select(col("window_start"),
-          when(col("v") > 0 &&
-              lit(alpha * HllM.toDouble * HllM) / col("z") <= lit(2.5 * HllM),
-            lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v")))
-            .otherwise(lit(alpha * HllM.toDouble * HllM) / col("z")).as("est"))
-      Tables.events(s, d)
-        .select(window(col("ts"), "1 hour")("start").cast("long").as("window_start"),
-          col("user_id"))
-        .groupBy(col("window_start"))
-        .agg(countDistinct(col("user_id")).as("n_exact"))
-        .join(est, Seq("window_start"))
-        .select(col("window_start"), col("n_exact"),
-          (abs(col("est") - col("n_exact")) <=
-            greatest(lit(0.05) * col("n_exact"), lit(3.0))).cast("int").as("ok"))
-    },
-    Some("""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
-           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, 1 AS ok
-           |FROM events GROUP BY 1""".stripMargin),
-    doc = "per-window approximate distinct (HLL registers per hour bucket, gated vs exact)"
-  )
-
   val q07 = QueryDef(
     "q07_tumbling_window",
     (s, d) =>
@@ -271,6 +226,36 @@ object WindowedAgg {
            |FROM agg CROSS JOIN st
            |WHERE window_start + 3600 + 600 <= stream_time""".stripMargin),
     doc = "suppress-until-window-closes: final results only, emitted once past window_end + grace"
+  )
+
+  /** q54 — approximate distinct users per tumbling hour: the canonical
+    * streaming-analytics sketch query, composing the hand-built HLL
+    * (q53's shared hllRows/hllEstimate) with the window grouping (q07).
+    * Registers aggregate per (window, bucket) — ≤ 4096 rows per window
+    * through the exchange no matter how many events the hour held —
+    * then fold to one linear-counting-corrected estimate per window.
+    * Gate per window (oracle-portable): |est − exact| ≤ max(5%·exact, 3);
+    * at the fixtures' ≤ 15-users-per-hour density the estimate is in the
+    * linear-counting regime where the error is ≪ the slack. */
+  val q54 = QueryDef(
+    "q54_window_distinct_hll",
+    (s, d) => {
+      import graft.operators.Relational.{hllEstimate, hllOk, hllRows}
+      val ev = Tables.events(s, d)
+        .select(window(col("ts"), "1 hour")("start").cast("long").as("window_start"),
+          col("user_id"))
+      val regs = hllRows(ev, col("user_id"))
+        .groupBy(col("window_start"), col("bucket")).agg(max(col("rho")).as("rho"))
+      ev.groupBy(col("window_start"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(hllEstimate(regs, "window_start"), Seq("window_start"))
+        .select(col("window_start"), col("n_exact"),
+          hllOk(col("est"), col("n_exact")).as("ok"))
+    },
+    Some("""SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+           |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, 1 AS ok
+           |FROM events GROUP BY 1""".stripMargin),
+    doc = "per-window approximate distinct (HLL registers per hour bucket, gated vs exact)"
   )
 
   val all: Seq[QueryDef] = Seq(q07, q08, q09, q09b, q11, q37, q44, q54)

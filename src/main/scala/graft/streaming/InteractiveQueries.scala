@@ -33,6 +33,8 @@ object InteractiveQueries {
       stateVarName: String,
       batchId: Long = -1L): DataFrame = {
     val at = if (batchId >= 0) batchId else position(ckpt)
+    require(at >= 0,
+      s"no committed snapshot in checkpoint $ckpt yet — run at least one microbatch first")
     spark.read.format("statestore")
       .option("path", ckpt)
       .option("stateVarName", stateVarName)

@@ -22,13 +22,22 @@ object ReservoirProcessor {
   def isFlush(e: Event): Boolean = e.event_id < 0L
 
   /** Priority = first 48 bits of md5(event_id) — EXACTLY q49's
-    * `conv(substring(md5(cast(event_id as string)), 1, 12), 16, 10)`,
-    * so stream and batch sample identical rows. */
+    * `conv(substring(md5(cast(event_id as string)), 1, 12), 16, 10)`:
+    * the first 12 hex chars are the first 6 digest bytes big-endian,
+    * assembled directly (no hex round-trip). The digest instance is
+    * thread-local and reset per call — this sits on the streaming hot
+    * path, one call per record. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def priority(eventId: Long): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(String.valueOf(eventId).getBytes("UTF-8"))
-      .take(6).map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex, 16)
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(String.valueOf(eventId).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) | ((d(2) & 0xffL) << 24) |
+      ((d(3) & 0xffL) << 16) | ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
   }
 }
 
