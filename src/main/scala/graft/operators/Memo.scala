@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Shared memoization registry for per-(session, dir) intermediate
   * frames (the dd-family's grams/signatures/pairs, the multimodal PNG
@@ -34,8 +34,8 @@ private[graft] object Memo {
     caches.synchronized(caches.toList).foreach(_.filterInPlace { case ((ss, _), v) =>
       val keep = ss ne s
       if (!keep) v match {
-        case df: DataFrame => df.unpersist(false)
-        case (a: DataFrame, b: DataFrame) => a.unpersist(false); b.unpersist(false)
+        case df: Dataset[_] => df.unpersist(false)
+        case (a: Dataset[_], b: Dataset[_]) => a.unpersist(false); b.unpersist(false)
         case _ =>
       }
       keep
