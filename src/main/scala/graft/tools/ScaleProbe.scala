@@ -3,18 +3,19 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** 10× scale probe: synthesize a 10×-sf0.1 dataset (6M lineitem rows,
-  * 1M events over 1500 users, 50k documents where each original gains 9
-  * near-duplicate copies, 20k embeddings) and time the headline
-  * operators. Copies offset their keys so FK integrity holds and key
-  * cardinality (not per-key density) scales — the realistic corpus
-  * growth shape. Run: sbt "runMain graft.tools.ScaleProbe"
+/** N× scale probe: synthesize an N×-sf0.1 dataset (at 10×: 6M lineitem
+  * rows, 1M events over 1500 users, 50k documents where each original
+  * gains N−1 near-duplicate copies, 20k embeddings) and time the
+  * headline operators. Copies offset their keys so FK integrity holds
+  * and key cardinality (not per-key density) scales — the realistic
+  * corpus growth shape. Run: sbt "runMain graft.tools.ScaleProbe"
+  * (default N=10) or "runMain graft.tools.ScaleProbe 100 q02_agg ..."
+  * (N=100, optional explicit target list).
   */
 object ScaleProbe {
-  val N = 10
-  val Out = "/tmp/scale10"
-
   def main(args: Array[String]): Unit = {
+    val N = args.headOption.flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(10)
+    val Out = s"/tmp/scale$N"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -53,7 +54,7 @@ object ScaleProbe {
       println(f"PROBE datagen ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
 
-    val targets = Seq("q02_agg", "q04_join_chain", "q07_tumbling_window",
+    val defaults = Seq("q02_agg", "q04_join_chain", "q07_tumbling_window",
       "q08_hopping_window", "q09_session_window", "q10_interval_join",
       "q12_ttl_default", "q13b_ttl_from_key", "q14_dedup_first", "q17_topk",
       "q22_batch_by_key", "q36_asof_join", "q37_window_backward_fetch",
@@ -70,6 +71,7 @@ object ScaleProbe {
       "q49_reservoir_sample", "q50_inverted_index", "q51_tfidf_keywords",
       "q52_bloom_pruned_join", "q53_hll_cardinality", "dd10_line_dedup",
       "td3_chunk_pack_pipeline", "q54_window_distinct_hll")
+    val targets = if (args.length > 1) args.drop(1).toSeq else defaults
     for (name <- targets) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, Out).count()
