@@ -542,15 +542,19 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wOff = Window.partitionBy(col("source")).orderBy(col("blk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withBlk = df
+    val local = df
       .withColumn("blk", expr(s"doc_id div $PackBlock"))
       .withColumn("__v", v)
-    val offsets = withBlk.groupBy(col("source"), col("blk"))
-      .agg(sum(col("__v")).as("btot"))
+      .withColumn("lcum", sum(col("__v")).over(wLocal))
+    // block totals come from the WINDOWED output (a block's last lcum is
+    // its sum), not a second pass over the source — the offsets branch
+    // shares the window's (source, blk) exchange via ReuseExchange
+    // instead of re-scanning and re-tokenizing the input
+    val offsets = local.groupBy(col("source"), col("blk"))
+      .agg(max(col("lcum")).as("btot"))
       .select(col("source"), col("blk"),
         coalesce(sum(col("btot")).over(wOff), lit(0L)).as("off"))
-    withBlk.withColumn("lcum", sum(col("__v")).over(wLocal))
-      .join(broadcast(offsets), Seq("source", "blk"))
+    local.join(broadcast(offsets), Seq("source", "blk"))
       .withColumn("cum", col("lcum") + col("off"))
       .drop("blk", "lcum", "off", "__v")
   }
