@@ -990,6 +990,56 @@ object Relational {
     doc = "declarative HyperLogLog: integer-exact registers, linear-counting correction, 5% gate"
   )
 
+  /** Q55 — HLL set algebra: the payoff of OWNING the registers (vs an
+    * opaque built-in sketch) is that sketches compose — the union of
+    * two populations is the register-wise max-merge, and intersection
+    * follows by inclusion–exclusion, WITHOUT re-scanning either input.
+    * Estimates |purchasers|, |error users|, their union (merged
+    * registers) and intersection (est_a + est_b − est_union), gated
+    * against the exact counts: union within the q53 gate, intersection
+    * within max(5% of the exact union, 5) — inclusion–exclusion
+    * compounds the absolute errors of three estimates, each of which
+    * scales with its population, so the slack is union-relative (the
+    * standard caveat for HLL intersections). */
+  val q55 = QueryDef(
+    "q55_hll_set_ops",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select(col("user_id"))
+      val a = users("purchase")
+      val b = users("error")
+      def est(df: DataFrame, name: String) =
+        hllEstimate(hllRegisters(df, col("user_id"))).withColumnRenamed("est", name)
+      val exact = a.select(col("user_id"), lit(1).as("in_a"))
+        .distinct()
+        .join(b.select(col("user_id"), lit(1).as("in_b")).distinct(),
+          Seq("user_id"), "full_outer")
+        .agg(
+          sum(coalesce(col("in_a"), lit(0))).as("n_a"),
+          sum(coalesce(col("in_b"), lit(0))).as("n_b"),
+          count(lit(1)).as("n_union"),
+          sum(when(col("in_a") === 1 && col("in_b") === 1, 1).otherwise(0)).as("n_inter"))
+      exact
+        .crossJoin(broadcast(est(a, "est_a")))
+        .crossJoin(broadcast(est(b, "est_b")))
+        .crossJoin(broadcast(est(a.union(b), "est_union")))
+        .select(col("n_a"), col("n_b"), col("n_union"), col("n_inter"),
+          hllOk(col("est_union"), col("n_union")).as("ok_union"),
+          (abs(col("est_a") + col("est_b") - col("est_union") - col("n_inter")) <=
+            greatest(lit(0.05) * col("n_union"), lit(5.0))).cast("int").as("ok_inter"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+           |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+           |SELECT
+           |  CAST((SELECT count(*) FROM a) AS BIGINT) AS n_a,
+           |  CAST((SELECT count(*) FROM b) AS BIGINT) AS n_b,
+           |  CAST((SELECT count(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b)) AS BIGINT) AS n_union,
+           |  CAST((SELECT count(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS BIGINT) AS n_inter,
+           |  1 AS ok_union, 1 AS ok_inter""".stripMargin),
+    doc = "HLL set algebra: union = register max-merge, intersection by inclusion-exclusion, gated vs exact"
+  )
+
   /** Q52 — the Bloom filter USED: q48 builds and gates the sketch; this
     * query applies it as a runtime pre-filter on a fact table, the
     * InjectRuntimeFilter pattern. The "seen" set is BUILDING-segment
@@ -1045,5 +1095,5 @@ object Relational {
   val all: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24,
       q27, q28, q31, q32, q33, q34, q35, q38, q39, q40, q41, q42, q43, q46, q47,
-      q48, q49, q52, q53)
+      q48, q49, q52, q53, q55)
 }

@@ -50,7 +50,8 @@ class QueriesSpec extends SparkSpecBase {
     "q49_reservoir_sample" -> 40, "q50_inverted_index" -> 31,
     "q51_tfidf_keywords" -> 2500, "q52_bloom_pruned_join" -> 7,
     "q53_hll_cardinality" -> 1, "dd10_line_dedup" -> 500,
-    "td3_chunk_pack_pipeline" -> 173, "q54_window_distinct_hll" -> 531)
+    "td3_chunk_pack_pipeline" -> 173, "q54_window_distinct_hll" -> 531,
+    "q55_hll_set_ops" -> 1)
 
   test("registry covers every golden query and vice versa") {
     assert(SparkEntry.queries.keySet == goldenCounts.keySet)
