@@ -22,9 +22,6 @@ object CmsRestartProbe {
 class StreamingParitySpec extends SparkSpecBase {
   import spark.implicits._
 
-  private var qn = 0
-  private def nextName(): String = { qn += 1; s"paritysink$qn" }
-
   lazy val sortedEvents: Vector[Event] =
     Tables.events(spark, sfDir).as[Event].collect()
       .sortBy(e => (e.ts.getTime, e.event_id)).toVector
@@ -39,20 +36,17 @@ class StreamingParitySpec extends SparkSpecBase {
 
   def chunksOf(n: Int): Seq[Seq[Event]] = sortedEvents.grouped(n).toSeq
 
-  /** Replay chunks through a streaming transform into a memory sink. */
+  /** Replay chunks through a streaming transform via the public
+    * TopologyTestHarness (the ResponsiveTopologyTestDriver analog) —
+    * the parity suite dogfoods the same driver engine users get. */
   def runStream(
       transform: DataFrame => DataFrame,
       chunks: Seq[Seq[Event]],
       mode: String): DataFrame = {
-    implicit val sq = spark.sqlContext
-    val ms = MemoryStream[Event]
-    val name = nextName()
-    val q = transform(ms.toDF()).writeStream
-      .format("memory").queryName(name).outputMode(mode).start()
-    try {
-      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
-    } finally q.stop()
-    spark.table(name)
+    val h = TopologyTestHarness[Event](spark, transform, mode)
+    try chunks.foreach(h.pipe)
+    finally h.close()
+    h.results()
   }
 
   private def rows(df: DataFrame): Set[Seq[Any]] =
