@@ -258,5 +258,60 @@ object WindowedAgg {
     doc = "per-window approximate distinct (HLL registers per hour bucket, gated vs exact)"
   )
 
-  val all: Seq[QueryDef] = Seq(q07, q08, q09, q09b, q11, q37, q44, q54)
+  val WinHhK = 3
+
+  /** q56 — heavy hitters per tumbling hour: the CMS counterpart of q54's
+    * windowed HLL, closing the per-group form of the whole sketch
+    * family. One CMS per window (Relational.cmsRows fan-out grouped by
+    * (window, r, bucket) — ≤ depth × width counters per window through
+    * the exchange), probed at the exact per-window top-WinHhK users
+    * (bounded-heap TopKAgg, zero sorts) and gated by the sketch's own
+    * bounds exactly like q46: est ≥ exact always, est ≤ exact +
+    * 8·N_w/width with N_w the window's event count. */
+  val q56 = QueryDef(
+    "q56_window_heavy_hitters",
+    (s, d) => {
+      import graft.operators.Relational.cmsRows
+      val ev = Tables.events(s, d)
+        .select(window(col("ts"), "1 hour")("start").cast("long").as("window_start"),
+          col("user_id"))
+      val sketch = cmsRows(ev, col("user_id"))
+        .groupBy(col("window_start"), col("r"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val top = ev.groupBy(col("window_start"), col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+        .groupBy(col("window_start"))
+        .agg(graft.functions.SketchAggs.topk(
+          col("n_exact").cast("double"), col("user_id"), WinHhK).as("topk"))
+        .select(col("window_start"), posexplode(col("topk")))
+        .select(col("window_start"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("user_id"), col("col.score").cast("long").as("n_exact"))
+      val totals = ev.groupBy(col("window_start")).agg(count(lit(1)).as("n_w"))
+      cmsRows(top, col("user_id"))
+        .join(sketch, Seq("window_start", "r", "bucket"))
+        .groupBy(col("window_start"), col("rank"), col("user_id"), col("n_exact"))
+        .agg(min(col("c")).as("est"))
+        .join(totals, Seq("window_start"))
+        .select(col("window_start"), col("rank"), col("user_id"), col("n_exact"),
+          (col("est") >= col("n_exact") &&
+            col("est") <= col("n_exact") +
+              lit(8) * col("n_w") / lit(graft.operators.Relational.CmsWidth))
+            .cast("int").as("ok"))
+    },
+    Some(s"""WITH w AS (
+            |  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+            |    user_id
+            |  FROM events),
+            |per AS (SELECT window_start, user_id, CAST(count(*) AS BIGINT) AS n_exact
+            |        FROM w GROUP BY 1, 2),
+            |r AS (SELECT window_start, user_id, n_exact,
+            |        row_number() OVER (PARTITION BY window_start
+            |          ORDER BY n_exact DESC, user_id) AS rank
+            |      FROM per)
+            |SELECT window_start, CAST(rank AS INTEGER) AS rank, user_id, n_exact, 1 AS ok
+            |FROM r WHERE rank <= $WinHhK""".stripMargin),
+    doc = "per-window CMS heavy hitters: one bounded sketch per hour bucket, gated by CMS bounds"
+  )
+
+  val all: Seq[QueryDef] = Seq(q07, q08, q09, q09b, q11, q37, q44, q54, q56)
 }

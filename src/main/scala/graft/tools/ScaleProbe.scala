@@ -70,7 +70,8 @@ object ScaleProbe {
       "dd9_semantic_dedup", "q47_topk_per_group", "q48_bloom_membership",
       "q49_reservoir_sample", "q50_inverted_index", "q51_tfidf_keywords",
       "q52_bloom_pruned_join", "q53_hll_cardinality", "dd10_line_dedup",
-      "td3_chunk_pack_pipeline", "q54_window_distinct_hll", "q55_hll_set_ops")
+      "td3_chunk_pack_pipeline", "q54_window_distinct_hll", "q55_hll_set_ops",
+      "q56_window_heavy_hitters")
     val targets = if (args.length > 1) args.drop(1).toSeq else defaults
     for (name <- targets) {
       val t0 = System.nanoTime()
