@@ -17,7 +17,14 @@ final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    doc: String = ""
+    doc: String = "",
+    /** false = oracle-baseline plan that is deliberately NOT scalable
+      * (e.g. dd2/dd4's exhaustive O(n²) pair joins, kept as differential
+      * ground truth for their bucketed scale twins dd3/dd7). ScaleProbe
+      * skips these by default so a 100× run never hits an O(n²) wall,
+      * and users can query the flag before pointing a plan at a large
+      * input. */
+    scalePath: Boolean = true
 )
 
 /** Fixture table loaders (TESTDATA.md). All reads go through here so

@@ -224,7 +224,9 @@ object Dedup {
         .filter(col("jac") >= JaccardThreshold)
         .select(col("d1"), col("d2"), round(col("jac"), 3).as("jaccard"))
     },
-    Some(jaccardOracle)
+    Some(jaccardOracle),
+    doc = "exhaustive n-gram Jaccard pairs: O(n^2) oracle baseline for dd3",
+    scalePath = false
   )
 
   /** dd3 — MinHash + LSH near-dup pairs, verified with exact Jaccard on
@@ -254,7 +256,9 @@ object Dedup {
            |SELECT a.vec_id AS id1, b.vec_id AS id2,
            |  round(list_cosine_similarity(a.v, b.v), 3) AS cos_sim
            |FROM e a JOIN e b ON a.vec_id < b.vec_id
-           |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin)
+           |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin),
+    doc = "brute-force embedding cosine pairs: O(n^2) oracle baseline for dd7/dd9",
+    scalePath = false
   )
 
   val Dd7Anchors = 256
@@ -554,10 +558,15 @@ object Dedup {
     * count — the cleaned-corpus size accounting a pipeline reports.
     * Scale: one shuffle on the segment key for the document-frequency
     * aggregation (map-side partials; input/SegTokens rows), one
-    * shuffle-join back, one per-doc aggregation. Production would
-    * shuffle xxhash64(seg) instead of the segment string (64-bit
-    * collisions are negligible and the exchange narrows ~6×); the
-    * string key is kept here because the oracle must replay exactly. */
+    * shuffle-join back, one per-doc aggregation. Both exchanges carry
+    * xxhash64(seg) instead of the segment string — the raw text never
+    * leaves the map side, narrowing the exchange ~6× (8 bytes vs an
+    * avg ~50-byte segment). A 64-bit collision would merge two distinct
+    * segments' doc-frequency counts; at 100 TB (~1e12 segments) the
+    * birthday bound is ~3%, the same contract dd2/dd3 already accept
+    * for MinHash signatures. The oracle stays string-keyed: the output
+    * columns never expose the segment, so string vs hash keying is
+    * observationally identical absent a collision. */
   val dd10 = QueryDef(
     "dd10_line_dedup",
     (s, d) => {
@@ -566,11 +575,11 @@ object Dedup {
         .select(col("doc_id"), posexplode(expr(
           s"""transform(sequence(0, CAST(ceil(size(ts) / ${SegTokens}.0) AS INT) - 1),
              |          i -> array_join(slice(ts, i * $SegTokens + 1, $SegTokens), ' '))""".stripMargin)))
-        .select(col("doc_id"), col("col").as("seg"),
+        .select(col("doc_id"), xxhash64(col("col")).as("seg_h"),
           size(split(col("col"), " ")).cast("long").as("seg_toks"))
-      val docFreq = segs.groupBy(col("seg"))
+      val docFreq = segs.groupBy(col("seg_h"))
         .agg(countDistinct(col("doc_id")).as("seg_df"))
-      segs.join(docFreq, Seq("seg"))
+      segs.join(docFreq, Seq("seg_h"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_segments"),
           sum((col("seg_df") >= SegDupDocs).cast("long")).as("n_removed"),

@@ -72,7 +72,18 @@ object ScaleProbe {
       "q52_bloom_pruned_join", "q53_hll_cardinality", "dd10_line_dedup",
       "td3_chunk_pack_pipeline", "q54_window_distinct_hll", "q55_hll_set_ops",
       "q56_window_heavy_hitters")
-    val targets = if (args.length > 1) args.drop(1).toSeq else defaults
+    // Oracle-only plans (QueryDef.scalePath = false, e.g. dd2/dd4's
+    // O(n²) baselines) are skipped unless explicitly named on the
+    // command line — a full-registry probe must never hit a deliberate
+    // quadratic wall.
+    val byName = graft.SparkEntry.registry.map(q => q.name -> q).toMap
+    val explicit = args.length > 1
+    val requested = if (explicit) args.drop(1).toSeq else defaults
+    val targets = requested.filter { n =>
+      val keep = explicit || byName.get(n).forall(_.scalePath)
+      if (!keep) println(s"PROBE $n SKIPPED (scalePath=false: oracle-only baseline)")
+      keep
+    }
     for (name <- targets) {
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, Out).count()
