@@ -25,9 +25,9 @@ import org.apache.spark.sql.expressions.Window
   *
   * Scale: each query is a single shuffle on (window bucket, key); Spark's
   * windowed aggregation does map-side partial aggregation first. Hopping
-  * windows fan each row out size/slide = 4× before the partial agg — the
-  * same cost the reference pays writing each record to every overlapping
-  * window's store row.
+  * windows: the native ×(size/slide) fan-out collapses map-side at q08's
+  * 4× ratio; past ~12× use the slice decomposition (hoppingSliced), which
+  * ships each raw row once — measured crossover in HopRatioProbe.
   */
 object WindowedAgg {
 
@@ -48,7 +48,15 @@ object WindowedAgg {
   /** Q8 — hopping window, size 1h advance 15m
     * (TimeWindows.ofSizeAndGrace(...).advanceBy, integration test :262-264).
     * Each event lands in 4 windows; the oracle enumerates them with a
-    * 0..3 cross join on the slide grid. */
+    * 0..3 cross join on the slide grid.
+    *
+    * Plan choice, measured (HopRatioProbe over the 10× dataset): at
+    * this 4× window/slide ratio the native plan wins — its ×4 row
+    * fan-out collapses in the codegen'd map-side partial aggregate
+    * before the exchange, and slicing would add a second shuffle for
+    * nothing. The slice decomposition (hoppingSliced below) overtakes
+    * it past a ~12× ratio and is ~2× faster at 60× (1h/1m), so
+    * high-ratio hopping aggregations should use that form instead. */
   val q08 = QueryDef(
     "q08_hopping_window",
     (s, d) =>
@@ -62,6 +70,31 @@ object WindowedAgg {
            |FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) ks
            |GROUP BY 1, 2""".stripMargin)
   )
+
+  /** Hopping count/sum(value) per user via slice decomposition — raw
+    * rows aggregate ONCE per slide-grid slice and only the per-slice
+    * partials fan out ×(size/slide) to their windows (tumbling
+    * sub-windows, the classic "slicing" optimization: Li et al., "No
+    * Pane, No Gain", SIGMOD Record 2005). sizeSec must be a multiple of
+    * slideSec. Identical results to the native `window(ts, size,
+    * slide)` plan (count/sum are associative over slices; HopRatioProbe
+    * asserts exceptAll == 0); use this form when size/slide ≳ 12 —
+    * below that the native plan's map-side partial agg already absorbs
+    * the fan-out and this one's second shuffle just costs latency. */
+  def hoppingSliced(events: org.apache.spark.sql.DataFrame,
+                    sizeSec: Long, slideSec: Long): org.apache.spark.sql.DataFrame = {
+    val slices = (sizeSec / slideSec).toInt
+    events
+      .groupBy((expr(s"CAST(ts AS LONG) div $slideSec") * slideSec).as("slice_start"),
+        col("user_id"))
+      .agg(count(lit(1)).as("sn"), sum(col("value")).as("sv"))
+      .select(col("slice_start"), col("user_id"), col("sn"), col("sv"),
+        explode(expr(s"sequence(0, ${slices - 1})")).as("k"))
+      .withColumn("window_start", col("slice_start") - col("k") * slideSec)
+      .groupBy(col("window_start"), col("user_id"))
+      .agg(sum(col("sn")).as("n"), round(sum(col("sv")), 2).as("sum_value"))
+      .select(col("window_start"), col("user_id"), col("n"), col("sum_value"))
+  }
 
   /** Q9 — session window, 30 min inactivity gap
     * (SessionWindows.ofInactivityGapAndGrace,

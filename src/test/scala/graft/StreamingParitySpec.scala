@@ -556,6 +556,63 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(streamedCells == batch)
   }
 
+  test("per-window HLL: windowed twin's closed-window registers == batch q54, register-exact") {
+    import graft.operators.Relational
+    // stream side: the SAME hllRows construction q54 ships, tagged with
+    // the tumbling hour, keyed by window start; registers buffer in
+    // per-window MapState and emit ONCE when the watermark closes the
+    // window (suppress-until-close), then the window's state drops
+    val streamed = runStream(df => {
+      val ev = df.withWatermark("ts", "10 minutes")
+        .select(window(col("ts"), "1 hour")("start").cast("long").as("window_start"),
+          col("user_id"))
+      Relational.hllRows(ev, col("user_id"))
+        .select(col("window_start"), col("bucket"), col("rho")).as[WinHllIn]
+        .groupByKey(_.window_start)
+        .transformWithState(new WindowedHllProcessor(3600 * 1000L, 0L),
+          TimeMode.EventTime(), OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[WinHllReg])
+        .toDF()
+    }, chunksOf(500) :+ Seq(sentinel("view")), "append")
+    // the sentinel's own far-future window never closes, so its rows
+    // never emit — no filtering needed; every REAL window must have
+    // emitted its final register set exactly once
+    val ev = Tables.events(spark, sfDir)
+      .select(window(col("ts"), "1 hour")("start").cast("long").as("window_start"),
+        col("user_id"))
+    val batch = Relational.hllRows(ev, col("user_id"))
+      .groupBy(col("window_start"), col("bucket")).agg(max(col("rho")).as("rho"))
+    assert(rows(streamed) == rows(batch))
+    val dup = streamed.groupBy(col("window_start"), col("bucket")).count()
+      .filter(col("count") > 1)
+    assert(dup.count() == 0)
+  }
+
+  test("per-window CMS: windowed twin's closed-window cells == batch q56 sketch, cell-exact") {
+    import graft.operators.Relational
+    // per-window form of the CMS twin: keyed by (window, sketch row),
+    // counters accumulate across microbatches, final cells emit at
+    // window close — must equal the batch q56 per-window sketch exactly
+    val streamed = runStream(df => {
+      val ev = df.withWatermark("ts", "10 minutes")
+        .select(window(col("ts"), "1 hour")("start").cast("long").as("window_start"),
+          col("user_id"))
+      Relational.cmsRows(ev, col("user_id"))
+        .select(col("window_start"), col("r"), col("bucket")).as[WinCmsIn]
+        .groupByKey(x => (x.window_start, x.r))
+        .transformWithState(new WindowedCmsProcessor(3600 * 1000L, 0L),
+          TimeMode.EventTime(), OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[WinCmsCell])
+        .toDF()
+    }, chunksOf(500) :+ Seq(sentinel("view")), "append")
+    val ev = Tables.events(spark, sfDir)
+      .select(window(col("ts"), "1 hour")("start").cast("long").as("window_start"),
+        col("user_id"))
+    val batch = Relational.cmsRows(ev, col("user_id"))
+      .groupBy(col("window_start"), col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("HLL: streamed max-merged registers == batch q53 registers, register-exact") {
     import graft.operators.Relational
     val streamed = runStream(df => {
