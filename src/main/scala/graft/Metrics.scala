@@ -23,7 +23,14 @@ final case class QueryMetric(
     durationNs: Long,
     outputRows: Long,
     shuffleBytesWritten: Long,
-    failed: Boolean)
+    failed: Boolean,
+    /** Rows observed entering the query at its origin tap (-1 when the
+      * query has no [[Metrics.observeOrigin]] tap) — the reference's
+      * counted-once-at-origin telemetry
+      * (kafka-client/src/main/java/dev/responsive/kafka/internal/clients/OriginEventTracker.java):
+      * rows-IN accounting that survives every downstream filter/join,
+      * where outputRows only says what came OUT. */
+    originRows: Long = -1L)
 
 final class MetricsListener extends QueryExecutionListener {
   private val queue = new ConcurrentLinkedQueue[QueryMetric]()
@@ -62,7 +69,9 @@ final class MetricsListener extends QueryExecutionListener {
       // first operator (closest to the root) that reports produced rows
       rootRows(qe),
       metricSum(qe, "shuffleBytesWritten"),
-      failed = false))
+      failed = false,
+      originRows = qe.observedMetrics.get(Metrics.OriginTap)
+        .map(_.getAs[Long]("rows_in")).getOrElse(-1L)))
 
   override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
     queue.add(QueryMetric(funcName, -1L, -1L, -1L, failed = true))
@@ -74,6 +83,26 @@ final class MetricsListener extends QueryExecutionListener {
 }
 
 object Metrics {
+  /** Name of the origin observation tap. */
+  val OriginTap = "origin"
+
+  /** Tap a DataFrame at its origin so every downstream action ALSO
+    * reports how many rows entered the pipeline — the analog of the
+    * reference's origin-event accounting (OriginEventReporterImpl.java:
+    * each record is counted exactly once, where it first appears, no
+    * matter how many operators touch it afterwards). Implemented as
+    * `df.observe` — a CollectMetrics node, a zero-shuffle accumulator
+    * tap in the plan, NOT a second scan.
+    *
+    * Batch: the count lands in QueryMetric.originRows via the attached
+    * MetricsListener. Streaming: the same tap surfaces per micro-batch
+    * in StreamingQueryProgress.observedMetrics("origin") — attach at
+    * the readStream source before any transform. */
+  def observeOrigin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    df.observe(OriginTap, count(lit(1)).as("rows_in"))
+  }
+
   /** Attach a fresh listener to the session and return it. */
   def attach(spark: SparkSession): MetricsListener = {
     val l = new MetricsListener

@@ -17,10 +17,18 @@ import org.apache.spark.sql.functions._
 object Sharding {
 
   /** Write `df` as `numShards` range-partitioned shards sorted by `key`.
-    * Returns the written row count. */
+    * Returns the written row count, collected from the write job itself
+    * via an Observation (CollectMetrics node in the write plan) — NOT by
+    * re-reading the output, which at 100 TB would be a second full scan
+    * of the export just to produce a number the job already knew. */
   def writeSorted(df: DataFrame, key: String, numShards: Int, path: String): Long = {
-    val out = df.repartitionByRange(numShards, col(key)).sortWithinPartitions(key)
-    out.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path).count()
+    val obs = org.apache.spark.sql.Observation()
+    // the tap sits ABOVE the range exchange: repartitionByRange runs a
+    // boundary-sampling pass over its child, and a tap below the
+    // exchange would count every row twice (sample + real pass)
+    df.repartitionByRange(numShards, col(key)).sortWithinPartitions(key)
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(path)
+    obs.get("rows").asInstanceOf[Long]
   }
 }

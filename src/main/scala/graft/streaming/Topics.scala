@@ -81,7 +81,20 @@ object Topics {
     }
 
   /** Streaming write (`.to(topic)`): kafka sinks get the to_json value
-    * projection; file sinks append parquet with a checkpoint. */
+    * projection; file sinks append parquet with a checkpoint.
+    *
+    * A file topic with a `partitionBy` option (comma-separated columns)
+    * becomes a streaming LAKEHOUSE sink: every micro-batch appends into
+    * the hive partition layout of Lakehouse.writePartitioned, so batch
+    * readers prune on the partition predicate immediately — the
+    * stream-to-table seam. The cost of incremental appends is sliver
+    * files (a day of 5-minute batches = 288 files per partition);
+    * Lakehouse.compact(inPath, outPath, target, partitionCols) is the
+    * companion that rewrites the layout into size-bounded files —
+    * LakehouseSpec drives the full stream → slivers → compact cycle.
+    * The `_spark_metadata` commit log the sink maintains is what makes
+    * the directory exactly-once for readers (only committed files are
+    * listed), the checkpoint/changelog analog of SURVEY §2.9. */
   def writeStream(df: DataFrame, t: Topic): DataStreamWriter[Row] =
     t.format match {
       case "kafka" =>
@@ -89,10 +102,14 @@ object Topics {
           .writeStream.format("kafka")
           .options(kafkaWriterOptions(t))
       case "file" =>
-        df.writeStream.format("parquet")
+        val w = df.writeStream.format("parquet")
           .option("path", t.options.getOrElse("path", t.name))
           .option("checkpointLocation",
             t.options.getOrElse("checkpointLocation", t.options.getOrElse("path", t.name) + "/_chk"))
+        t.options.get("partitionBy") match {
+          case Some(cols) => w.partitionBy(cols.split(',').map(_.trim): _*)
+          case None => w
+        }
       case other =>
         throw new IllegalArgumentException(s"unsupported sink format '$other'")
     }

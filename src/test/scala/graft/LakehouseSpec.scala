@@ -127,6 +127,52 @@ class LakehouseSpec extends SparkSpecBase with org.scalatest.BeforeAndAfterAll {
     assert(spark.read.parquet(zOut).count() == li.count())
   }
 
+  test("streaming lakehouse sink: partitioned appends per micro-batch, then compaction") {
+    import graft.streaming.{Event, Topic, Topics}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = tmp("streamsink")
+    val out = tmp("streamsink-compacted")
+
+    val events = Tables.events(spark, sfDir).as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id)).toVector
+    val ms = MemoryStream[Event]
+    val topic = Topic("events_lake", "file",
+      Map("path" -> dir, "partitionBy" -> "event_type"))
+    val q = Topics.writeStream(ms.toDF(), topic).outputMode("append").start()
+    try events.grouped(250).foreach { c => ms.addData(c); q.processAllAvailable() }
+    finally q.stop()
+
+    // hive partition layout straight off the stream
+    val dirs = new java.io.File(dir).listFiles
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("event_type=")).sorted
+    assert(dirs.length >= 4, s"expected >=4 event_type partitions, got ${dirs.mkString(",")}")
+    // the incremental-append cost this sink design accepts: each of the
+    // 4 micro-batches appended its own file(s) into every touched
+    // partition — the 288-slivers/day shape compact exists to fix
+    val sliverCounts = dirs.map(d => parquetFiles(s"$dir/$d").length)
+    assert(sliverCounts.max >= 4, s"expected >=4 sliver files in some partition: ${sliverCounts.mkString(",")}")
+    // exactly-once read-back through the sink's _spark_metadata commit log
+    val back = spark.read.parquet(dir)
+    assert(back.count() == events.size)
+    // partition pruning works immediately on the streamed layout
+    val plan = back.filter(col("event_type") === "view").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"), plan.take(500))
+
+    // compact the slivers: same layout, bounded file count, same rows
+    Lakehouse.compact(spark, dir, out, 10000L, partitionCols = Seq("event_type"))
+    val outDirs = new java.io.File(out).listFiles.filter(_.isDirectory).map(_.getName)
+    assert(outDirs.sorted.sameElements(dirs), s"layout changed: ${outDirs.mkString(",")}")
+    assert(parquetFiles(out).length == outDirs.length,
+      s"expected one file per partition after compaction, got ${parquetFiles(out).length}")
+    val a = spark.read.parquet(out).select("event_id", "event_type")
+      .orderBy("event_id").collect().toSeq
+    val b = Tables.events(spark, sfDir).select("event_id", "event_type")
+      .orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("partitioned compaction keeps the hive layout") {
     val in = tmp("pslivers")
     val out = tmp("pcompacted")

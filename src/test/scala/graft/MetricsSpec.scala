@@ -39,4 +39,49 @@ class MetricsSpec extends SparkSpecBase {
       assert(snap.exists(_.shuffleBytesWritten > 0), s"expected shuffle bytes, got $snap")
     } finally Metrics.detach(spark, l)
   }
+
+  test("origin-event accounting (batch): rows-in counted at the source tap") {
+    val l = Metrics.attach(spark)
+    try {
+      l.clear()
+      val events = Tables.events(spark, sfDir)
+      val total = events.count()
+      // heavy downstream filtering: outputRows shrinks, originRows must not
+      val kept = Metrics.observeOrigin(events)
+        .filter(col("event_type") === "purchase").count()
+      assert(kept < total)
+      val snap = awaitMetrics(l)(_.exists(_.originRows >= 0))
+      val m = snap.filter(_.originRows >= 0)
+      assert(m.nonEmpty, s"no origin-tapped metric recorded: $snap")
+      assert(m.last.originRows == total,
+        s"originRows=${m.last.originRows}, expected $total (input), output was $kept")
+      // untapped queries stay unaccounted rather than wrong
+      assert(snap.exists(_.originRows == -1L))
+    } finally Metrics.detach(spark, l)
+  }
+
+  test("origin-event accounting (streaming): per-batch observed input counts") {
+    import graft.streaming.Event
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val events = Tables.events(spark, sfDir).as[Event].collect().toVector
+    val ms = MemoryStream[Event]
+    // tap at the source, then aggregate — the origin count must reflect
+    // raw rows in, not post-aggregation output
+    val q = Metrics.observeOrigin(ms.toDF())
+      .groupBy(col("event_type")).count()
+      .writeStream.format("memory").queryName("originsink")
+      .outputMode("complete").start()
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      events.grouped(250).foreach { c =>
+        ms.addData(c)
+        q.processAllAvailable()
+        // each micro-batch's progress reports the rows that entered it
+        seen += q.lastProgress.observedMetrics.get(Metrics.OriginTap).getAs[Long]("rows_in")
+      }
+    } finally q.stop()
+    assert(seen.forall(_ == 250L), s"per-batch origin counts: $seen")
+    assert(seen.sum == events.size)
+  }
 }
