@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.VectorExprs
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines: exact (hash),
@@ -556,17 +557,26 @@ object Dedup {
     * when its exact text occurs in ≥ SegDupDocs distinct documents.
     * Emits per doc: segment count, removed count, and surviving token
     * count — the cleaned-corpus size accounting a pipeline reports.
-    * Scale: one shuffle on the segment key for the document-frequency
-    * aggregation (map-side partials; input/SegTokens rows), one
-    * shuffle-join back, one per-doc aggregation. Both exchanges carry
+    * Scale (single-pass shape): the segmentation projection — the real
+    * CPU cost (split/slice/array_join over every token) — runs ONCE.
+    * The obvious self-join form (segments ⋈ per-segment doc-frequency)
+    * plans TWO scans+segmentations, because column pruning makes the
+    * two exchange subtrees differ and defeats ReuseExchange, and its
+    * frequency side only broadcasts while the distinct-segment set fits
+    * in memory — at 100 TB it is a second giant exchange. Instead:
+    * collapse to one row per (segment, doc) on a single seg_h exchange
+    * (hashpartitioning(seg_h) satisfies the (seg_h, doc_id) grouping),
+    * compute the document frequency as a WINDOW count over seg_h on the
+    * same partitioning (no join, no second exchange, no broadcast),
+    * then one final per-doc aggregation exchange. Both exchanges carry
     * xxhash64(seg) instead of the segment string — the raw text never
-    * leaves the map side, narrowing the exchange ~6× (8 bytes vs an
-    * avg ~50-byte segment). A 64-bit collision would merge two distinct
-    * segments' doc-frequency counts; at 100 TB (~1e12 segments) the
-    * birthday bound is ~3%, the same contract dd2/dd3 already accept
-    * for MinHash signatures. The oracle stays string-keyed: the output
-    * columns never expose the segment, so string vs hash keying is
-    * observationally identical absent a collision. */
+    * leaves the map side (8 bytes vs an avg ~50-byte segment). A 64-bit
+    * collision would merge two distinct segments' doc frequencies; at
+    * 100 TB (~1e12 segments) the birthday bound is ~3%, the same
+    * contract dd2/dd3 already accept for MinHash signatures. The oracle
+    * stays string-keyed: the output never exposes the segment, so
+    * string vs hash keying is observationally identical absent a
+    * collision. */
   val dd10 = QueryDef(
     "dd10_line_dedup",
     (s, d) => {
@@ -577,13 +587,19 @@ object Dedup {
              |          i -> array_join(slice(ts, i * $SegTokens + 1, $SegTokens), ' '))""".stripMargin)))
         .select(col("doc_id"), xxhash64(col("col")).as("seg_h"),
           size(split(col("col"), " ")).cast("long").as("seg_toks"))
-      val docFreq = segs.groupBy(col("seg_h"))
-        .agg(countDistinct(col("doc_id")).as("seg_df"))
-      segs.join(docFreq, Seq("seg_h"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_segments"),
-          sum((col("seg_df") >= SegDupDocs).cast("long")).as("n_removed"),
-          sum(when(col("seg_df") < SegDupDocs, col("seg_toks")).otherwise(lit(0L)))
+      val perDocSeg = segs.repartition(col("seg_h"))
+        .groupBy(col("seg_h"), col("doc_id"))
+        .agg(count(lit(1)).as("inst"), sum(col("seg_toks")).as("toks"))
+      // rows are distinct (segment, doc) pairs now, so a plain window
+      // count over seg_h IS the distinct-document frequency — and it
+      // runs on the partitioning the aggregation just used
+      val withDf = perDocSeg.withColumn("seg_df",
+        count(lit(1)).over(Window.partitionBy(col("seg_h"))))
+      withDf.groupBy(col("doc_id"))
+        .agg(sum(col("inst")).as("n_segments"),
+          sum(when(col("seg_df") >= SegDupDocs, col("inst")).otherwise(lit(0L)))
+            .as("n_removed"),
+          sum(when(col("seg_df") < SegDupDocs, col("toks")).otherwise(lit(0L)))
             .as("kept_tokens"))
     },
     Some(s"""WITH $SegOracleCtes
