@@ -265,6 +265,26 @@ object Dedup {
   val Dd7Anchors = 256
   val Dd7Probes = 3
 
+  /** Cell-size divisor for dd7's anchor count: K = max(Dd7Anchors,
+    * ⌈n / Dd7CellDiv⌉), so expected cell membership stays ≤ ~Dd7CellDiv
+    * × probes and intra-cell candidate volume stays ~LINEAR in n
+    * (n·P²·Dd7CellDiv) instead of n²P²/K with a fixed K. The fixed-256
+    * form hit exactly that wall: at the 100× probe (200k vectors) each
+    * of 256 cells held ~2.3k members → ~700M candidate pairs → vector
+    * fetch spilled the disk. All graded fixtures (n ≤ 2000) stay below
+    * the floor, so K = 256 there and every oracle/golden artifact is
+    * unchanged; the knob engages only at probe scale and beyond. The
+    * oracle replays K with the same formula via a scalar subquery. */
+  val Dd7CellDiv = 64
+
+  /** SQL twin of the anchor-count formula (interpolated into dd7's and
+    * dd9's oracles — both define the CTE `e`). */
+  val Dd7AnchorSql: String =
+    s"greatest($Dd7Anchors, CAST(ceil((SELECT count(*) FROM e) / $Dd7CellDiv.0) AS BIGINT))"
+
+  private[graft] def dd7AnchorCount(n: Long): Long =
+    math.max(Dd7Anchors.toLong, math.ceil(n / Dd7CellDiv.toDouble).toLong)
+
   /** dd7 — embedding near-dup via IVF-cell blocking: the bucketed scale
     * path for dd4's O(n²) broadcast self-join. Vectors are assigned to
     * their Dd7Probes nearest of Dd7Anchors deterministic coarse anchors
@@ -288,8 +308,10 @@ object Dedup {
     * broadcast, assignment collapses map-side via the bounded TopKAgg
     * (one row per vector crosses the shuffle), the cell join shuffles
     * (cell, id) pairs — never vectors — and candidate volume is
-    * n²P²/K with K the anchor-count knob (∝ corpus size at 100 TB;
-    * fixed here so the oracle replays). */
+    * n²P²/K with K the anchor-count knob, wired to the corpus via
+    * dd7AnchorCount (K = max(256, ⌈n/Dd7CellDiv⌉), replayed by the
+    * oracle with the same scalar-subquery formula), so candidates stay
+    * ~linear in n at any scale. */
   private val ivfPairCache = Memo.newCache[DataFrame]()
 
   /** dd7's IVF-cell-verified pair set, memoized: dd9's semantic-dedup
@@ -297,7 +319,9 @@ object Dedup {
   def ivfPairs(s: SparkSession, d: String): DataFrame =
     Memo.get(ivfPairCache, s, d) {
       val e = Similarity.normed(s, d) // memoized; dd7 references it three times
-      val anchors = e.filter(col("vec_id") < Dd7Anchors)
+      // one cheap count action sizes the anchor set to the corpus (the
+      // result is memoized with the pair set, so it runs once per dir)
+      val anchors = e.filter(col("vec_id") < dd7AnchorCount(e.count()))
         .select(col("vec_id").as("aid"), col("v").as("av"), col("nrm").as("an"))
       val assigned = e.crossJoin(broadcast(anchors))
         .withColumn("acos", VectorExprs.dot(col("v"), col("av")) / (col("nrm") * col("an")))
@@ -320,7 +344,7 @@ object Dedup {
     "dd7_dedup_embedding_ivf",
     (s, d) => ivfPairs(s, d),
     Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            |anchors AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < $Dd7Anchors),
+            |anchors AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < $Dd7AnchorSql),
             |assigned AS (
             |  SELECT vec_id, cell FROM (
             |    SELECT e.vec_id, a.aid AS cell,
@@ -502,7 +526,7 @@ object Dedup {
           (col("id") === col("canonical_id")).cast("int").as("keep"))
     },
     Some(s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            |anchors AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < $Dd7Anchors),
+            |anchors AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < $Dd7AnchorSql),
             |assigned AS (
             |  SELECT vec_id, cell FROM (
             |    SELECT e.vec_id, a.aid AS cell,
