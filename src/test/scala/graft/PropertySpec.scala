@@ -189,6 +189,24 @@ class PropertySpec extends SparkSpecBase {
     assert(got == full.map { case (t, ds) => t -> ds.toSeq })
   }
 
+  test("hoppingSliced equals the native hopping plan at every ratio") {
+    // the slice decomposition is only worth shipping if it is EXACTLY
+    // the same function as window(ts, size, slide) — count/sum must be
+    // associative over the slide-grid slices at any window/slide ratio
+    val ev = Tables.events(spark, sfDir)
+    for ((size, slide) <- Seq((3600L, 900L), (3600L, 300L), (7200L, 600L))) {
+      val native = ev
+        .groupBy(window(col("ts"), s"$size seconds", s"$slide seconds"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("long").as("window_start"),
+          col("user_id"), col("n"), col("sum_value"))
+      val sliced = graft.operators.WindowedAgg.hoppingSliced(ev, size, slide)
+      assert(sliced.exceptAll(native).count() == 0 &&
+        native.exceptAll(sliced).count() == 0,
+        s"sliced != native at size=$size slide=$slide")
+    }
+  }
+
   test("dd9 canonical map is a closure: canonical of canonical is itself, keep iff self") {
     val m = SparkEntry.queries("dd9_semantic_dedup")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -13,6 +13,11 @@ object CmsRestartProbe {
   val cells = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
 }
 
+/** Same, for the per-window CMS twin's restart test. */
+object WinCmsRestartProbe {
+  val cells = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Long, Long)]()
+}
+
 /** Stream==batch parity (SURVEY §7 step 3): replay the events fixture
   * through Structured Streaming in ts-ordered chunks and assert the final
   * result equals the batch answer for the same logical query — the
@@ -611,6 +616,50 @@ class StreamingParitySpec extends SparkSpecBase {
     val batch = Relational.cmsRows(ev, col("user_id"))
       .groupBy(col("window_start"), col("r"), col("bucket")).agg(count(lit(1)).as("c"))
     assert(rows(streamed) == rows(batch))
+  }
+
+  test("per-window CMS twin survives checkpoint restart: counters, timers and windows intact") {
+    import graft.operators.Relational
+    implicit val sq = spark.sqlContext
+    WinCmsRestartProbe.cells.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wincms-ckpt").toString
+    val ms = MemoryStream[Event]
+    def start() = {
+      val ev = ms.toDF().withWatermark("ts", "10 minutes")
+        .select(window(col("ts"), "1 hour")("start").cast("long").as("window_start"),
+          col("user_id"))
+      Relational.cmsRows(ev, col("user_id"))
+        .select(col("window_start"), col("r"), col("bucket")).as[WinCmsIn]
+        .groupByKey(x => (x.window_start, x.r))
+        .transformWithState(new WindowedCmsProcessor(3600 * 1000L, 0L),
+          TimeMode.EventTime(), OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[WinCmsCell])
+        .toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r => WinCmsRestartProbe.cells.add(
+            (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))))
+        }
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    }
+    // crash mid-stream: open windows must restore their counters AND
+    // their close timers from the checkpoint, not restart from zero
+    val chunks = chunksOf(500)
+    val (front, back) = chunks.splitAt(chunks.size / 2)
+    val q1 = start()
+    try { front.foreach { c => ms.addData(c); q1.processAllAvailable() } }
+    finally q1.stop()
+    val q2 = start()
+    try {
+      (back :+ Seq(sentinel("view"))).foreach { c => ms.addData(c); q2.processAllAvailable() }
+    } finally q2.stop()
+    val got = WinCmsRestartProbe.cells.toArray(Array.empty[(Long, Int, Long, Long)]).toSet
+    val ev = Tables.events(spark, sfDir)
+      .select(window(col("ts"), "1 hour")("start").cast("long").as("window_start"),
+        col("user_id"))
+    val batch = Relational.cmsRows(ev, col("user_id"))
+      .groupBy(col("window_start"), col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == batch)
   }
 
   test("HLL: streamed max-merged registers == batch q53 registers, register-exact") {
