@@ -71,6 +71,23 @@ object WindowedAgg {
            |GROUP BY 1, 2""".stripMargin)
   )
 
+  /** Q8b — the SAME hopping aggregation at a HIGH window/slide ratio
+    * (1h size, 5m advance = 12 windows per event), shipped through the
+    * slice decomposition: this is the ratio regime where the naive
+    * fan-out plan's hash-aggregate work grows ×ratio and hoppingSliced
+    * overtakes it (HopRatioProbe). Registered so the scale path is
+    * driver-graded against the enumerating oracle, not just spec'd
+    * equivalent to the native plan. */
+  val q08b = QueryDef(
+    "q08b_hopping_sliced",
+    (s, d) => hoppingSliced(Tables.events(s, d), 3600L, 300L),
+    Some("""SELECT CAST(floor(epoch(ts) / 300) * 300 - k * 300 AS BIGINT) AS window_start,
+           |  user_id, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM events CROSS JOIN (SELECT unnest(range(12)) AS k) ks
+           |GROUP BY 1, 2""".stripMargin),
+    doc = "hopping window at 12x window/slide via slice decomposition (the high-ratio scale path)"
+  )
+
   /** Hopping count/sum(value) per user via slice decomposition — raw
     * rows aggregate ONCE per slide-grid slice and only the per-slice
     * partials fan out ×(size/slide) to their windows (tumbling
@@ -346,5 +363,5 @@ object WindowedAgg {
     doc = "per-window CMS heavy hitters: one bounded sketch per hour bucket, gated by CMS bounds"
   )
 
-  val all: Seq[QueryDef] = Seq(q07, q08, q09, q09b, q11, q37, q44, q54, q56)
+  val all: Seq[QueryDef] = Seq(q07, q08, q08b, q09, q09b, q11, q37, q44, q54, q56)
 }
