@@ -86,8 +86,18 @@ object ScaleProbe {
     }
     for (name <- targets) {
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, Out).count()
-      println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+      // per-query catch: one blown query (OOM, disk-full spill) must not
+      // kill the rest of the list — a crash mid-run looks like a clean
+      // short log once piped through grep (how dd7's 100× wall went
+      // unnoticed for two rounds)
+      try {
+        val n = graft.SparkEntry.queries(name)(spark, Out).count()
+        println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+      } catch {
+        case e: Throwable =>
+          println(f"PROBE $name%-28s FAILED after ${(System.nanoTime() - t0) / 1e9}%.1f s: " +
+            String.valueOf(e.getMessage).take(200))
+      }
     }
     spark.stop()
   }
