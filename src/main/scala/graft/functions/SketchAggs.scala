@@ -228,10 +228,61 @@ final class TopKBuf(k: Int) {
   }
 }
 
+/** Per-ROW MinHash signature over a gram-hash array — the scalar twin of
+  * [[MinHashAgg]] (same XXH64.hashLong slot family, pinned equal by a
+  * property test), for paths where each document is one row and no
+  * aggregation exists to fold through: the streaming dedup-at-ingest
+  * pipeline computes signatures with this inside a plain projection,
+  * so its banding keys are bit-identical to the batch index's. */
+case class MinHashArray(child: Expression, numHashes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashArray.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    // one static call keeps the projection inside whole-stage codegen;
+    // the tight hash loop itself lives in ONE JIT-compiled method
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashArray$$.MODULE$$.compute($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashArray =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_array"
+}
+
+object MinHashArray {
+  /** slot i = min over gram hashes of XXH64.hashLong(gh, seed=i) —
+    * verbatim the MinHashAgg update/merge result for the same grams. */
+  def compute(ghs: ArrayData, numHashes: Int): ArrayData = {
+    val buf = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < ghs.numElements()) {
+      val gh = ghs.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashLong(gh, i)
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(buf)
+  }
+}
+
 object SketchAggs {
   def minhash(c: Column, numHashes: Int): Column =
     ColumnBridge.column(
       MinHashAgg(ColumnBridge.expression(c), numHashes).toAggregateExpression())
+  def minhashArray(c: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashArray(ColumnBridge.expression(c), numHashes))
   def simhash(c: Column): Column =
     ColumnBridge.column(
       SimHashAgg(ColumnBridge.expression(c)).toAggregateExpression())

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+
+/** One banded signature coordinate of an arriving document. */
+final case class BandDoc(band: Int, bv: Long, doc_id: Long)
+
+/** An unverified near-dup candidate pair (d1 < d2). */
+final case class CandPair(d1: Long, d2: Long)
+
+/** LSH bucket membership as streaming state: keyed by (band, band-hash),
+  * each bucket holds the doc_ids seen so far; a new arrival emits one
+  * candidate pair against every existing member, then joins the bucket.
+  * State per key is the bucket's membership — the same rows the batch
+  * banding join materializes, held incrementally. A pair that shares
+  * several bands is emitted once per shared band (the batch form
+  * `distinct()`s; streaming consumers dedup downstream or tolerate
+  * re-verification — verification is idempotent). */
+class LshBucketProcessor extends StatefulProcessor[(Int, Long), BandDoc, CandPair] {
+  @transient private var docs: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    docs = getHandle.getListState[Long]("docs", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: (Int, Long), rows: Iterator[BandDoc], timerValues: TimerValues): Iterator[CandPair] = {
+    var members = if (docs.exists()) docs.get().toVector else Vector.empty[Long]
+    val out = Vector.newBuilder[CandPair]
+    rows.foreach { r =>
+      if (!members.contains(r.doc_id)) {
+        members.foreach { m =>
+          out += (if (m < r.doc_id) CandPair(m, r.doc_id) else CandPair(r.doc_id, m))
+        }
+        members :+= r.doc_id
+      }
+    }
+    docs.put(members.toArray)
+    out.result().iterator
+  }
+}
+
+/** Streaming dedup-at-ingest — the stream twin of the batch MinHash+LSH
+  * pipeline (dd3), the reference-pattern the whole training-data surface
+  * is built around: documents arrive on a stream, and near-duplicate
+  * PAIRS come out incrementally, bit-identical to what the batch index
+  * would have found over the same corpus.
+  *
+  * Per arriving document (all per-ROW, no streaming aggregation):
+  *  1. word-3gram shingles (the SAME typed-map construction the batch
+  *     index uses — Dedup.withShingles's exact string ops);
+  *  2. gram hashes via xxhash64, signature via [[graft.functions.MinHashArray]]
+  *     — the scalar twin of the batch MinHashAgg, property-pinned equal;
+  *  3. banding with the batch's exact band expression
+  *     (xxhash64 over BandRows-slot signature slices);
+  *  4. [[LshBucketProcessor]] holds bucket membership in ListState and
+  *     emits candidate pairs on arrival;
+  *  5. exact-Jaccard verification against a CONTENT STORE (stream-static
+  *     join to the batch gram-set index — at production scale, the
+  *     lakehouse table the same ingest maintains), with the identical
+  *     sorted-intersect expression and threshold dd3 ships.
+  *
+  * Scale: per-doc work is O(len + NumHashes·grams); banding state is the
+  * corpus's bucket membership (ids only, never text/arrays); candidate
+  * emission touches only colliding buckets. The content-store join ships
+  * gram arrays only for candidate docs — the batch verify's exact cost
+  * shape, incrementalized.
+  */
+object DedupStream {
+  import graft.operators.Dedup.{BandRows, JaccardThreshold, NumBands, NumHashes}
+
+  /** (doc_id, mh) per-row signatures for a (doc_id, text) stream —
+    * stage 1-2. Public so tests can pin stream==batch signatures. */
+  def signatures(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => // verbatim Dedup.withShingles string ops
+        val ws = text.split(' ')
+        val grams =
+          if (ws.length < 3) Array.empty[String]
+          else Array.tabulate(ws.length - 2)(i => ws(i) + " " + ws(i + 1) + " " + ws(i + 2)).distinct
+        (id, grams)
+      }
+      .toDF("doc_id", "grams")
+      .select(col("doc_id"),
+        graft.functions.SketchAggs.minhashArray(
+          expr("transform(grams, g -> xxhash64(g))"), NumHashes).as("mh"))
+  }
+
+  /** Candidate pairs stream — stages 3-4. May contain cross-band
+    * duplicates (see LshBucketProcessor). */
+  def candidates(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    signatures(docs)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, ${NumBands - 1}),
+           | b -> struct(b AS band, xxhash64(slice(mh, b * $BandRows + 1, $BandRows)) AS bv))""".stripMargin)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bv").as("bv"), col("doc_id")).as[BandDoc]
+      .groupByKey(b => (b.band, b.bv))
+      .transformWithState(new LshBucketProcessor, TimeMode.None(), OutputMode.Update(),
+        Encoders.product[CandPair])
+      .toDF()
+  }
+
+  /** Verified near-dup pairs stream — the full dd3 twin. `gramSets` is
+    * the static content store: (doc_id, ghs sorted gram-hash array, sz),
+    * i.e. Dedup.gramSets for the same corpus. */
+  def verifiedPairs(docs: DataFrame, gramSets: DataFrame): DataFrame =
+    candidates(docs)
+      .join(gramSets.select(col("doc_id").as("d1"), col("ghs").as("ghs1"), col("sz").as("sz1")), Seq("d1"))
+      .join(gramSets.select(col("doc_id").as("d2"), col("ghs").as("ghs2"), col("sz").as("sz2")), Seq("d2"))
+      .withColumn("inter", graft.functions.VectorExprs.sortedIntersect(col("ghs1"), col("ghs2")))
+      .withColumn("jac",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jac") >= JaccardThreshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 3).as("jaccard"))
+}

@@ -189,6 +189,20 @@ class PropertySpec extends SparkSpecBase {
     assert(got == full.map { case (t, ds) => t -> ds.toSeq })
   }
 
+  test("MinHashArray (per-row) equals MinHashAgg (aggregate) for random gram sets") {
+    // the streaming dedup pipeline signs documents per-row; its
+    // signatures must be bit-identical to the batch index's aggregate
+    // form or the banding keys silently diverge
+    for (_ <- 1 to 8) {
+      val ghs = List.fill(1 + rnd.nextInt(120))(rnd.nextLong())
+      val viaAgg = ghs.toDF("gh").coalesce(1)
+        .agg(SketchAggs.minhash(col("gh"), 128)).head().getSeq[Long](0)
+      val viaRow = Seq(Tuple1(ghs.toArray)).toDF("ghs")
+        .select(SketchAggs.minhashArray(col("ghs"), 128)).head().getSeq[Long](0)
+      assert(viaAgg == viaRow)
+    }
+  }
+
   test("hoppingSliced equals the native hopping plan at every ratio") {
     // the slice decomposition is only worth shipping if it is EXACTLY
     // the same function as window(ts, size, slide) — count/sum must be

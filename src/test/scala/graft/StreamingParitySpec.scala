@@ -18,6 +18,9 @@ object WinCmsRestartProbe {
   val cells = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Long, Long)]()
 }
 
+/** One streamed document for the dedup-at-ingest parity scenario. */
+final case class DocRow(doc_id: Long, text: String)
+
 /** Stream==batch parity (SURVEY §7 step 3): replay the events fixture
   * through Structured Streaming in ts-ordered chunks and assert the final
   * result equals the batch answer for the same logical query — the
@@ -616,6 +619,35 @@ class StreamingParitySpec extends SparkSpecBase {
     val batch = Relational.cmsRows(ev, col("user_id"))
       .groupBy(col("window_start"), col("r"), col("bucket")).agg(count(lit(1)).as("c"))
     assert(rows(streamed) == rows(batch))
+  }
+
+  test("streaming dedup-at-ingest: verified MinHash/LSH pair stream == batch dd3") {
+    import graft.operators.Dedup
+    // documents replayed in id order, 100 per micro-batch; the stream
+    // must surface exactly the pair set the batch index finds — the
+    // same signatures (MinHashArray == MinHashAgg), the same banding
+    // expression, the same verification threshold
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, t) => DocRow(id, t) }.toVector
+    val contentStore = Dedup.gramSets(spark, sfDir)
+    val h = TopologyTestHarness[DocRow](spark,
+      df => DedupStream.verifiedPairs(df, contentStore), "update")
+    val streamed = try { docs.grouped(100).foreach(h.pipe); h.results() }
+      finally h.close()
+    // cross-band re-emissions are allowed (batch distinct()s) — compare
+    // as sets; jaccard values must match exactly too
+    val got = streamed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = SparkEntry.queries("dd3_dedup_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+    // and the per-row signature path is bit-identical to the batch index
+    val sigStream = DedupStream.signatures(Tables.documents(spark, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sigBatch = Dedup.minhashSigs(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigStream == sigBatch)
   }
 
   test("per-window CMS twin survives checkpoint restart: counters, timers and windows intact") {
