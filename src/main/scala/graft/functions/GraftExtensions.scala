@@ -56,6 +56,10 @@ object GraftFunctions {
     ("graft_minhash",
       info("graft_minhash", "_FUNC_(gh, k) - k-slot MinHash signature over 64-bit hashes (agg)"),
       args => MinHashAgg(args(0), intLit(args(1), "graft_minhash k"))),
+    ("graft_minhash_array",
+      info("graft_minhash_array",
+        "_FUNC_(ghs, k) - k-slot MinHash signature of one row's array<bigint> gram hashes (scalar twin of graft_minhash)"),
+      args => MinHashArray(args(0), intLit(args(1), "graft_minhash_array k"))),
     ("graft_simhash",
       info("graft_simhash", "_FUNC_(h) - tf-weighted 64-bit SimHash over word hashes (agg)"),
       args => SimHashAgg(args(0))),

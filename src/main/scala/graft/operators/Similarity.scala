@@ -34,7 +34,7 @@ object Similarity {
     * scan the embeddings table 2–3×; one cached columnar copy serves
     * the whole family (at scale: a written normalized table). */
   private val normCache = Memo.newCache[DataFrame]()
-  private[operators] def normed(s: SparkSession, d: String): DataFrame =
+  private[graft] def normed(s: SparkSession, d: String): DataFrame =
     Memo.get(normCache, s, d)(Memo.mat(withNorm(Tables.embeddings(s, d))))
 
   /** Exact brute-force top-k, memoized: sim1's output and the recall

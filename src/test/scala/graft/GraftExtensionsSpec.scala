@@ -33,6 +33,11 @@ class GraftExtensionsSpec extends SparkSpecBase {
       .head().getSeq[Long](0)
     assert(sqlSig == apiSig)
 
+    // the scalar twin agrees with the aggregate from SQL too
+    val rowSig = spark.sql("SELECT graft_minhash_array(array(10L, 20L, 30L), 16)")
+      .head().getSeq[Long](0)
+    assert(rowSig == sqlSig)
+
     val sim = spark.sql("SELECT graft_simhash(gh) FROM ghs").head().getLong(0)
     val apiSim = Seq(10L, 20L, 30L).toDF("gh")
       .agg(graft.functions.SketchAggs.simhash(org.apache.spark.sql.functions.col("gh")))

@@ -21,6 +21,9 @@ object WinCmsRestartProbe {
 /** One streamed document for the dedup-at-ingest parity scenario. */
 final case class DocRow(doc_id: Long, text: String)
 
+/** One streamed embedding for the embedding-ingest parity scenario. */
+final case class VecRow(vec_id: Long, embedding: Seq[Double])
+
 /** Stream==batch parity (SURVEY §7 step 3): replay the events fixture
   * through Structured Streaming in ts-ordered chunks and assert the final
   * result equals the batch answer for the same logical query — the
@@ -648,6 +651,26 @@ class StreamingParitySpec extends SparkSpecBase {
     val sigBatch = Dedup.minhashSigs(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigStream == sigBatch)
+  }
+
+  test("streaming embedding dedup-at-ingest: verified IVF pair stream == batch dd7") {
+    import graft.operators.Similarity
+    // embeddings replayed in id order, 50 per micro-batch; cell
+    // assignment replicates the batch TopKAgg ranking (cos DESC, aid
+    // ASC) bit-exactly, so the emitted pair set must equal dd7's
+    val normedStore = Similarity.normed(spark, sfDir)
+    val vecs = normedStore.select(col("vec_id"), col("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (id, v) => VecRow(id, v) }.toVector
+    val h = TopologyTestHarness[VecRow](spark,
+      df => EmbedDedupStream.verifiedPairs(df, normedStore), "update")
+    val streamed = try { vecs.grouped(50).foreach(h.pipe); h.results() }
+      finally h.close()
+    val got = streamed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = SparkEntry.queries("dd7_dedup_embedding_ivf")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
   }
 
   test("per-window CMS twin survives checkpoint restart: counters, timers and windows intact") {
