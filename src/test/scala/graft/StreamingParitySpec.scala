@@ -21,6 +21,12 @@ object WinCmsRestartProbe {
 /** One streamed document for the dedup-at-ingest parity scenario. */
 final case class DocRow(doc_id: Long, text: String)
 
+/** Probe for the dedup-at-ingest restart test (same foreachBatch
+  * serialization reason as CmsRestartProbe). */
+object DedupRestartProbe {
+  val pairs = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+}
+
 /** One streamed embedding for the embedding-ingest parity scenario. */
 final case class VecRow(vec_id: Long, embedding: Seq[Double])
 
@@ -651,6 +657,46 @@ class StreamingParitySpec extends SparkSpecBase {
     val sigBatch = Dedup.minhashSigs(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(sigStream == sigBatch)
+  }
+
+  test("dedup-at-ingest survives checkpoint restart: bucket state restores, no lost or duplicate pairs") {
+    import graft.operators.Dedup
+    implicit val sq = spark.sqlContext
+    DedupRestartProbe.pairs.clear()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString
+    val ms = MemoryStream[DocRow]
+    val contentStore = Dedup.gramSets(spark, sfDir)
+    def start() =
+      DedupStream.verifiedPairs(ms.toDF(), contentStore).writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r =>
+            DedupRestartProbe.pairs.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+        }
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+      .map { case (id, t) => DocRow(id, t) }.toVector
+    val chunks = docs.grouped(100).toVector
+    val (front, back) = chunks.splitAt(chunks.size / 2)
+    val q1 = start()
+    try { front.foreach { c => ms.addData(c); q1.processAllAvailable() } }
+    finally q1.stop()
+    // restart: bucket membership must restore — pairs between docs on
+    // either side of the crash can only form if pre-crash members are
+    // still in state
+    val q2 = start()
+    try { back.foreach { c => ms.addData(c); q2.processAllAvailable() } }
+    finally q2.stop()
+    val emitted = DedupRestartProbe.pairs.toArray(Array.empty[(Long, Long, Double)])
+    val got = emitted.toSet
+    val batch = SparkEntry.queries("dd3_dedup_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == batch)
+    // pairs straddling the restart boundary actually exist (the test
+    // would pass vacuously if every near-dup family sat in one half)
+    val splitId = back.head.head.doc_id
+    assert(got.exists { case (d1, d2, _) => d1 < splitId && d2 >= splitId },
+      "no pair straddles the restart boundary — split the corpus differently")
   }
 
   test("streaming embedding dedup-at-ingest: verified IVF pair stream == batch dd7") {
