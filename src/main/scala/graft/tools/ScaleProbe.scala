@@ -3,50 +3,70 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** N× scale probe: synthesize an N×-sf0.1 dataset (at 10×: 6M lineitem
+/** N× scale probe: synthesize an N×-source dataset (at 10×: 6M lineitem
   * rows, 1M events over 1500 users, 50k documents where each original
   * gains N−1 near-duplicate copies, 20k embeddings) and time the
   * headline operators. Copies offset their keys so FK integrity holds
   * and key cardinality (not per-key density) scales — the realistic
-  * corpus growth shape. Run: sbt "runMain graft.tools.ScaleProbe"
-  * (default N=10) or "runMain graft.tools.ScaleProbe 100 q02_agg ..."
-  * (N=100, optional explicit target list).
+  * corpus growth shape. Offsets are derived from the SOURCE's actual
+  * max ids, so probes COMPOSE: pointing SPARK_GRAFT_PROBE_SRC at a
+  * previous probe's output multiplies it again (1000× = 10× of the
+  * 100× output) without a thousand-way union plan.
+  * Run: sbt "runMain graft.tools.ScaleProbe" (default N=10, src
+  * sf0.1, out /tmp/scale$N) or "runMain graft.tools.ScaleProbe 100
+  * q02_agg ..." (N=100, explicit target list). Env overrides:
+  * SPARK_GRAFT_PROBE_SRC (source dir), SPARK_GRAFT_PROBE_OUT (output
+  * dir).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val N = args.headOption.flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(10)
-    val Out = s"/tmp/scale$N"
+    val Out = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", s"/tmp/scale$N")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val src = "/root/testdata/sf0.1"
+    val src = sys.env.getOrElse("SPARK_GRAFT_PROBE_SRC", "/root/testdata/sf0.1")
 
     def copies(df: DataFrame)(f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until N).map(i => f(df, i)).reduce(_ union _)
 
+    // per-table id stride = next power of ten above the source's max id,
+    // so copies never collide whatever the source's range is
+    def stride(df: DataFrame, c: String): Long = {
+      val mx = df.agg(max(col(c))).head().getLong(0)
+      var s = 10L
+      while (s <= mx) s *= 10
+      s
+    }
+
     if (!new java.io.File(s"$Out/_done").exists()) {
       val t0 = System.nanoTime()
       val li = graft.Tables.lineitem(spark, src)
-      copies(li)((d, i) => d.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L)))
+      val okStride = stride(li, "l_orderkey")
+      copies(li)((d, i) => d.withColumn("l_orderkey", col("l_orderkey") + lit(i * okStride)))
         .write.mode("overwrite").parquet(s"$Out/lineitem.parquet")
       val o = graft.Tables.orders(spark, src)
-      copies(o)((d, i) => d.withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L)))
+      copies(o)((d, i) => d.withColumn("o_orderkey", col("o_orderkey") + lit(i * okStride)))
         .write.mode("overwrite").parquet(s"$Out/orders.parquet")
       val ev = graft.Tables.events(spark, src)
+      val evStride = stride(ev, "event_id")
+      val uStride = stride(ev, "user_id")
       copies(ev)((d, i) => d
-          .withColumn("event_id", col("event_id") + lit(i * 10000000L))
-          .withColumn("user_id", col("user_id") + lit(i * 10000L)))
+          .withColumn("event_id", col("event_id") + lit(i * evStride))
+          .withColumn("user_id", col("user_id") + lit(i * uStride)))
         .write.mode("overwrite").parquet(s"$Out/events.parquet")
       val docs = graft.Tables.documents(spark, src)
+      val dStride = stride(docs, "doc_id")
       copies(docs)((d, i) =>
           (if (i == 0) d else d.withColumn("text", concat(col("text"), lit(s" copymark$i"))))
-            .withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+            .withColumn("doc_id", col("doc_id") + lit(i * dStride)))
         .write.mode("overwrite").parquet(s"$Out/documents.parquet")
       val emb = graft.Tables.embeddings(spark, src)
-      copies(emb)((d, i) => d.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+      val vStride = stride(emb, "vec_id")
+      copies(emb)((d, i) => d.withColumn("vec_id", col("vec_id") + lit(i * vStride)))
         .write.mode("overwrite").parquet(s"$Out/embeddings.parquet")
       for (t <- Seq("customer", "nation", "region", "supplier", "part"))
         graft.Tables.load(spark, src, t).write.mode("overwrite").parquet(s"$Out/$t.parquet")
