@@ -22,8 +22,18 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val N = args.headOption.flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(10)
     val Out = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", s"/tmp/scale$N")
+    // Shuffle-partition count, measured at 1000× (600M lineitem rows,
+    // 64g heap): raising it 10× to 320 helped the orders⋈lineitem spill
+    // only 15% (82→70 s) but cost the wide fan-out aggregations 1.4–3×
+    // (q08 60→182 s, q09 23→31 s, sim4 33→62 s, isolated reruns) — on a
+    // SINGLE-DISK local node more initial partitions just means more,
+    // smaller spill files and more random IO. On a real cluster the
+    // right value tracks executor×disk count, so it's a knob here, not
+    // a formula: default one-partition-per-core, override via
+    // SPARK_GRAFT_PROBE_PARTS when probing cluster-shaped configs.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", "32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
