@@ -78,6 +78,7 @@ object BucketJoinProbe {
     // what must be gone is the Exchange UNDER the join
     val underJoin = plan.linesIterator.dropWhile(l => !l.contains("SortMergeJoin")).mkString("\n")
     println(s"PROBE bucketed_join_exchange_free=${!underJoin.contains("Exchange")}")
+    println(underJoin.linesIterator.take(14).mkString("PLAN\n", "\n", ""))
     val bucketed = time("join_bucketed")(revenue(bli, bo).count())
     println(s"PROBE rows shuffle=$shuffled bucketed=$bucketed equal=${shuffled == bucketed}")
     spark.stop()
