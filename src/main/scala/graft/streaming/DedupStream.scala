@@ -83,6 +83,11 @@ object DedupStream {
           else Array.tabulate(ws.length - 2)(i => ws(i) + " " + ws(i + 1) + " " + ws(i + 2)).distinct
         (id, grams)
       }
+      // gram-less docs (<3 words) never enter the batch index (explode
+      // of an empty array drops them) — drop them here too, or they'd
+      // all share one degenerate all-MaxValue signature and pile into
+      // the same 32 LSH buckets, O(n²) candidates from nothing
+      .filter(_._2.nonEmpty)
       .toDF("doc_id", "grams")
       .select(col("doc_id"),
         graft.functions.SketchAggs.minhashArray(

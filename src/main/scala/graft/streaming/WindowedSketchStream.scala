@@ -33,10 +33,13 @@ final case class WinCmsCell(window_start: Long, r: Int, bucket: Long, c: Long)
   * emitted exactly once, when the event-time watermark passes
   * window end + grace — after which the state is dropped, so total
   * state is bounded by (open windows) × HllM regardless of stream
-  * length or key cardinality. Late rows behind the watermark never
-  * reach the processor (Spark drops them), so a closed window can
-  * never need re-opening as long as the watermark delay covers the
-  * grace — the same contract SessionFlushProcessor documents.
+  * length or key cardinality. The event-time column is projected away
+  * before the processor (the key is the window start, a plain long),
+  * so Spark's own late-record filter cannot apply — the processor
+  * enforces closure itself: a row arriving once the watermark has
+  * passed the window's close time is dropped in handleInputRows, so a
+  * closed window can never re-open, re-arm a past-due timer, or emit
+  * a second partial register set.
   *
   * Reference behavior mirrored: windowed aggregation over segmented
   * window stores with retention-driven segment expiry
@@ -54,6 +57,12 @@ class WindowedHllProcessor(windowMs: Long, graceMs: Long)
 
   override def handleInputRows(
       key: Long, rows: Iterator[WinHllIn], timerValues: TimerValues): Iterator[WinHllReg] = {
+    // late-row guard: once the watermark passed this window's close
+    // time its timer fired and the final registers are out — a later
+    // arrival must not re-create state or register a past-due timer
+    // (which would emit a second partial set, breaking emit-once)
+    if (timerValues.getCurrentWatermarkInMs() >= key * 1000L + windowMs + graceMs + 1L)
+      return Iterator.empty
     // collapse the batch's rows to one max per bucket before touching
     // state — ≤ HllM state reads/writes per microbatch per window
     val delta = mutable.LongMap.empty[Int]
@@ -101,6 +110,9 @@ class WindowedCmsProcessor(windowMs: Long, graceMs: Long)
 
   override def handleInputRows(
       key: (Long, Int), rows: Iterator[WinCmsIn], timerValues: TimerValues): Iterator[WinCmsCell] = {
+    // same late-row guard as WindowedHllProcessor: closed windows stay closed
+    if (timerValues.getCurrentWatermarkInMs() >= key._1 * 1000L + windowMs + graceMs + 1L)
+      return Iterator.empty
     val delta = mutable.LongMap.empty[Long].withDefaultValue(0L)
     rows.foreach(in => delta(in.bucket) += 1L)
     delta.foreach { case (bucket, d) =>

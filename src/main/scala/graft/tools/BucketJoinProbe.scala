@@ -73,10 +73,12 @@ object BucketJoinProbe {
     val bli = spark.table("bp_lineitem")
     val bo = spark.table("bp_orders")
     val plan = revenue(bli, bo).queryExecution.executedPlan.toString
-    val joinExchangeFree = !plan.take(plan.indexOf("Scan") max plan.length).contains("Exchange")
     // the groupBy on o_custkey still exchanges (different key — correct);
-    // what must be gone is the Exchange UNDER the join
+    // what must be gone is the Exchange UNDER the join. If AQE picked a
+    // different join (no SortMergeJoin line), dropWhile would consume the
+    // whole plan and the check would be vacuously true — require the match.
     val underJoin = plan.linesIterator.dropWhile(l => !l.contains("SortMergeJoin")).mkString("\n")
+    require(underJoin.nonEmpty, s"no SortMergeJoin in bucketed plan — cannot assert exchange-freedom:\n$plan")
     println(s"PROBE bucketed_join_exchange_free=${!underJoin.contains("Exchange")}")
     println(underJoin.linesIterator.take(14).mkString("PLAN\n", "\n", ""))
     val bucketed = time("join_bucketed")(revenue(bli, bo).count())

@@ -630,6 +630,80 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("per-window sketches: late row behind a closed window is dropped, never re-emitted") {
+    import graft.operators.Relational
+    // hand-built scenario the ts-ordered replay chunks never hit: window
+    // W fills, a far-later event advances the watermark past W's close
+    // (timer fires, final registers emit), then a row for W arrives
+    // LATE. The event-time column is projected away before the
+    // processor (the key is a plain long window start), so Spark's own
+    // late-record filter cannot apply — the processors' watermark guard
+    // must drop the row, or W would re-open, re-arm a past-due timer,
+    // and emit a second partial set in the same batch.
+    def ev(id: Long, tsSec: Long, user: Long) =
+      Event(id, new java.sql.Timestamp(tsSec * 1000L), user, "view", 0.0, "{}")
+    val w0 = 1700000000L - (1700000000L % 3600) // an aligned hour
+    val inWindow = (0 until 50).map(i => ev(i, w0 + 60 + i, 100L + i))
+    val advance = ev(900L, w0 + 48 * 3600, 1L) // watermark far past W's close
+    val late = ev(901L, w0 + 120, 999L)        // behind the watermark, lands in W
+    val chunks = Seq(inWindow, Seq(advance), Seq(late))
+
+    val streamedHll = runStream(df => {
+      val e2 = df.withWatermark("ts", "10 minutes")
+        .select(window(col("ts"), "1 hour")("start").cast("long").as("window_start"),
+          col("user_id"))
+      Relational.hllRows(e2, col("user_id"))
+        .select(col("window_start"), col("bucket"), col("rho")).as[WinHllIn]
+        .groupByKey(_.window_start)
+        .transformWithState(new WindowedHllProcessor(3600 * 1000L, 0L),
+          TimeMode.EventTime(), OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[WinHllReg])
+        .toDF()
+    }, chunks, "append")
+    // exactly one emission per (window, bucket) …
+    assert(streamedHll.groupBy(col("window_start"), col("bucket")).count()
+      .filter(col("count") > 1).count() == 0)
+    // … and W's registers equal the batch sketch WITHOUT the late row
+    val batchW = Relational.hllRows(
+      inWindow.toDS().toDF()
+        .select(window(col("ts"), "1 hour")("start").cast("long").as("window_start"),
+          col("user_id")),
+      col("user_id"))
+      .groupBy(col("window_start"), col("bucket")).agg(max(col("rho")).as("rho"))
+    assert(rows(streamedHll.filter(col("window_start") === w0)) == rows(batchW))
+
+    val streamedCms = runStream(df => {
+      val e2 = df.withWatermark("ts", "10 minutes")
+        .select(window(col("ts"), "1 hour")("start").cast("long").as("window_start"),
+          col("user_id"))
+      Relational.cmsRows(e2, col("user_id"))
+        .select(col("window_start"), col("r"), col("bucket")).as[WinCmsIn]
+        .groupByKey(x => (x.window_start, x.r))
+        .transformWithState(new WindowedCmsProcessor(3600 * 1000L, 0L),
+          TimeMode.EventTime(), OutputMode.Append(),
+          org.apache.spark.sql.Encoders.product[WinCmsCell])
+        .toDF()
+    }, chunks, "append")
+    assert(streamedCms.groupBy(col("window_start"), col("r"), col("bucket")).count()
+      .filter(col("count") > 1).count() == 0)
+    val batchCmsW = Relational.cmsRows(
+      inWindow.toDS().toDF()
+        .select(window(col("ts"), "1 hour")("start").cast("long").as("window_start"),
+          col("user_id")),
+      col("user_id"))
+      .groupBy(col("window_start"), col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+    assert(rows(streamedCms.filter(col("window_start") === w0)) == rows(batchCmsW))
+  }
+
+  test("dedup-at-ingest: gram-less docs (<3 words) never enter the stream index") {
+    // batch semantics: explode of an empty gram array drops the doc from
+    // the index entirely. The stream must match — an unfiltered short doc
+    // would get the degenerate all-MaxValue signature and every such doc
+    // would collide into the same 32 LSH buckets (O(n²) candidates).
+    val docs = Seq(DocRow(1L, "too short"), DocRow(2L, "one two three four")).toDS().toDF()
+    assert(DedupStream.signatures(docs).collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("streaming dedup-at-ingest: verified MinHash/LSH pair stream == batch dd3") {
     import graft.operators.Dedup
     // documents replayed in id order, 100 per micro-batch; the stream

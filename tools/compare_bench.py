@@ -42,6 +42,11 @@ def main():
         bench = {m[0]: float(m[1]) for m in
                  re.findall(r'"(\w+)":(\d+\.\d+)[,}]', doc.get("tail", ""))}
         if not bench:
+            # tail may hold only the raw_passes arrays ("name":[a,b]) —
+            # the reported number is the min of the warm passes
+            bench = {m[0]: min(float(x) for x in m[1].split(",")) for m in
+                     re.findall(r'"(\w+)":\[([\d.,]+)\]', doc.get("tail", ""))}
+        if not bench:
             sys.exit(f"no per-query numbers found in {sys.argv[1]}")
     ratio = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
     base = load_baseline(Path(__file__).resolve().parent.parent / "BASELINE.md")
@@ -55,8 +60,12 @@ def main():
 
     total = sum(bench.values())
     base_total = sum(base[n] for n in bench if n in base)
-    print(f"total {total:.1f}s vs baseline {base_total:.1f}s "
-          f"({total / base_total:.2f}x) over {len(bench)} queries")
+    if base_total > 0:
+        print(f"total {total:.1f}s vs baseline {base_total:.1f}s "
+              f"({total / base_total:.2f}x) over {len(bench)} queries")
+    else:
+        print(f"total {total:.1f}s over {len(bench)} queries "
+              f"(no overlap with baseline table)")
     for name in new:
         print(f"  new (no baseline): {name} {bench[name]:.2f}s")
     for name, sec, b in flagged:
