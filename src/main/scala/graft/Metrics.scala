@@ -70,8 +70,15 @@ final class MetricsListener extends QueryExecutionListener {
       rootRows(qe),
       metricSum(qe, "shuffleBytesWritten"),
       failed = false,
-      originRows = qe.observedMetrics.get(Metrics.OriginTap)
-        .map(_.getAs[Long]("rows_in")).getOrElse(-1L)))
+      originRows = {
+        // one explicit observeOrigin tap, or any number of per-source
+        // taps from Metrics.TapSourcesKey — sum whatever is present
+        val taps = qe.observedMetrics.collect {
+          case (k, row) if k == Metrics.OriginTap || k.startsWith(Metrics.OriginTap + "#") =>
+            row.getAs[Long]("rows_in")
+        }
+        if (taps.isEmpty) -1L else taps.sum
+      }))
 
   override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
     queue.add(QueryMetric(funcName, -1L, -1L, -1L, failed = true))
@@ -85,6 +92,26 @@ final class MetricsListener extends QueryExecutionListener {
 object Metrics {
   /** Name of the origin observation tap. */
   val OriginTap = "origin"
+
+  /** Session-conf flag: when "true", [[Tables.load]] wraps every fixture
+    * scan in a per-source origin tap, so ANY registry query run reports
+    * rows-in via [[QueryMetric.originRows]] with no per-query wiring —
+    * the harness-wide form of the reference's origin-event accounting.
+    * Default OFF: an observe tap is a CollectMetrics plan node and
+    * predicates deliberately do NOT push through it (it counts rows at
+    * the tap, pre-filter — that is the semantics), so accounting runs
+    * (Verify) turn it on while the bench keeps the untapped, fully
+    * pushed-down plans it is grading. */
+  val TapSourcesKey = "graft.metrics.tapSources"
+
+  /** Per-source origin tap with a unique name — a single plan may tap
+    * several sources and CollectMetrics names must be unique within a
+    * plan. The listener sums all of them into originRows. */
+  private val tapSeq = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] def tapSource(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    df.observe(s"$OriginTap#${tapSeq.incrementAndGet()}", count(lit(1)).as("rows_in"))
+  }
 
   /** Tap a DataFrame at its origin so every downstream action ALSO
     * reports how many rows entered the pipeline — the analog of the

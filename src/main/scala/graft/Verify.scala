@@ -1,7 +1,11 @@
 package graft
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. Also attaches
+  * the engine's MetricsListener with source taps on
+  * (Metrics.TapSourcesKey), so every query's origin-event accounting
+  * (rows-IN at the scans, pre-filter — the OriginEventTracker analog)
+  * lands beside the correctness artifacts in metrics.json. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -9,12 +13,42 @@ object Verify {
     val spark = Graft.session(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val listener = Metrics.attach(spark)
+    spark.conf.set(Metrics.TapSourcesKey, "true")
+    val perQuery = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    // The listener bus is async: a query's completion event can arrive
+    // AFTER the next query starts, mis-attributing its metrics. Wait for
+    // the event stream to go quiet (and, post-run, to have grown) before
+    // cutting each query's window.
+    def quiesce(minSize: Int, timeoutNs: Long): Seq[QueryMetric] = {
+      val deadline = System.nanoTime() + timeoutNs
+      var snap = listener.snapshot()
+      var size = snap.size
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+             (snap.size < minSize || System.nanoTime() - stableSince < 150000000L)) {
+        Thread.sleep(15)
+        snap = listener.snapshot()
+        if (snap.size != size) { size = snap.size; stableSince = System.nanoTime() }
+      }
+      snap
+    }
     // Sorted by name so memoized shared work lands on the same query
     // every run (comparable timings, deterministic logs).
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val before = quiesce(0, 2000000000L).size
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val mine = quiesce(before + 1, 3000000000L).drop(before)
+        val origin = mine.reverse.collectFirst {
+          case m if m.originRows >= 0 => m.originRows
+        }.getOrElse(-1L)
+        val out = mine.reverse.collectFirst {
+          case m if !m.failed && m.outputRows >= 0 => m.outputRows
+        }.getOrElse(-1L)
+        perQuery(name) = (origin, out)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -33,6 +67,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val mjson = perQuery
+      .map { case (k, (o, r)) => s"${q(k)}: {\"origin_rows\": $o, \"output_rows\": $r}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/metrics.json"), mjson)
     spark.stop()
   }
 }

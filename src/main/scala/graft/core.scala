@@ -48,7 +48,7 @@ object Tables {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.LongType
-    tsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+    val converted = tsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
       df.schema(c).dataType match {
         case LongType => // TIMESTAMP(NANOS) read as raw ns
           df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
@@ -56,6 +56,10 @@ object Tables {
           df.withColumn(c, col(c).cast("timestamp"))
       }
     }
+    // origin-event accounting (opt-in; see Metrics.TapSourcesKey): every
+    // query over a tapped loader reports rows-in with no per-query wiring
+    if (spark.conf.get(Metrics.TapSourcesKey, "false").toBoolean) Metrics.tapSource(converted)
+    else converted
   }
 
   /** events restricted to `[loIso, hiIso)` with the range predicate

@@ -115,6 +115,57 @@ object Relational {
            |GROUP BY n_name""".stripMargin)
   )
 
+  /** Lakehouse-landed fact tables for [[q04b]]: lineitem and orders
+    * bucketed on the order key via [[graft.sources.Lakehouse.writeBucketed]]
+    * (one-time landing per (session, dir), memoized). The join between
+    * them then reads co-located and plans with NO Exchange on either
+    * side — at 100 TB this replaces the big⋈big shuffle that is the
+    * scale probe's one superlinear point (BucketJoinProbe measured
+    * 66.7 → 21.0 s at 1000× with the same landing). */
+  private val bucketedFactsCache = Memo.newCache[(DataFrame, DataFrame)]()
+  private[graft] def bucketedFacts(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    Memo.get(bucketedFactsCache, s, d) {
+      val suffix = (d.hashCode & 0x7fffffff).toString
+      val liT = s"graft_bk_lineitem_$suffix"
+      val oT = s"graft_bk_orders_$suffix"
+      // the catalog is per-JVM, so a fresh session re-lands (Overwrite) —
+      // the amortized cost a lakehouse pays once at ingest
+      graft.sources.Lakehouse.writeBucketed(
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+        liT, Seq("l_orderkey"), 16)
+      graft.sources.Lakehouse.writeBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
+        oT, Seq("o_orderkey"), 16)
+      (s.table(liT), s.table(oT))
+    }
+
+  /** Q4b — the q04 join chain with both fact tables read from the
+    * bucketed lakehouse landing instead of raw parquet: identical
+    * result (same DuckDB oracle as q04), but the lineitem⋈orders join
+    * is Exchange-free under the SortMergeJoin (asserted on this
+    * registered query's plan in LakehouseSpec). The dims stay
+    * broadcast. This is the registry-graded form of the scale answer
+    * BucketJoinProbe measures. */
+  val q04b = QueryDef(
+    "q04b_join_chain_bucketed",
+    (s, d) => {
+      val (li, o0) = bucketedFacts(s, d)
+      val o = o0.filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+                        col("o_orderdate") < ts("1997-01-01 00:00:00"))
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+    },
+    q04.oracle,
+    doc = "q04 over the bucketed lakehouse landing: zero-exchange fact join, same oracle"
+  )
+
   /** Q5a — left-semi join (EXISTS). */
   val q05a = QueryDef(
     "q05_semi_join",
@@ -1093,7 +1144,7 @@ object Relational {
   )
 
   val all: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24,
+    Seq(q01, q02, q03, q04, q04b, q05a, q05b, q06, q15, q16, q17, q18, q19, q20, q23, q24,
       q27, q28, q31, q32, q33, q34, q35, q38, q39, q40, q41, q42, q43, q46, q47,
       q48, q49, q52, q53, q55)
 }

@@ -59,6 +59,17 @@ object Lakehouse {
       bucketCols: Seq[String],
       numBuckets: Int): Unit = {
     require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a previous JVM may have left the managed location behind while
+    // this session's in-memory catalog has no entry for it — saveAsTable
+    // refuses to CREATE over an existing location, so clear it
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT))
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
+      rm(loc)
+    }
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)

@@ -52,19 +52,9 @@ object BucketJoinProbe {
     val shuffled = time("join_shuffle")(revenue(li, o).count())
 
     // one-time landing cost: bucket both facts on the join key
-    // (drop any half-written table/location from a previous run first —
-    // the metastore is per-JVM but the warehouse dir persists)
+    // (writeBucketed clears any half-written table/location from a
+    // previous run — the metastore is per-JVM but the warehouse persists)
     val buckets = 64
-    for (t <- Seq("bp_lineitem", "bp_orders")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(s"$dir/warehouse/$t")
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(loc)
-      }
-    }
     time("bucket_write") {
       graft.sources.Lakehouse.writeBucketed(li, "bp_lineitem", Seq("l_orderkey"), buckets)
       graft.sources.Lakehouse.writeBucketed(o, "bp_orders", Seq("o_orderkey"), buckets)

@@ -82,6 +82,37 @@ class LakehouseSpec extends SparkSpecBase with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("registered q04b plans its fact join exchange-free over the bucketed landing") {
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep the fact join SMJ
+    try {
+      val df = SparkEntry.queries("q04b_join_chain_bucketed")(s, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      // the dims are explicit broadcast()s and the groupBy re-keys on
+      // n_name — those exchanges are correct. What must be gone is any
+      // Exchange inside the lineitem⋈orders SortMergeJoin SUBTREE (the
+      // dims' build sides print after the SMJ line, so a flat "rest of
+      // the plan" cut would see their BroadcastExchange — cut the
+      // subtree by tree indentation instead).
+      val lines = plan.linesIterator.toVector
+      def depth(l: String) = { val a = l.indexOf("+-"); val b = l.indexOf(":-")
+        if (a < 0) b else if (b < 0) a else math.min(a, b) }
+      val i = lines.indexWhere(_.contains("SortMergeJoin"))
+      assert(i >= 0, s"no SortMergeJoin in q04b plan:\n${plan.take(1200)}")
+      val subtree = (lines(i) +: lines.drop(i + 1).takeWhile(l => depth(l) > depth(lines(i))))
+        .mkString("\n")
+      assert(!subtree.contains("Exchange"),
+        s"bucketed fact join still shuffles:\n${subtree.take(1200)}")
+      assert("Bucketed: true".r.findAllIn(subtree).size == 2,
+        s"expected both fact scans bucketed:\n${subtree.take(1200)}")
+      // and it is the same answer as q04
+      val q04 = SparkEntry.queries("q04_join_chain")(s, sfDir)
+      assert(df.collect().map(_.toSeq).toSet == q04.collect().map(_.toSeq).toSet)
+    } finally {
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("compaction merges slivers into size-targeted files") {
     val in = tmp("slivers")
     val out = tmp("compacted")

@@ -60,6 +60,29 @@ class MetricsSpec extends SparkSpecBase {
     } finally Metrics.detach(spark, l)
   }
 
+  test("registry query reports rows-in end-to-end with source taps on (the Verify wiring)") {
+    // the harness-wide form: Verify sets Metrics.TapSourcesKey, so every
+    // registered query's scans carry per-source taps and the listener
+    // sums them into originRows — no per-query wiring. q02 filters
+    // lineitem on l_shipdate; rows-in must be the PRE-filter scan count.
+    val expected = Tables.lineitem(spark, sfDir).count() // untapped count first
+    val l = Metrics.attach(spark)
+    try {
+      spark.conf.set(Metrics.TapSourcesKey, "true")
+      l.clear()
+      val out = SparkEntry.queries("q02_agg")(spark, sfDir).count()
+      assert(out > 0)
+      val snap = awaitMetrics(l)(_.exists(_.originRows >= 0))
+      val m = snap.filter(_.originRows >= 0)
+      assert(m.nonEmpty, s"no origin-tapped metric recorded: $snap")
+      assert(m.last.originRows == expected,
+        s"originRows=${m.last.originRows}, expected $expected pre-filter lineitem rows")
+    } finally {
+      spark.conf.set(Metrics.TapSourcesKey, "false")
+      Metrics.detach(spark, l)
+    }
+  }
+
   test("origin-event accounting (streaming): per-batch observed input counts") {
     import graft.streaming.Event
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

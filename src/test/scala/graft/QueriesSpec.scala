@@ -17,6 +17,7 @@ class QueriesSpec extends SparkSpecBase {
     "mm2_media_frames" -> 500, "mm3_media_resize" -> 500,
     "q01_filter_project" -> 3225,
     "q02_agg" -> 6, "q03_stream_table_join" -> 1500, "q04_join_chain" -> 5,
+    "q04b_join_chain_bucketed" -> 5,
     "q05_anti_join" -> 3, "q05_semi_join" -> 147, "q06_broadcast_join" -> 10,
     "q07_tumbling_window" -> 951, "q08_hopping_window" -> 3800,
     "q08b_hopping_sliced" -> 11379,
