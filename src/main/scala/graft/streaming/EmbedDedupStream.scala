@@ -4,72 +4,102 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Streaming embedding dedup-at-ingest — the stream twin of dd7's
-  * IVF-cell near-dup mining, completing what [[DedupStream]] does for
-  * text: embeddings arrive on a stream, verified cosine near-dup pairs
-  * come out incrementally, equal to the batch dd7 pair set over the
-  * same corpus.
+  * two-level IVF-cell near-dup mining, completing what [[DedupStream]]
+  * does for text: embeddings arrive on a stream, verified cosine
+  * near-dup pairs come out incrementally, equal to the batch dd7 pair
+  * set over the same corpus.
   *
   * Per arriving vector:
   *  1. cast to double + norm with the batch's exact expressions
   *     (sequential dot, sqrt — Similarity.withNorm's arithmetic);
-  *  2. assign to its nearest Dd7Probes cells against the same
-  *     deterministic anchor set the batch uses (first
-  *     dd7AnchorCount(n) vec_ids), ranked by (cos DESC, aid ASC) — the
-  *     TopKAgg / row_number ordering, replicated in one tight loop over
-  *     the driver-collected anchor array (the anchor table is small by
-  *     construction: K ≈ n/64 rows of d doubles, the same thing the
-  *     batch broadcasts);
+  *  2. rank the K1 = ⌈√K⌉ coarse cells, keep Dd7CoarseProbes, refine
+  *     against only those cells' fine anchors and keep the Dd7Probes
+  *     best fine cells — every ranking (cos DESC, id ASC), replicating
+  *     the batch TopKAgg / row_number ordering bit-exactly in tight
+  *     loops over the broadcast [[AnchorIndex]];
   *  3. cell membership lives in the [[LshBucketProcessor]] ListState
-  *     (band = 0, bucket = cell id) and emits candidate pairs on
+  *     (band = 0, bucket = fine cell id) and emits candidate pairs on
   *     arrival;
   *  4. exact cosine verification against the static normalized corpus
   *     (stream-static join), dd7's threshold and rounding verbatim.
   *
   * Scale: state is (cell → member ids), ids only; per-vector assignment
-  * work is K·d multiply-adds (the IVF trade dd7 already documents);
-  * candidate emission touches only co-resident cells; vectors cross a
-  * shuffle only for candidate verification.
+  * work is (K1 + Dd7CoarseProbes·K/K1)·d ≈ √K·d multiply-adds — the
+  * two-level trade dd7 documents — instead of the flat K·d. Only the
+  * √K coarse array must live whole on every executor; the fine map is
+  * the same cid-grouped table the batch joins by cid, shipped here as
+  * one broadcast (shard it across a distributed store when K itself
+  * outgrows executor memory). Vectors cross a shuffle only for
+  * candidate verification.
   */
 object EmbedDedupStream {
 
-  /** Driver-collected anchor set of the STATIC corpus: (aid, vector,
-    * norm), aid-ascending — the stream twin of dd7's broadcast anchor
-    * table (bounded: K = max(256, ⌈n/64⌉) rows). */
-  def collectAnchors(embeddings: DataFrame): Array[(Long, Array[Double], Double)] = {
+  /** Two-level anchor index of the STATIC corpus (aid/cid ascending):
+    * coarse anchors — K1 = ⌈√K⌉, so this array and the per-row coarse
+    * scan grow sublinearly in n forever — and the fine anchors grouped
+    * by their single nearest coarse cell (the batch a2c, replayed with
+    * the identical (cos DESC, cid ASC) ranking). */
+  final case class AnchorIndex(
+      coarse: Array[(Long, Array[Double], Double)],
+      fineByCell: Map[Long, Array[(Long, Array[Double], Double)]])
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Driver-collected two-level index of the STATIC corpus — the stream
+    * twin of dd7's anchor tables. The a2c grouping runs as one K·K1
+    * driver loop (the batch computes the same thing distributed; K·K1 ≈
+    * K^1.5 multiply-adds is index-build cost, paid once). */
+  def collectAnchors(embeddings: DataFrame): AnchorIndex = {
     val e = embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val k = graft.operators.Dedup.dd7AnchorCount(e.count())
-    e.filter(col("vec_id") < k)
+    val k1 = graft.operators.Dedup.dd7CoarseCount(k)
+    val fine = e.filter(col("vec_id") < k)
       .collect()
       .map { r =>
         val v = r.getSeq[Double](1).toArray
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i) * v(i); i += 1 }
-        (r.getLong(0), v, math.sqrt(s))
+        (r.getLong(0), v, math.sqrt(dot(v, v)))
       }
       .sortBy(_._1)
+    val coarse = fine.filter(_._1 < k1)
+    val fineByCell = fine.groupBy { case (_, av, an) =>
+      coarse.map { case (cid, cv, cn) => (dot(av, cv) / (an * cn), cid) }
+        .minBy { case (cos, cid) => (-cos, cid) }._2
+    }
+    AnchorIndex(coarse, fineByCell)
   }
 
-  /** (band=0, bv=cell, doc_id=vec_id) assignments for an embedding
+  /** (band=0, bv=fine cell, doc_id=vec_id) assignments for an embedding
     * stream — reuses [[LshBucketProcessor]]'s input shape so the same
     * bucket state machine serves both modalities. */
-  def assignments(vecs: DataFrame, anchors: Array[(Long, Array[Double], Double)]): DataFrame = {
+  def assignments(vecs: DataFrame, index: AnchorIndex): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
     val probes = graft.operators.Dedup.Dd7Probes
+    val coarseProbes = graft.operators.Dedup.Dd7CoarseProbes
+    val idx = s.sparkContext.broadcast(index)
     vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
       .flatMap { case (id, v) =>
-        var nsq = 0.0; var i = 0
-        while (i < v.length) { nsq += v(i) * v(i); i += 1 }
-        val nrm = math.sqrt(nsq)
-        // cos against every anchor, then top `probes` by (cos DESC, aid ASC)
-        val scored = anchors.map { case (aid, av, an) =>
-          var d = 0.0; var j = 0
-          val n = math.min(v.length, av.length)
-          while (j < n) { d += v(j) * av(j); j += 1 }
-          (d / (nrm * an), aid)
-        }
-        scored.sortBy { case (cos, aid) => (-cos, aid) }.take(probes)
+        val ix = idx.value
+        val nrm = math.sqrt(dot(v, v))
+        // level 1: top `coarseProbes` coarse cells by (cos DESC, cid ASC)
+        val probed = ix.coarse
+          .map { case (cid, cv, cn) => (dot(v, cv) / (nrm * cn), cid) }
+          .sortBy { case (cos, cid) => (-cos, cid) }
+          .take(coarseProbes)
+        // level 2: top `probes` fine cells among ONLY those coarse
+        // cells' anchors, by (cos DESC, aid ASC)
+        probed.iterator
+          .flatMap { case (_, cid) => ix.fineByCell.getOrElse(cid, Array.empty) }
+          .map { case (aid, av, an) => (dot(v, av) / (nrm * an), aid) }
+          .toArray
+          .sortBy { case (cos, aid) => (-cos, aid) }
+          .take(probes)
           .map { case (_, aid) => BandDoc(0, aid, id) }
       }
       .toDF()
@@ -81,8 +111,8 @@ object EmbedDedupStream {
   def verifiedPairs(vecs: DataFrame, normedStore: DataFrame): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
-    val anchors = collectAnchors(normedStore.select(col("vec_id"), col("v").as("embedding")))
-    assignments(vecs, anchors).as[BandDoc]
+    val index = collectAnchors(normedStore.select(col("vec_id"), col("v").as("embedding")))
+    assignments(vecs, index).as[BandDoc]
       .groupByKey(b => (b.band, b.bv))
       .transformWithState(new LshBucketProcessor, org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update(),
