@@ -4,24 +4,45 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** N× scale probe: synthesize an N×-source dataset (at 10×: 6M lineitem
-  * rows, 1M events over 1500 users, 50k documents where each original
-  * gains N−1 near-duplicate copies, 20k embeddings) and time the
-  * headline operators. Copies offset their keys so FK integrity holds
-  * and key cardinality (not per-key density) scales — the realistic
-  * corpus growth shape. Offsets are derived from the SOURCE's actual
-  * max ids, so probes COMPOSE: pointing SPARK_GRAFT_PROBE_SRC at a
-  * previous probe's output multiplies it again (1000× = 10× of the
-  * 100× output) without a thousand-way union plan.
+  * rows, 1M events over 1500 users, 50k documents, 20k embeddings) and
+  * time the headline operators. Copies offset their keys so FK
+  * integrity holds and key cardinality (not per-key density) scales —
+  * the realistic corpus growth shape. Offsets are derived from the
+  * SOURCE's actual max ids, so probes COMPOSE: pointing
+  * SPARK_GRAFT_PROBE_SRC at a previous probe's output multiplies it
+  * again (1000× = 10× of the 100× output) without a thousand-way union
+  * plan.
+  *
+  * SPARK_GRAFT_PROBE_DUP ∈ [0,1] (default 1.0) controls what fraction
+  * of copied documents/embeddings are NEAR-DUPLICATES of their source
+  * row; the rest are rewritten to be genuinely novel (word-tagged text
+  * / component-rotated vectors). At the 1.0 default every doc gains
+  * N−1 near-dup copies and the near-dup queries' output is enormous
+  * (~N·n true pairs) — that measures the corpus, not the plan; at a
+  * realistic 0.01, pair output stays small and the probe isolates plan
+  * cost (VERDICT r7 #6).
+  *
+  * Emits BOTH human-readable "PROBE name sec rows" lines and a
+  * structured artifact at $Out/probe.json (per-query sec/rows/ok/error
+  * — a mid-list crash can hide in grep'd stdout but not in the
+  * artifact; copy it to PROBE_rN.json). Diff two artifacts with
+  * tools/compare_bench.py --probe.
+  *
   * Run: sbt "runMain graft.tools.ScaleProbe" (default N=10, src
   * sf0.1, out /tmp/scale$N) or "runMain graft.tools.ScaleProbe 100
   * q02_agg ..." (N=100, explicit target list). Env overrides:
   * SPARK_GRAFT_PROBE_SRC (source dir), SPARK_GRAFT_PROBE_OUT (output
-  * dir).
+  * dir), SPARK_GRAFT_PROBE_PARTS (shuffle partitions),
+  * SPARK_GRAFT_PROBE_DUP (near-dup fraction).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val N = args.headOption.flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(10)
-    val Out = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", s"/tmp/scale$N")
+    val dupFrac = sys.env.get("SPARK_GRAFT_PROBE_DUP").map(_.toDouble).getOrElse(1.0)
+    require(dupFrac >= 0.0 && dupFrac <= 1.0, s"SPARK_GRAFT_PROBE_DUP=$dupFrac out of [0,1]")
+    val defaultOut = if (dupFrac >= 1.0) s"/tmp/scale$N"
+      else s"/tmp/scale${N}d${math.round(dupFrac * 100)}"
+    val Out = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", defaultOut)
     // Shuffle-partition count, measured at 1000× (600M lineitem rows,
     // 64g heap): raising it 10× to 320 helped the orders⋈lineitem spill
     // only 15% (82→70 s) but cost the wide fan-out aggregations 1.4–3×
@@ -52,6 +73,7 @@ object ScaleProbe {
       s
     }
 
+    var datagenSec = -1.0
     if (!new java.io.File(s"$Out/_done").exists()) {
       val t0 = System.nanoTime()
       val li = graft.Tables.lineitem(spark, src)
@@ -68,20 +90,50 @@ object ScaleProbe {
           .withColumn("event_id", col("event_id") + lit(i * evStride))
           .withColumn("user_id", col("user_id") + lit(i * uStride)))
         .write.mode("overwrite").parquet(s"$Out/events.parquet")
+      // dup-rate knob: row `doc_id % 1000 < dupFrac·1000` stays a
+      // near-dup of its source; the rest get every 3rd word tagged with
+      // the copy index — NO 3-gram window survives (period-3 tagging
+      // hits every window), so Jaccard vs the source is ~0 and tagged
+      // copies of different i differ from each other. Deterministic and
+      // composable (tags stack: w_c1_c2).
       val docs = graft.Tables.documents(spark, src)
       val dStride = stride(docs, "doc_id")
+      val dupCut = math.round(dupFrac * 1000)
       copies(docs)((d, i) =>
-          (if (i == 0) d else d.withColumn("text", concat(col("text"), lit(s" copymark$i"))))
+          (if (i == 0) d
+           else d.withColumn("text",
+             when(col("doc_id") % 1000 < lit(dupCut), concat(col("text"), lit(s" copymark$i")))
+               .otherwise(array_join(expr(
+                 s"transform(split(text, ' '), (w, j) -> IF(j % 3 = 0, concat(w, '_c$i'), w))"), " "))))
             .withColumn("doc_id", col("doc_id") + lit(i * dStride)))
         .write.mode("overwrite").parquet(s"$Out/documents.parquet")
+      // embeddings: non-dup copies get a per-copy pseudo-random sign
+      // flip on ~half the components (xxhash64(j, i) parity — avalanche
+      // makes patterns independent across copies, unlike a modular
+      // formula whose rotations correlate structurally) — cos vs the
+      // source and vs any other copy is driven to the corpus's own
+      // N(0, 1/d) background. Deterministic, and composable: flip
+      // patterns multiply into new patterns. The dup fraction keeps
+      // exact copies (cos = 1). NOTE the knob cannot make embedding
+      // pair output arbitrarily small: at d = 64 a random corpus has
+      // intrinsic P(cos ≥ 0.4) ≈ 5e-4, so incidental pairs still grow
+      // ~quadratically in n — the knob removes the PLANTED duplicates,
+      // which dominate at dup = 1.0.
       val emb = graft.Tables.embeddings(spark, src)
       val vStride = stride(emb, "vec_id")
-      copies(emb)((d, i) => d.withColumn("vec_id", col("vec_id") + lit(i * vStride)))
+      copies(emb)((d, i) =>
+          (if (i == 0) d
+           else d.withColumn("embedding",
+             when(col("vec_id") % 1000 < lit(dupCut), col("embedding"))
+               .otherwise(expr(
+                 s"transform(embedding, (x, j) -> IF(pmod(xxhash64(j, $i), 2) = 0, -x, x))"))))
+            .withColumn("vec_id", col("vec_id") + lit(i * vStride)))
         .write.mode("overwrite").parquet(s"$Out/embeddings.parquet")
       for (t <- Seq("customer", "nation", "region", "supplier", "part"))
         graft.Tables.load(spark, src, t).write.mode("overwrite").parquet(s"$Out/$t.parquet")
       new java.io.File(s"$Out/_done").createNewFile()
-      println(f"PROBE datagen ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      datagenSec = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE datagen $datagenSec%.1f s")
     }
 
     val defaults = Seq("q02_agg", "q04_join_chain", "q07_tumbling_window",
@@ -114,21 +166,41 @@ object ScaleProbe {
       if (!keep) println(s"PROBE $n SKIPPED (scalePath=false: oracle-only baseline)")
       keep
     }
+    // structured results → $Out/probe.json: a mid-list crash shows as
+    // ok=false in the artifact even when grep'd stdout looks clean (how
+    // dd7's 100× wall went unnoticed for two rounds)
+    final case class Res(sec: Double, rows: Long, error: Option[String])
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Res]
     for (name <- targets) {
       val t0 = System.nanoTime()
       // per-query catch: one blown query (OOM, disk-full spill) must not
-      // kill the rest of the list — a crash mid-run looks like a clean
-      // short log once piped through grep (how dd7's 100× wall went
-      // unnoticed for two rounds)
+      // kill the rest of the list
       try {
         val n = graft.SparkEntry.queries(name)(spark, Out).count()
-        println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+        val sec = (System.nanoTime() - t0) / 1e9
+        results(name) = Res(sec, n, None)
+        println(f"PROBE $name%-28s $sec%7.2f s  rows=$n")
       } catch {
         case e: Throwable =>
-          println(f"PROBE $name%-28s FAILED after ${(System.nanoTime() - t0) / 1e9}%.1f s: " +
+          val sec = (System.nanoTime() - t0) / 1e9
+          results(name) = Res(sec, -1L, Some(String.valueOf(e.getMessage).take(200)))
+          println(f"PROBE $name%-28s FAILED after $sec%.1f s: " +
             String.valueOf(e.getMessage).take(200))
       }
     }
+    def q(v: String) = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val qjson = results.map { case (name, r) =>
+      val err = r.error.map(e => s",\"error\":${q(e)}").getOrElse("")
+      f"${q(name)}:{" + f""""sec":${r.sec}%.2f,"rows":${r.rows},"ok":${r.error.isEmpty}$err}"""
+    }.mkString(",")
+    val meta = f""""n":$N,"dup":$dupFrac,"src":${q(src)},"out":${q(Out)},""" +
+      f""""shuffle_partitions":$shufflePartitions,"datagen_sec":$datagenSec%.1f,""" +
+      s""""failed":${results.count(_._2.error.isDefined)},"ran":${results.size}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$Out/probe.json"),
+      s"{$meta,\"queries\":{$qjson}}\n")
+    println(s"PROBE artifact $Out/probe.json (${results.size} queries, " +
+      s"${results.count(_._2.error.isDefined)} failed)")
     spark.stop()
   }
 }

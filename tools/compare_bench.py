@@ -3,6 +3,11 @@
 BASELINE.md and flag regressions.
 
 Usage: python3 tools/compare_bench.py BENCH_rN.json [ratio]
+       python3 tools/compare_bench.py --probe NEW_probe.json OLD_probe.json [ratio]
+
+--probe diffs two ScaleProbe artifacts: reports per-query time ratios
+(flagging > ratio), row-count drift, and any ok=false entries in
+either artifact (a probe with failures exits 1 regardless of timing).
 
 The baseline is the last fenced code block in BASELINE.md (the most
 recent round's "name seconds" table, three pairs per line). A query is
@@ -29,9 +34,48 @@ def load_baseline(path):
     return table
 
 
+def compare_probes(new_path, old_path, ratio):
+    new = json.loads(Path(new_path).read_text())
+    old = json.loads(Path(old_path).read_text())
+    nq, oq = new["queries"], old["queries"]
+    print(f"probe {new_path} (n={new.get('n')}, dup={new.get('dup')}) vs "
+          f"{old_path} (n={old.get('n')}, dup={old.get('dup')})")
+    failed = [(n, r) for n, r in {**oq, **nq}.items()
+              if not (nq.get(n, oq.get(n)))["ok"]]
+    for n, r in sorted(failed):
+        print(f"  FAILED {n}: {r.get('error', '?')}")
+    flagged = []
+    for name in sorted(nq):
+        r = nq[name]
+        if name not in oq:
+            print(f"  new (no counterpart): {name} {r['sec']:.2f}s rows={r['rows']}")
+            continue
+        o = oq[name]
+        if not (r["ok"] and o["ok"]):
+            continue
+        rr = r["sec"] / o["sec"] if o["sec"] > 0 else float("inf")
+        drift = "" if r["rows"] == o["rows"] else f"  rows {o['rows']} -> {r['rows']}"
+        mark = " FLAG" if rr > ratio else ""
+        if mark or drift:
+            flagged += [name] if mark else []
+            print(f"  {name}: {o['sec']:.2f}s -> {r['sec']:.2f}s ({rr:.2f}x){drift}{mark}")
+    ok_new = [n for n in nq if nq[n]["ok"] and n in oq and oq[n]["ok"]]
+    tn = sum(nq[n]["sec"] for n in ok_new)
+    to = sum(oq[n]["sec"] for n in ok_new)
+    if to > 0:
+        print(f"total {tn:.1f}s vs {to:.1f}s ({tn / to:.2f}x) over {len(ok_new)} shared ok queries")
+    sys.exit(1 if flagged or failed else 0)
+
+
 def main():
     if len(sys.argv) < 2:
         sys.exit(__doc__)
+    if sys.argv[1] == "--probe":
+        if len(sys.argv) < 4:
+            sys.exit(__doc__)
+        compare_probes(sys.argv[2], sys.argv[3],
+                       float(sys.argv[4]) if len(sys.argv) > 4 else 2.0)
+        return
     doc = json.loads(Path(sys.argv[1]).read_text())
     if "queries" in doc:
         bench = doc["queries"]
