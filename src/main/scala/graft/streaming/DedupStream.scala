@@ -2,13 +2,30 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** One banded signature coordinate of an arriving document. */
 final case class BandDoc(band: Int, bv: Long, doc_id: Long)
 
-/** An unverified near-dup candidate pair (d1 < d2). */
+/** An unverified near-dup candidate pair (d1 < d2), or — when d1 ==
+  * [[LshBucketProcessor.OverflowD1]] — an overflow marker whose d2 is
+  * the bucket's cumulative count of arrivals dropped by the size cap. */
 final case class CandPair(d1: Long, d2: Long)
+
+object LshBucketProcessor {
+  /** Default bucket-size cap. LSH pair fan-out is O(|bucket|²) — fine
+    * for genuine near-dup families (bounded by the corpus's dup rate),
+    * unbounded for adversarial skew (e.g. a constant boilerplate
+    * segment hashing every doc into one band bucket). 1024 members =
+    * ≤ ~0.5M pairs from one bucket, past which arrivals are counted,
+    * not joined. */
+  val DefaultMaxBucket = 1024
+
+  /** d1 of an overflow marker row (no real doc_id is negative; the
+    * verification join drops markers naturally, monitors filter for
+    * them). */
+  val OverflowD1: Long = -1L
+}
 
 /** LSH bucket membership as streaming state: keyed by (band, band-hash),
   * each bucket holds the doc_ids seen so far; a new arrival emits one
@@ -17,26 +34,49 @@ final case class CandPair(d1: Long, d2: Long)
   * banding join materializes, held incrementally. A pair that shares
   * several bands is emitted once per shared band (the batch form
   * `distinct()`s; streaming consumers dedup downstream or tolerate
-  * re-verification — verification is idempotent). */
-class LshBucketProcessor extends StatefulProcessor[(Int, Long), BandDoc, CandPair] {
-  @transient private var docs: ListState[Long] = _
+  * re-verification — verification is idempotent).
+  *
+  * Skew hardening: membership is MapState keyed by doc_id (O(1) dedup
+  * of redelivered rows, not a scan of the bucket), and a bucket that
+  * reaches `maxBucket` members stops admitting — each dropped arrival
+  * emits one [[LshBucketProcessor.OverflowD1]] marker carrying the
+  * cumulative drop count instead of O(|bucket|) pairs, so a degenerate
+  * band value (constant boilerplate segment) costs O(1) state and
+  * output per arrival instead of growing one row and O(|bucket|²)
+  * emission without bound. A capped doc keeps its other NumBands−1
+  * buckets, so recall under the cap degrades only for pairs whose
+  * EVERY shared band is flooded. */
+class LshBucketProcessor(maxBucket: Int = LshBucketProcessor.DefaultMaxBucket)
+  extends StatefulProcessor[(Int, Long), BandDoc, CandPair] {
+  @transient private var docs: MapState[Long, Boolean] = _
+  @transient private var meta: ValueState[(Long, Long)] = _ // (size, dropped)
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    docs = getHandle.getListState[Long]("docs", Encoders.scalaLong, TTLConfig.NONE)
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    docs = getHandle.getMapState[Long, Boolean](
+      "docs", Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+    meta = getHandle.getValueState[(Long, Long)](
+      "meta", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+  }
 
   override def handleInputRows(
       key: (Int, Long), rows: Iterator[BandDoc], timerValues: TimerValues): Iterator[CandPair] = {
-    var members = if (docs.exists()) docs.get().toVector else Vector.empty[Long]
+    var (size, dropped) = if (meta.exists()) meta.get() else (0L, 0L)
     val out = Vector.newBuilder[CandPair]
     rows.foreach { r =>
-      if (!members.contains(r.doc_id)) {
-        members.foreach { m =>
-          out += (if (m < r.doc_id) CandPair(m, r.doc_id) else CandPair(r.doc_id, m))
+      if (!docs.containsKey(r.doc_id)) {
+        if (size >= maxBucket) {
+          dropped += 1
+          out += CandPair(LshBucketProcessor.OverflowD1, dropped)
+        } else {
+          docs.keys().foreach { m =>
+            out += (if (m < r.doc_id) CandPair(m, r.doc_id) else CandPair(r.doc_id, m))
+          }
+          docs.updateValue(r.doc_id, true)
+          size += 1
         }
-        members :+= r.doc_id
       }
     }
-    docs.put(members.toArray)
+    meta.update((size, dropped))
     out.result().iterator
   }
 }
@@ -95,8 +135,10 @@ object DedupStream {
   }
 
   /** Candidate pairs stream — stages 3-4. May contain cross-band
-    * duplicates (see LshBucketProcessor). */
-  def candidates(docs: DataFrame): DataFrame = {
+    * duplicates (see LshBucketProcessor) and, under adversarial bucket
+    * skew, OverflowD1 marker rows. */
+  def candidates(docs: DataFrame,
+      maxBucket: Int = LshBucketProcessor.DefaultMaxBucket): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     signatures(docs)
@@ -105,7 +147,7 @@ object DedupStream {
            | b -> struct(b AS band, xxhash64(slice(mh, b * $BandRows + 1, $BandRows)) AS bv))""".stripMargin)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bv").as("bv"), col("doc_id")).as[BandDoc]
       .groupByKey(b => (b.band, b.bv))
-      .transformWithState(new LshBucketProcessor, TimeMode.None(), OutputMode.Update(),
+      .transformWithState(new LshBucketProcessor(maxBucket), TimeMode.None(), OutputMode.Update(),
         Encoders.product[CandPair])
       .toDF()
   }

@@ -773,6 +773,35 @@ class StreamingParitySpec extends SparkSpecBase {
       "no pair straddles the restart boundary — split the corpus differently")
   }
 
+  test("dedup-at-ingest: adversarial constant-segment flood stays bounded and flags overflow") {
+    // every doc is the SAME boilerplate text → identical signatures →
+    // all docs collide in the same 32 band buckets. Uncapped, arrival k
+    // emits k−1 pairs per band (O(n²) total) and state grows without
+    // bound; with the cap, buckets stop admitting at maxBucket members
+    // and each dropped arrival emits ONE OverflowD1 marker per band.
+    val cap = 8
+    val n = 20
+    val docs = (0 until n).map(i =>
+      DocRow(i.toLong, "the same boilerplate navigation chrome text for every single page")).toVector
+    val h = TopologyTestHarness[DocRow](spark,
+      df => DedupStream.candidates(df, maxBucket = cap), "update")
+    val emitted = try { docs.grouped(5).foreach(h.pipe); h.results().collect() }
+      finally h.close()
+    val (markers, pairs) = emitted.map(r => (r.getLong(0), r.getLong(1)))
+      .partition(_._1 == LshBucketProcessor.OverflowD1)
+    // real pair emission is bounded by the cap: C(cap,2) distinct pairs,
+    // each possibly re-emitted once per band — never the uncapped C(n,2)
+    assert(pairs.toSet.size == cap * (cap - 1) / 2,
+      s"expected C($cap,2) distinct capped pairs, got ${pairs.toSet.size}")
+    // every band bucket admitted exactly `cap` docs and dropped the
+    // rest, surfacing a cumulative drop count in the marker stream
+    assert(markers.nonEmpty && markers.map(_._2).max == (n - cap).toLong,
+      s"expected overflow markers up to ${n - cap}, got max=${markers.map(_._2).maxOption}")
+    // and the fixture-scale parity corpora never hit the default cap
+    // (sanity: the real suite's buckets are far below DefaultMaxBucket)
+    assert(cap < LshBucketProcessor.DefaultMaxBucket)
+  }
+
   test("streaming embedding dedup-at-ingest: verified IVF pair stream == batch dd7") {
     import graft.operators.Similarity
     // embeddings replayed in id order, 50 per micro-batch; cell
