@@ -171,7 +171,18 @@ object ScaleProbe {
     // dd7's 100× wall went unnoticed for two rounds)
     final case class Res(sec: Double, rows: Long, error: Option[String])
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Res]
+    // Per-query isolation (default ON): drop the memoized intermediate
+    // frames between queries. The memoized frames are
+    // persist(MEMORY_AND_DISK) blocks that accumulate across the whole
+    // list — at 100× the storage pool's residue plus one heavy query's
+    // execution memory OOM'd a 48g heap mid-list (dd7, which runs clean
+    // in a fresh JVM). Isolation also makes each number a STANDALONE
+    // cost (td1/td3 pay their full dep chain) — comparable across runs,
+    // not dependent on list order. Set SPARK_GRAFT_PROBE_ISOLATE=false
+    // to measure the shared-memoization schedule instead.
+    val isolate = sys.env.getOrElse("SPARK_GRAFT_PROBE_ISOLATE", "true").toBoolean
     for (name <- targets) {
+      if (isolate) graft.operators.Memo.clearCaches(spark)
       val t0 = System.nanoTime()
       // per-query catch: one blown query (OOM, disk-full spill) must not
       // kill the rest of the list
@@ -196,6 +207,7 @@ object ScaleProbe {
     }.mkString(",")
     val meta = f""""n":$N,"dup":$dupFrac,"src":${q(src)},"out":${q(Out)},""" +
       f""""shuffle_partitions":$shufflePartitions,"datagen_sec":$datagenSec%.1f,""" +
+      s""""isolated":$isolate,""" +
       s""""failed":${results.count(_._2.error.isDefined)},"ran":${results.size}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$Out/probe.json"),
       s"{$meta,\"queries\":{$qjson}}\n")
