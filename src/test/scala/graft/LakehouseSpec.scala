@@ -204,6 +204,58 @@ class LakehouseSpec extends SparkSpecBase with org.scalatest.BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("streaming lakehouse sink survives kill-and-restart exactly-once via _spark_metadata") {
+    import graft.streaming.{Event, Topic, Topics}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dir = tmp("restart-sink")
+
+    val events = Tables.events(spark, sfDir).as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id)).toVector
+    val ms = MemoryStream[Event]
+    val topic = Topic("events_lake_rs", "file",
+      Map("path" -> dir, "partitionBy" -> "event_type"))
+    def start() = Topics.writeStream(ms.toDF(), topic).outputMode("append").start()
+    val chunks = events.grouped(200).toVector
+    val (front, back) = chunks.splitAt(chunks.size / 2)
+
+    val q1 = start()
+    try front.foreach { c => ms.addData(c); q1.processAllAvailable() }
+    finally q1.stop() // kill mid-stream
+
+    // simulate the torn write a crash leaves behind: a data file landed
+    // in a partition dir but its batch never committed to the sink log
+    val part = new java.io.File(dir).listFiles
+      .filter(_.isDirectory).filter(_.getName.startsWith("event_type=")).head
+    Tables.events(spark, sfDir).limit(50).drop("event_type")
+      .coalesce(1).write.parquet(s"$dir/_orphan_tmp")
+    val orphanSrc = parquetFiles(s"$dir/_orphan_tmp").head
+    val orphan = new java.io.File(part, "part-99999-orphan.snappy.parquet")
+    java.nio.file.Files.copy(orphanSrc.toPath, orphan.toPath)
+
+    // restart from the same checkpoint; the remaining chunks flow on
+    val q2 = start()
+    try back.foreach { c => ms.addData(c); q2.processAllAvailable() }
+    finally q2.stop()
+
+    // readers go through the _spark_metadata commit log: every streamed
+    // row exactly once — the uncommitted orphan is invisible, nothing
+    // was lost or doubled across the restart
+    val got = spark.read.parquet(dir).select("event_id").as[Long].collect().sorted.toSeq
+    assert(got == events.map(_.event_id).sorted,
+      s"expected ${events.size} distinct committed rows, got ${got.size}")
+    // the orphan IS on disk: a naive listing of the partition dir
+    // (bypassing the sink's commit log) counts its 50 extra rows —
+    // _spark_metadata is what made the read above exactly-once
+    assert(orphan.exists())
+    val committedInPart = spark.read.parquet(dir)
+      .filter(col("event_type") === part.getName.stripPrefix("event_type=")).count()
+    val naiveInPart = spark.read.parquet(part.getPath).count()
+    assert(naiveInPart == committedInPart + 50,
+      s"naive=$naiveInPart committed=$committedInPart — orphan not visible to a naive reader?")
+  }
+
   test("partitioned compaction keeps the hive layout") {
     val in = tmp("pslivers")
     val out = tmp("pcompacted")
