@@ -30,9 +30,9 @@ object HopRatioProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir =
-      if (new java.io.File("/tmp/scale10/_done").exists()) "/tmp/scale10"
-      else "/root/testdata/sf0.1"
+    val dir = sys.env.get("SPARK_GRAFT_PROBE_OUT")
+      .orElse(Option.when(new java.io.File("/tmp/scale10/_done").exists())("/tmp/scale10"))
+      .getOrElse("/root/testdata/sf0.1")
     val raw = graft.Tables.events(spark, dir)
 
     def naive(ev: org.apache.spark.sql.DataFrame, sizeSec: Long, slideSec: Long) =
