@@ -417,16 +417,46 @@ object Dedup {
         .groupBy(col("vec_id"))
         .agg(graft.functions.SketchAggs.topk(col("acos"), col("aid"), Dd7Probes).as("top"))
         .select(col("vec_id"), explode(col("top.id")).as("cell"))
-      val cand = assigned.select(col("cell"), col("vec_id").as("id1"))
-        .join(assigned.select(col("cell"), col("vec_id").as("id2")), Seq("cell"))
-        .filter(col("id1") < col("id2"))
-        .select("id1", "id2").distinct()
-      Memo.mat(cand
-        .join(e.select(col("vec_id").as("id1"), col("v").as("v1"), col("nrm").as("n1")), Seq("id1"))
-        .join(e.select(col("vec_id").as("id2"), col("v").as("v2"), col("nrm").as("n2")), Seq("id2"))
-        .withColumn("cos", VectorExprs.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
-        .filter(col("cos") >= 0.4)
-        .select(col("id1"), col("id2"), round(col("cos"), 3).as("cos_sim")))
+      // CELL-LOCAL verification: attach each member's vector once per
+      // cell (n·P rows, ~3 GB of shuffle at 2M vectors) and compute the
+      // pairwise cosines inside the cell group. The previous form
+      // materialized the candidate self-join and then joined BOTH
+      // vectors per candidate pair — n·P²·CellDiv/2 pairs × ~1 KB
+      // ≈ 570 GB of shuffle at 2M vectors, which filled the 1000×
+      // probe's disk. Cosine count is identical; shuffle volume drops
+      // by ~the mean cell size. A pair sharing several cells
+      // re-verifies once per shared cell — the loop's arithmetic is
+      // deterministic (sequential dot, HALF_UP round = the batch
+      // expressions), so distinct() collapses bit-identical duplicates,
+      // the same contract the old cand.distinct() had. Per-group memory
+      // is cell size × (d+2) doubles — bounded in expectation by the
+      // K = n/CellDiv sizing at ~CellDiv·P members.
+      import s.implicits._
+      val members = assigned
+        .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+        .as[(Long, Long, Array[Double], Double)]
+      Memo.mat(members.groupByKey(_._1)
+        .flatMapGroups { (_, it) =>
+          val m = it.toArray
+          scala.util.Sorting.stableSort(m, (a: (Long, Long, Array[Double], Double),
+            b: (Long, Long, Array[Double], Double)) => a._2 < b._2) // ascending id → id1 < id2
+          (0 until m.length).iterator.flatMap { i =>
+            val (_, idI, vI, nI) = m(i)
+            ((i + 1) until m.length).iterator.flatMap { j =>
+              val (_, idJ, vJ, nJ) = m(j)
+              var d = 0.0; var t = 0
+              val len = math.min(vI.length, vJ.length)
+              while (t < len) { d += vI(t) * vJ(t); t += 1 }
+              val cos = d / (nI * nJ)
+              if (cos >= 0.4)
+                Iterator.single((idI, idJ, java.math.BigDecimal.valueOf(cos)
+                  .setScale(3, java.math.RoundingMode.HALF_UP).doubleValue()))
+              else Iterator.empty
+            }
+          }
+        }
+        .toDF("id1", "id2", "cos_sim").distinct())
     }
 
   val dd7 = QueryDef(
