@@ -74,10 +74,17 @@ object IvfAssignProbe {
         .select(col("vec_id"), explode(col("top.id")).as("cell"))
     }
 
-    // warm the shared input once so neither path pays the corpus scan
+    // warm the shared input once so neither path pays the corpus scan;
+    // two-level first — the flat form's n·K-row aggregation input has
+    // filled the probe disk at 2M vectors (62.5B rows), and its death
+    // must not mask the working path's number
     time("corpus_warm")(e.count())
-    val nFlat = time("assign_flat")(flat().count())
     val nTwo = time("assign_two_level")(twoLevel().count())
+    val nFlat = try time("assign_flat")(flat().count()) catch {
+      case e: Throwable =>
+        println(s"PROBE assign_flat FAILED: ${String.valueOf(e.getMessage).take(160)}")
+        -1L
+    }
     println(s"PROBE assignments flat=$nFlat two_level=$nTwo")
     spark.stop()
   }
