@@ -48,28 +48,49 @@ object WindowedAgg {
   /** Q8 — hopping window, size 1h advance 15m
     * (TimeWindows.ofSizeAndGrace(...).advanceBy, integration test :262-264).
     * Each event lands in 4 windows; the oracle enumerates them with a
-    * 0..3 cross join on the slide grid.
-    *
-    * Plan choice, measured (HopRatioProbe over the 10× dataset): at
-    * this 4× window/slide ratio the native plan wins — its ×4 row
-    * fan-out collapses in the codegen'd map-side partial aggregate
-    * before the exchange, and slicing would add a second shuffle for
-    * nothing. The slice decomposition (hoppingSliced below) overtakes
-    * it past a ~12× ratio and is ~2× faster at 60× (1h/1m), so
-    * high-ratio hopping aggregations should use that form instead. */
+    * 0..3 cross join on the slide grid. Plans through [[hopping]], the
+    * size-adaptive choice between the native fan-out and the slice
+    * decomposition — the crossover is BOTH ratio- and scale-dependent
+    * (HopRatioProbe: naive wins ratio 4 at 10×, sliced wins every
+    * config at 1000×), so the choice reads the scan estimate instead
+    * of hard-coding either plan. */
   val q08 = QueryDef(
     "q08_hopping_window",
-    (s, d) =>
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-        .select(col("window.start").cast("long").as("window_start"),
-          col("user_id"), col("n"), col("sum_value")),
+    (s, d) => hopping(Tables.events(s, d), 3600L, 900L),
     Some("""SELECT CAST(floor(epoch(ts) / 900) * 900 - k * 900 AS BIGINT) AS window_start,
            |  user_id, count(*) AS n, round(sum(value), 2) AS sum_value
            |FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) ks
            |GROUP BY 1, 2""".stripMargin)
   )
+
+  /** Past this estimated scan size the slice decomposition wins at ANY
+    * window/slide ratio: HopRatioProbe at the 1000× corpus (100M
+    * events, ~3 GB) measured sliced ≤ naive in every config — sparse
+    * ratio 4: 29.9 s vs 34.8, dense ratio 4: 1.4 s vs 3.7, dense ratio
+    * 12: 1.6 s vs 12.1 — while at the 10× corpus (1M events) naive
+    * still won ratio 4 (0.6 s vs 1.0). 1 GiB sits between the two
+    * measured regimes. */
+  val HoppingSliceBytes: Long = 1L << 30
+
+  /** Hopping aggregation with a size-adaptive plan choice: the native
+    * `window(ts, size, slide)` fan-out for small inputs at low ratios
+    * (its fan-out collapses in the codegen'd map-side partial agg and
+    * slicing's second shuffle is pure overhead), the slice
+    * decomposition once the ratio is high (≥ 12, measured crossover at
+    * 10×) OR the scan estimate says the corpus is past
+    * [[HoppingSliceBytes]] (at 1000× sliced wins at every ratio).
+    * Both forms are row-identical (HopRatioProbe equivalence). */
+  def hopping(events: org.apache.spark.sql.DataFrame,
+              sizeSec: Long, slideSec: Long): org.apache.spark.sql.DataFrame =
+    if (sizeSec / slideSec >= 12 ||
+        events.queryExecution.optimizedPlan.stats.sizeInBytes >= HoppingSliceBytes)
+      hoppingSliced(events, sizeSec, slideSec)
+    else
+      events
+        .groupBy(window(col("ts"), s"$sizeSec seconds", s"$slideSec seconds"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").cast("long").as("window_start"),
+          col("user_id"), col("n"), col("sum_value"))
 
   /** Q8b — the SAME hopping aggregation at a HIGH window/slide ratio
     * (1h size, 5m advance = 12 windows per event), shipped through the

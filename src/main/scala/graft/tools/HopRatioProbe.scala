@@ -48,15 +48,29 @@ object HopRatioProbe {
       println(f"HOPPROBE $label%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
     }
 
+    // At the 1000× corpus the exceptAll equivalence check shuffles two
+    // multi-billion-row result sets and fills a single-node disk; the
+    // equivalence is scale-independent (proven at 10×), so big-corpus
+    // runs set SPARK_GRAFT_HOP_CHECK=false and restrict the config grid
+    // (sparse ratio-60 output alone is ~6B rows at 1000×) via
+    // SPARK_GRAFT_HOP_RATIOS / SPARK_GRAFT_HOP_DENSITIES.
+    val check = sys.env.getOrElse("SPARK_GRAFT_HOP_CHECK", "true").toBoolean
+    val ratios = sys.env.getOrElse("SPARK_GRAFT_HOP_RATIOS", "4,12,60")
+      .split(',').map(_.trim.toLong).toSeq
+    val densities = sys.env.getOrElse("SPARK_GRAFT_HOP_DENSITIES", "sparse,dense")
+      .split(',').map(_.trim).toSet
     for ((density, ev) <- Seq(
         ("sparse", raw),
-        ("dense ", raw.withColumn("user_id", col("user_id") % 64)))) {
-      for ((size, slide) <- Seq((3600L, 900L), (3600L, 300L), (3600L, 60L))) {
-        val ratio = size / slide
-        // equivalence first — the probe is meaningless if the plans differ
-        val diff = graft.operators.WindowedAgg.hoppingSliced(ev, size, slide)
-          .exceptAll(naive(ev, size, slide)).count()
-        require(diff == 0, s"sliced != naive at ratio $ratio ($density)")
+        ("dense ", raw.withColumn("user_id", col("user_id") % 64)))
+        if densities.contains(density.trim)) {
+      for (ratio <- ratios) {
+        val (size, slide) = (3600L, 3600L / ratio)
+        if (check) {
+          // equivalence — the probe is meaningless if the plans differ
+          val diff = graft.operators.WindowedAgg.hoppingSliced(ev, size, slide)
+            .exceptAll(naive(ev, size, slide)).count()
+          require(diff == 0, s"sliced != naive at ratio $ratio ($density)")
+        }
         time(s"$density naive  ratio=$ratio", naive(ev, size, slide).count())
         time(s"$density sliced ratio=$ratio",
           graft.operators.WindowedAgg.hoppingSliced(ev, size, slide).count())

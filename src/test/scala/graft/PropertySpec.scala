@@ -221,6 +221,23 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("hopping() plan choice adapts to ratio and scan size") {
+    import graft.operators.WindowedAgg
+    val ev = Tables.events(spark, sfDir)
+    def isSliced(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.toString.contains("slice_start")
+    // small fixture, low ratio → native fan-out plan
+    assert(!isSliced(WindowedAgg.hopping(ev, 3600L, 900L)))
+    // high ratio flips to slicing regardless of size
+    assert(isSliced(WindowedAgg.hopping(ev, 3600L, 300L)))
+    // and a big scan estimate flips it even at the low ratio: union the
+    // fixture with itself until the stats estimate crosses the knob
+    var big = ev
+    while (big.queryExecution.optimizedPlan.stats.sizeInBytes < WindowedAgg.HoppingSliceBytes)
+      big = big.union(big)
+    assert(isSliced(WindowedAgg.hopping(big, 3600L, 900L)))
+  }
+
   test("dd9 canonical map is a closure: canonical of canonical is itself, keep iff self") {
     val m = SparkEntry.queries("dd9_semantic_dedup")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
