@@ -67,8 +67,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    val mjson = perQuery
+    // The listener bus is async and the quiesce window is a heuristic:
+    // a completion event arriving after the 3 s timeout (large SF, slow
+    // disk) leaves that query's window empty or bleeds it into the next
+    // query's, and memoized shared work books its tapped scans to
+    // whichever query materializes it first — attribution is BEST-EFFORT
+    // (flagged in the artifact for downstream readers; ADVICE r8).
+    val mjson = (perQuery
       .map { case (k, (o, r)) => s"${q(k)}: {\"origin_rows\": $o, \"output_rows\": $r}" }
+      ++ Seq("\"_attribution\": {\"note\": \"best-effort: async-listener event windows; " +
+        "memoized shared scans book to the first materializing query\"}"))
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/metrics.json"), mjson)
     spark.stop()

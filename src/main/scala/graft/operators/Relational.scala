@@ -125,7 +125,12 @@ object Relational {
   private val bucketedFactsCache = Memo.newCache[(DataFrame, DataFrame)]()
   private[graft] def bucketedFacts(s: SparkSession, d: String): (DataFrame, DataFrame) =
     Memo.get(bucketedFactsCache, s, d) {
-      val suffix = (d.hashCode & 0x7fffffff).toString
+      // collision-resistant name suffix: two dataset dirs with colliding
+      // 32-bit hashCodes in one JVM would share catalog table names, and
+      // the second landing's Overwrite would silently re-point the first
+      // session's memoized s.table(...) at the wrong data (ADVICE r8)
+      val suffix = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       val liT = s"graft_bk_lineitem_$suffix"
       val oT = s"graft_bk_orders_$suffix"
       // the catalog is per-JVM, so a fresh session re-lands (Overwrite) —

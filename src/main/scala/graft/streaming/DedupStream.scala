@@ -45,7 +45,23 @@ object LshBucketProcessor {
   * output per arrival instead of growing one row and O(|bucket|²)
   * emission without bound. A capped doc keeps its other NumBands−1
   * buckets, so recall under the cap degrades only for pairs whose
-  * EVERY shared band is flooded. */
+  * EVERY shared band is flooded.
+  *
+  * CHECKPOINT COMPATIBILITY: round 8 changed the state layout from
+  * `ListState[Long] "docs"` to `MapState[Long, Boolean] "docs"` plus the
+  * `"meta" ValueState` — a streaming query CANNOT resume a checkpoint
+  * written by the ListState version (state-schema validation rejects the
+  * type change on the reused name). Restart such pipelines from a fresh
+  * checkpoint and re-feed the corpus (the processor dedups by doc_id, so
+  * a replay is idempotent).
+  *
+  * Drop accounting under redelivery: a doc REJECTED by the cap is never
+  * admitted to the MapState, so an at-least-once redelivery of the same
+  * doc_id increments `dropped` again — the cumulative count on the
+  * overflow markers can over-count under redelivery. That is the
+  * deliberate trade: remembering capped doc_ids would grow state without
+  * bound, exactly what the cap exists to prevent. Read the marker count
+  * as "drop events", not "distinct docs dropped". */
 class LshBucketProcessor(maxBucket: Int = LshBucketProcessor.DefaultMaxBucket)
   extends StatefulProcessor[(Int, Long), BandDoc, CandPair] {
   @transient private var docs: MapState[Long, Boolean] = _
@@ -136,7 +152,13 @@ object DedupStream {
 
   /** Candidate pairs stream — stages 3-4. May contain cross-band
     * duplicates (see LshBucketProcessor) and, under adversarial bucket
-    * skew, OverflowD1 marker rows. */
+    * skew, OverflowD1 marker rows.
+    *
+    * RETURN CONTRACT: rows with `d1 == LshBucketProcessor.OverflowD1`
+    * are overflow MARKERS (d2 = cumulative drop-event count), not
+    * candidate pairs. The verification join in [[verifiedPairs]] drops
+    * them naturally (no doc has a negative id); any OTHER consumer of
+    * this stream must filter `d1 >= 0` before treating rows as pairs. */
   def candidates(docs: DataFrame,
       maxBucket: Int = LshBucketProcessor.DefaultMaxBucket): DataFrame = {
     val s = docs.sparkSession

@@ -77,6 +77,9 @@ def main():
                        float(sys.argv[4]) if len(sys.argv) > 4 else 2.0)
         return
     doc = json.loads(Path(sys.argv[1]).read_text())
+    if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
+        # driver-parsed compact bench line (short keys since round 9)
+        doc = doc["parsed"]
     if "queries" in doc:
         bench = doc["queries"]
     else:
@@ -84,7 +87,10 @@ def main():
         # the bench line — recover whole "name":seconds pairs from it
         # (raw_passes arrays don't match the scalar pattern)
         bench = {m[0]: float(m[1]) for m in
-                 re.findall(r'"(\w+)":(\d+\.\d+)[,}]', doc.get("tail", ""))}
+                 re.findall(r'"(\w+)":(\d+\.\d+)[,}]', doc.get("tail", ""))
+                 if m[0] not in ("value", "n", "dup", "datagen_sec")}
+        if bench and "short_names" in doc.get("tail", ""):
+            doc["short_names"] = True
         if not bench:
             # tail may hold only the raw_passes arrays ("name":[a,b]) —
             # the reported number is the min of the warm passes
@@ -94,6 +100,18 @@ def main():
             sys.exit(f"no per-query numbers found in {sys.argv[1]}")
     ratio = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
     base = load_baseline(Path(__file__).resolve().parent.parent / "BASELINE.md")
+
+    if doc.get("short_names"):
+        # Bench's compact artifact line shortens each query name to its
+        # first '_'-token (two tokens on collision) so all ~89 entries fit
+        # the driver's 2000-char tail; re-expand against the full names in
+        # BASELINE.md's newest table. An unmatched short name (query newer
+        # than the baseline table) is kept as-is and reported "new".
+        expanded = {}
+        for name, sec in bench.items():
+            hits = [f for f in base if f == name or f.startswith(name + "_")]
+            expanded[hits[0] if len(hits) == 1 else name] = sec
+        bench = expanded
 
     flagged, new = [], []
     for name, sec in sorted(bench.items()):
