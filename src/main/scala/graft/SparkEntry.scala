@@ -20,7 +20,8 @@ object SparkEntry {
     * 88 queries, each with a DuckDB oracle. */
   val registry: Seq[QueryDef] =
     Relational.all ++ WindowedAgg.all ++ StatefulOps.all ++ StatelessOps.all ++
-      Dedup.all ++ Simhash.all ++ Similarity.all ++ TextOps.all ++ Multimodal.all ++ Pipeline.all
+      Dedup.all ++ Simhash.all ++ Similarity.all ++ TextOps.all ++ Multimodal.all ++
+      Pipeline.all ++ SkewOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

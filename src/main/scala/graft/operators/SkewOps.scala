@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -51,4 +52,50 @@ object SkewOps {
       .withColumn(saltCol, col(saltCol).cast("long"))
     salted.join(replicated, Seq(key, saltCol), joinType).drop(saltCol)
   }
+
+  val Salts = 8
+  val HotKey = 7L
+  val DimKeys = 97L
+
+  /** q57 — the salted join registry-graded end-to-end (the q04b
+    * precedent: probe-proven mechanism → oracle-graded query). The fact
+    * side is events with a synthesized hot key (4/5 of all rows land on
+    * key [[HotKey]] — the one-key-wedges-one-reducer shape that is the
+    * #1 real-cluster join killer); the dim side is the distinct key
+    * domain with a label. The join runs through [[saltedJoin]] with a
+    * `merge` hint pinning a shuffle join (at fixture scale Spark would
+    * otherwise broadcast the 97-row dim and no reducer would ever see
+    * the hot key; at 100 TB the dim that NEEDS salting is precisely the
+    * one too big to broadcast). The oracle is the plain unsalted join —
+    * salting must be invisible in the result. SkewOpsSpec additionally
+    * pins the distribution: no post-salt (key, salt) slice of the hot
+    * key exceeds 2× the mean slice. */
+  val q57 = QueryDef(
+    "q57_salted_skew_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val fact = ev.select(
+        when(col("event_id") % 5 === 0, col("user_id") % DimKeys)
+          .otherwise(lit(HotKey)).as("skew_key"),
+        col("value"))
+      val dim = ev.select((col("user_id") % DimKeys).as("skew_key")).distinct()
+        .withColumn("segment", concat(lit("seg_"), col("skew_key")))
+      saltedJoin(fact, dim.hint("merge"), "skew_key", Salts)
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total"))
+    },
+    Some(s"""WITH fact AS (
+            |  SELECT CASE WHEN event_id % 5 = 0 THEN user_id % $DimKeys
+            |              ELSE $HotKey END AS skew_key, value
+            |  FROM events),
+            |dim AS (
+            |  SELECT skew_key, 'seg_' || CAST(skew_key AS VARCHAR) AS segment
+            |  FROM (SELECT DISTINCT user_id % $DimKeys AS skew_key FROM events))
+            |SELECT segment, count(*) AS cnt, round(sum(value), 4) AS total
+            |FROM fact JOIN dim USING (skew_key)
+            |GROUP BY segment""".stripMargin),
+    doc = "salted skew join over a synthesized hot key; oracle = the plain join"
+  )
+
+  val all: Seq[QueryDef] = Seq(q57)
 }

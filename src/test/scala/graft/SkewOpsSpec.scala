@@ -43,4 +43,44 @@ class SkewOpsSpec extends SparkSpecBase {
       .orderBy("payload").select("__salt").collect().map(_.getLong(0)).toSeq
     assert(salts() == salts())
   }
+
+  test("q57: registered salted join matches the plain unsalted join") {
+    val ev = Tables.events(spark, sfDir)
+    val factQ = ev.select(
+      when(col("event_id") % 5 === 0, col("user_id") % SkewOps.DimKeys)
+        .otherwise(lit(SkewOps.HotKey)).as("skew_key"), col("value"))
+    val dimQ = ev.select((col("user_id") % SkewOps.DimKeys).as("skew_key")).distinct()
+      .withColumn("segment", concat(lit("seg_"), col("skew_key")))
+    val plain = factQ.join(dimQ, Seq("skew_key"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("total"))
+      .collect().map(_.toSeq).toSet
+    val salted = SparkEntry.queries("q57_salted_skew_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain && salted.nonEmpty)
+  }
+
+  test("q57: no post-salt slice of the hot key exceeds 2x the mean slice") {
+    val ev = Tables.events(spark, sfDir)
+    val factQ = ev.select(
+      when(col("event_id") % 5 === 0, col("user_id") % SkewOps.DimKeys)
+        .otherwise(lit(SkewOps.HotKey)).as("skew_key"), col("value"))
+    // replicate saltedJoin's exact salt derivation on the hot key's rows
+    val slices = factQ.filter(col("skew_key") === SkewOps.HotKey)
+      .withColumn("__salt",
+        pmod(xxhash64(struct(col("skew_key"), col("value"))), lit(SkewOps.Salts)))
+      .groupBy("__salt").count().collect().map(_.getLong(1))
+    val mean = slices.sum.toDouble / SkewOps.Salts
+    assert(slices.length == SkewOps.Salts, s"hot key reached only ${slices.length} salts")
+    assert(slices.max <= 2 * mean,
+      s"hot-key slice imbalance: max=${slices.max} mean=$mean")
+  }
+
+  test("q57: the salted join plans as a shuffle join, not a dim broadcast") {
+    val plan = SparkEntry.queries("q57_salted_skew_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle join in:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"dim side broadcast despite hint:\n$plan")
+  }
 }
