@@ -306,16 +306,17 @@ object Dedup {
   /** SQL twin of the coarse-count formula. */
   val Dd7CoarseSql: String = s"CAST(ceil(sqrt($Dd7AnchorSql)) AS BIGINT)"
 
-  /** The two-level IVF assignment, expressed ONCE in SQL and
-    * interpolated into BOTH dd7's and dd9's oracles (each defines the
-    * CTE `e`), so the quantizer cannot drift between the pair query and
-    * the semantic-dedup pipeline that composes it. Mirrors [[ivfPairs]]
-    * stage for stage: anchors/coarse = first-K/K1 vec_ids; a2c = each
-    * fine anchor's single nearest coarse cell; vc = each vector's
-    * Dd7CoarseProbes nearest coarse cells; assigned = top-Dd7Probes
-    * fine cells among ONLY the probed coarse cells' anchors — every
-    * ranking (cos DESC, id ASC), the TopKAgg order. */
-  val Dd7AssignSql: String =
+  /** The two-level ranked assignment CTE chain, parameterized on the
+    * fine-cell rank bound (`maxProbes` — any SQL scalar expression).
+    * Expects the caller's WITH to define CTE `e` (vec_id, v). Produces
+    * `ranked` (vec_id, cell, r): anchors/coarse = first-K/K1 vec_ids;
+    * a2c = each fine anchor's single nearest coarse cell; vc = each
+    * vector's Dd7CoarseProbes nearest coarse cells; ranked = each
+    * vector's top-maxProbes fine cells among ONLY the probed coarse
+    * cells' anchors — every ranking (cos DESC, id ASC), the TopKAgg
+    * order. Interpolated into dd7/dd9 (pair mining) AND sim2 (ANN
+    * serving), so the quantizer cannot drift between the three. */
+  def twoLevelRankedSql(maxProbes: String): String =
     s"""anchors AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < $Dd7AnchorSql),
        |coarse AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $Dd7CoarseSql),
        |a2c AS (
@@ -332,18 +333,78 @@ object Dedup {
        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS r
        |    FROM e CROSS JOIN coarse c)
        |  WHERE r <= $Dd7CoarseProbes),
-       |assigned AS (
-       |  SELECT vec_id, cell FROM (
+       |ranked AS (
+       |  SELECT vec_id, cell, r FROM (
        |    SELECT e.vec_id, a.aid AS cell,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY list_cosine_similarity(e.v, a.av) DESC, a.aid) AS r
        |    FROM e JOIN vc ON e.vec_id = vc.vec_id
        |           JOIN a2c ON a2c.cid = vc.cid
        |           JOIN anchors a ON a.aid = a2c.aid)
-       |  WHERE r <= $Dd7Probes),
+       |  WHERE r <= ($maxProbes))""".stripMargin
+
+  /** dd7/dd9's assignment + candidate-pair mining, built on
+    * [[twoLevelRankedSql]] with the Dd7Probes bound. */
+  val Dd7AssignSql: String =
+    s"""${twoLevelRankedSql(Dd7Probes.toString)},
+       |assigned AS (SELECT vec_id, cell FROM ranked),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
        |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.vec_id < y.vec_id)""".stripMargin
+
+  /** Spark twin of [[twoLevelRankedSql]]: rank every vector of `e`
+    * (vec_id, v, nrm) against the two-level index defined by `fine`
+    * (aid, av, an) and `coarse` (cid, cv, cn), returning (vec_id,
+    * cell, r) with r ≤ probes — (cos DESC, id ASC) order throughout
+    * (TopKAgg = the oracle's row_number).
+    *
+    * Scale shape (the reason this is THE designated quantizer for
+    * every IVF surface): only the √K-sized coarse set is ever
+    * broadcast; a2c runs once at K·K1 cosines; the per-vector cost is
+    * K1 + Dd7CoarseProbes·K/K1 ≈ √K cosines; the fine side joins by
+    * cid, so beyond broadcast reach it degrades to a linear-in-n
+    * shuffle, never a linear broadcast. */
+  private[graft] def twoLevelRanked(
+      e: DataFrame, fine: DataFrame, coarse: DataFrame, probes: Int): DataFrame = {
+    // level 1: each FINE anchor's single nearest coarse cell (K·K1
+    // cosines, broadcast of the √K-sized coarse set — runs once)
+    val a2c = fine.crossJoin(broadcast(coarse))
+      .withColumn("ccos", VectorExprs.dot(col("av"), col("cv")) / (col("an") * col("cn")))
+      .groupBy(col("aid"))
+      .agg(graft.functions.SketchAggs.topk(col("ccos"), col("cid"), 1).as("t"))
+      .select(col("aid"), col("t.id").getItem(0).as("cid"))
+    val fineTagged = fine.join(a2c, Seq("aid"))
+    // level 2: each VECTOR's Dd7CoarseProbes nearest coarse cells —
+    // n·K1 cosines against a √K broadcast; first(v) rides the same
+    // map-side partial agg so the corpus is never re-joined
+    val vc = e.crossJoin(broadcast(coarse))
+      .withColumn("ccos", VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.SketchAggs.topk(col("ccos"), col("cid"), Dd7CoarseProbes).as("ct"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"), explode(col("ct.id")).as("cid"))
+    // refine: rank ONLY the probed coarse cells' fine anchors — the
+    // join keys on cid, so Spark broadcasts fineTagged while it fits
+    // and shuffle-joins by cid beyond that (n·P₁ vector rows, linear);
+    // per-vector work is K1 + P₁·K/K1 ≈ √K cosines instead of K
+    vc.join(fineTagged, Seq("cid"))
+      .withColumn("acos", VectorExprs.dot(col("v"), col("av")) / (col("nrm") * col("an")))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.SketchAggs.topk(col("acos"), col("aid"), probes).as("top"))
+      .select(col("vec_id"), posexplode(col("top.id")))
+      .select(col("vec_id"), col("col").as("cell"), (col("pos") + 1).cast("int").as("r"))
+  }
+
+  /** [[twoLevelRanked]] with the dd7 prefix index: fine/coarse anchors
+    * = the first K/K1 vec_ids of `e` itself. */
+  private[graft] def twoLevelRankedPrefix(
+      e: DataFrame, k: Long, k1: Long, probes: Int): DataFrame =
+    twoLevelRanked(e,
+      e.filter(col("vec_id") < k)
+        .select(col("vec_id").as("aid"), col("v").as("av"), col("nrm").as("an")),
+      e.filter(col("vec_id") < k1)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")),
+      probes)
 
   /** dd7 — embedding near-dup via TWO-LEVEL IVF-cell blocking: the
     * bucketed scale path for dd4's O(n²) broadcast self-join. The K =
@@ -383,40 +444,12 @@ object Dedup {
   def ivfPairs(s: SparkSession, d: String): DataFrame =
     Memo.get(ivfPairCache, s, d) {
       val e = Similarity.normed(s, d) // memoized; dd7 references it three times
-      // one cheap count action sizes the anchor sets to the corpus (the
-      // result is memoized with the pair set, so it runs once per dir)
-      val k = dd7AnchorCount(e.count())
+      // one cheap memoized count sizes the anchor sets to the corpus
+      // (shared with sim2/sim3, which size the same way)
+      val k = dd7AnchorCount(Similarity.corpusN(s, d))
       val k1 = dd7CoarseCount(k)
-      val fine = e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("aid"), col("v").as("av"), col("nrm").as("an"))
-      val coarse = e.filter(col("vec_id") < k1)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-      // level 1: each FINE anchor's single nearest coarse cell (K·K1
-      // cosines, broadcast of the √K-sized coarse set — runs once)
-      val a2c = fine.crossJoin(broadcast(coarse))
-        .withColumn("ccos", VectorExprs.dot(col("av"), col("cv")) / (col("an") * col("cn")))
-        .groupBy(col("aid"))
-        .agg(graft.functions.SketchAggs.topk(col("ccos"), col("cid"), 1).as("t"))
-        .select(col("aid"), col("t.id").getItem(0).as("cid"))
-      val fineTagged = fine.join(a2c, Seq("aid"))
-      // level 2: each VECTOR's Dd7CoarseProbes nearest coarse cells —
-      // n·K1 cosines against a √K broadcast; first(v) rides the same
-      // map-side partial agg so the corpus is never re-joined
-      val vc = e.crossJoin(broadcast(coarse))
-        .withColumn("ccos", VectorExprs.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-        .groupBy(col("vec_id"))
-        .agg(graft.functions.SketchAggs.topk(col("ccos"), col("cid"), Dd7CoarseProbes).as("ct"),
-          first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-        .select(col("vec_id"), col("v"), col("nrm"), explode(col("ct.id")).as("cid"))
-      // refine: rank ONLY the probed coarse cells' fine anchors — the
-      // join keys on cid, so Spark broadcasts fineTagged while it fits
-      // and shuffle-joins by cid beyond that (n·P₁ vector rows, linear);
-      // per-vector work is K1 + P₁·K/K1 ≈ √K cosines instead of K
-      val assigned = vc.join(fineTagged, Seq("cid"))
-        .withColumn("acos", VectorExprs.dot(col("v"), col("av")) / (col("nrm") * col("an")))
-        .groupBy(col("vec_id"))
-        .agg(graft.functions.SketchAggs.topk(col("acos"), col("aid"), Dd7Probes).as("top"))
-        .select(col("vec_id"), explode(col("top.id")).as("cell"))
+      val assigned = twoLevelRankedPrefix(e, k, k1, Dd7Probes)
+        .select(col("vec_id"), col("cell"))
       // CELL-LOCAL verification: attach each member's vector once per
       // cell (n·P rows, ~3 GB of shuffle at 2M vectors) and compute the
       // pairwise cosines inside the cell group. The previous form

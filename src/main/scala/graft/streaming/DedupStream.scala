@@ -176,9 +176,14 @@ object DedupStream {
 
   /** Verified near-dup pairs stream — the full dd3 twin. `gramSets` is
     * the static content store: (doc_id, ghs sorted gram-hash array, sz),
-    * i.e. Dedup.gramSets for the same corpus. */
-  def verifiedPairs(docs: DataFrame, gramSets: DataFrame): DataFrame =
-    candidates(docs)
+    * i.e. Dedup.gramSets for the same corpus. `maxBucket` is threaded to
+    * [[LshBucketProcessor]]; under a finite cap, batch parity holds only
+    * for corpora whose every band bucket stays below it (capped losses
+    * are invisible here — overflow markers are dropped by the
+    * verification join; monitor [[candidates]] directly to see them). */
+  def verifiedPairs(docs: DataFrame, gramSets: DataFrame,
+      maxBucket: Int = LshBucketProcessor.DefaultMaxBucket): DataFrame =
+    candidates(docs, maxBucket)
       .join(gramSets.select(col("doc_id").as("d1"), col("ghs").as("ghs1"), col("sz").as("sz1")), Seq("d1"))
       .join(gramSets.select(col("doc_id").as("d2"), col("ghs").as("ghs2"), col("sz").as("sz2")), Seq("d2"))
       .withColumn("inter", graft.functions.VectorExprs.sortedIntersect(col("ghs1"), col("ghs2")))

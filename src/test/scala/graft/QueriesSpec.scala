@@ -53,7 +53,8 @@ class QueriesSpec extends SparkSpecBase {
     "q51_tfidf_keywords" -> 2500, "q52_bloom_pruned_join" -> 7,
     "q53_hll_cardinality" -> 1, "dd10_line_dedup" -> 500,
     "td3_chunk_pack_pipeline" -> 173, "q54_window_distinct_hll" -> 531,
-    "q55_hll_set_ops" -> 1, "q56_window_heavy_hitters" -> 924)
+    "q55_hll_set_ops" -> 1, "q56_window_heavy_hitters" -> 924,
+    "q57_salted_skew_join" -> 15)
 
   test("registry covers every golden query and vice versa") {
     assert(SparkEntry.queries.keySet == goldenCounts.keySet)
