@@ -406,6 +406,22 @@ object Dedup {
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")),
       probes)
 
+  /** The corpus's ranked prefix-index assignment, memoized per
+    * (session, dir) at depth max(NProbe, K1) — deep enough for BOTH
+    * sim2's query probing AND dd7/dd9's top-Dd7Probes multi-assignment
+    * (the top-3 prefix of a top-16 ranking IS the top-3 ranking), so
+    * the three pipelines plan ONE assignment job instead of each
+    * paying the n·√K·d quantization pass. */
+  private val rankedCache = Memo.newCache[DataFrame]()
+  private[graft] def rankedPrefix(s: SparkSession, d: String): DataFrame =
+    Memo.get(rankedCache, s, d) {
+      val e = Similarity.normed(s, d)
+      val k = dd7AnchorCount(Similarity.corpusN(s, d))
+      val k1 = dd7CoarseCount(k)
+      Memo.mat(twoLevelRankedPrefix(e, k, k1,
+        math.max(Similarity.NProbe.toLong, k1).toInt))
+    }
+
   /** dd7 — embedding near-dup via TWO-LEVEL IVF-cell blocking: the
     * bucketed scale path for dd4's O(n²) broadcast self-join. The K =
     * max(256, ⌈n/Dd7CellDiv⌉) fine anchors (first vec_ids — sim2's
@@ -444,11 +460,7 @@ object Dedup {
   def ivfPairs(s: SparkSession, d: String): DataFrame =
     Memo.get(ivfPairCache, s, d) {
       val e = Similarity.normed(s, d) // memoized; dd7 references it three times
-      // one cheap memoized count sizes the anchor sets to the corpus
-      // (shared with sim2/sim3, which size the same way)
-      val k = dd7AnchorCount(Similarity.corpusN(s, d))
-      val k1 = dd7CoarseCount(k)
-      val assigned = twoLevelRankedPrefix(e, k, k1, Dd7Probes)
+      val assigned = rankedPrefix(s, d).filter(col("r") <= Dd7Probes)
         .select(col("vec_id"), col("cell"))
       // CELL-LOCAL verification: attach each member's vector once per
       // cell (n·P rows, ~3 GB of shuffle at 2M vectors) and compute the

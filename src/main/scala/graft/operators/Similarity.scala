@@ -105,10 +105,7 @@ object Similarity {
     "sim2_ann_ivf_topk",
     (s, d) => {
       val e = normed(s, d)
-      val k = Dedup.dd7AnchorCount(corpusN(s, d))
-      val k1 = Dedup.dd7CoarseCount(k)
-      val nprobe = math.max(NProbe.toLong, k1).toInt
-      val ranked = Dedup.twoLevelRankedPrefix(e, k, k1, nprobe)
+      val ranked = Dedup.rankedPrefix(s, d) // memoized — shared with dd7/dd9
       val assigned = ranked.filter(col("r") <= Dedup.Dd7Probes)
         .select(col("vec_id"), col("cell"))
       val probes = ranked.filter(col("vec_id") < NumQueries)
