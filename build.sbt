@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's BENCH capture parses the LAST stdout line as JSON; sbt's
+// default LoggedOutput prefixes forked-run output with "[info] " and
+// appends a "[success] Total time" line, which left every round's
+// artifact with parsed:null. Raw pass-through + no success banner makes
+// Bench's compact JSON line the literal last line of stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
