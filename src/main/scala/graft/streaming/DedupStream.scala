@@ -48,12 +48,13 @@ object LshBucketProcessor {
   * EVERY shared band is flooded.
   *
   * CHECKPOINT COMPATIBILITY: round 8 changed the state layout from
-  * `ListState[Long] "docs"` to `MapState[Long, Boolean] "docs"` plus the
-  * `"meta" ValueState` — a streaming query CANNOT resume a checkpoint
-  * written by the ListState version (state-schema validation rejects the
-  * type change on the reused name). Restart such pipelines from a fresh
-  * checkpoint and re-feed the corpus (the processor dedups by doc_id, so
-  * a replay is idempotent).
+  * `ListState[Long] "docs"` to a `"docs"` MapState plus the `"meta"`
+  * ValueState, and round 10 widened the map value to the admit
+  * timestamp (TTL support) — a streaming query CANNOT resume a
+  * checkpoint written by an earlier layout (state-schema validation
+  * rejects the type change on the reused name). Restart such pipelines
+  * from a fresh checkpoint and re-feed the corpus (the processor dedups
+  * by doc_id, so a replay is idempotent).
   *
   * Drop accounting under redelivery: a doc REJECTED by the cap is never
   * admitted to the MapState, so an at-least-once redelivery of the same
@@ -62,14 +63,19 @@ object LshBucketProcessor {
   * deliberate trade: remembering capped doc_ids would grow state without
   * bound, exactly what the cap exists to prevent. Read the marker count
   * as "drop events", not "distinct docs dropped". */
-class LshBucketProcessor(maxBucket: Int = LshBucketProcessor.DefaultMaxBucket)
+class LshBucketProcessor(maxBucket: Int = LshBucketProcessor.DefaultMaxBucket,
+    ttl: Option[StateTtl] = None)
   extends StatefulProcessor[(Int, Long), BandDoc, CandPair] {
-  @transient private var docs: MapState[Long, Boolean] = _
+  // doc_id -> admit timestamp (0 when no TTL). CHECKPOINT COMPATIBILITY:
+  // round 10 changed the map value from Boolean to Long (the admit ts) —
+  // checkpoints from the round-8/9 layout cannot resume (state-schema
+  // validation rejects the value-type change on the reused name).
+  @transient private var docs: MapState[Long, Long] = _
   @transient private var meta: ValueState[(Long, Long)] = _ // (size, dropped)
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-    docs = getHandle.getMapState[Long, Boolean](
-      "docs", Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+    docs = getHandle.getMapState[Long, Long](
+      "docs", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
     meta = getHandle.getValueState[(Long, Long)](
       "meta", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
   }
@@ -78,6 +84,19 @@ class LshBucketProcessor(maxBucket: Int = LshBucketProcessor.DefaultMaxBucket)
       key: (Int, Long), rows: Iterator[BandDoc], timerValues: TimerValues): Iterator[CandPair] = {
     var (size, dropped) = if (meta.exists()) meta.get() else (0L, 0L)
     val out = Vector.newBuilder[CandPair]
+    // Optional state TTL ([[StateTtl]], reference TtlProvider analog):
+    // members idle past the TTL expire at read — a long-running ingest's
+    // bucket state tracks the RECENT corpus, not all of history. Expiry
+    // runs once per (key, batch) before admissions: expired members stop
+    // pairing, `size` shrinks with them, so a previously capped bucket
+    // re-opens as its members age out.
+    ttl.foreach { t =>
+      val dead = Vector.newBuilder[Long]
+      docs.iterator().foreach { case (m, ts) => if (t.expired(ts)) dead += m }
+      val d = dead.result()
+      d.foreach(docs.removeKey)
+      size -= d.size
+    }
     rows.foreach { r =>
       if (!docs.containsKey(r.doc_id)) {
         if (size >= maxBucket) {
@@ -87,7 +106,7 @@ class LshBucketProcessor(maxBucket: Int = LshBucketProcessor.DefaultMaxBucket)
           docs.keys().foreach { m =>
             out += (if (m < r.doc_id) CandPair(m, r.doc_id) else CandPair(r.doc_id, m))
           }
-          docs.updateValue(r.doc_id, true)
+          docs.updateValue(r.doc_id, ttl.map(_.clock()).getOrElse(0L))
           size += 1
         }
       }
@@ -160,7 +179,8 @@ object DedupStream {
     * them naturally (no doc has a negative id); any OTHER consumer of
     * this stream must filter `d1 >= 0` before treating rows as pairs. */
   def candidates(docs: DataFrame,
-      maxBucket: Int = LshBucketProcessor.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = LshBucketProcessor.DefaultMaxBucket,
+      ttl: Option[StateTtl] = None): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     signatures(docs)
@@ -169,7 +189,7 @@ object DedupStream {
            | b -> struct(b AS band, xxhash64(slice(mh, b * $BandRows + 1, $BandRows)) AS bv))""".stripMargin)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.bv").as("bv"), col("doc_id")).as[BandDoc]
       .groupByKey(b => (b.band, b.bv))
-      .transformWithState(new LshBucketProcessor(maxBucket), TimeMode.None(), OutputMode.Update(),
+      .transformWithState(new LshBucketProcessor(maxBucket, ttl), TimeMode.None(), OutputMode.Update(),
         Encoders.product[CandPair])
       .toDF()
   }
@@ -182,8 +202,9 @@ object DedupStream {
     * are invisible here — overflow markers are dropped by the
     * verification join; monitor [[candidates]] directly to see them). */
   def verifiedPairs(docs: DataFrame, gramSets: DataFrame,
-      maxBucket: Int = LshBucketProcessor.DefaultMaxBucket): DataFrame =
-    candidates(docs, maxBucket)
+      maxBucket: Int = LshBucketProcessor.DefaultMaxBucket,
+      ttl: Option[StateTtl] = None): DataFrame =
+    candidates(docs, maxBucket, ttl)
       .join(gramSets.select(col("doc_id").as("d1"), col("ghs").as("ghs1"), col("sz").as("sz1")), Seq("d1"))
       .join(gramSets.select(col("doc_id").as("d2"), col("ghs").as("ghs2"), col("sz").as("sz2")), Seq("d2"))
       .withColumn("inter", graft.functions.VectorExprs.sortedIntersect(col("ghs1"), col("ghs2")))

@@ -179,16 +179,21 @@ object EmbedDedupStream {
     * finite cap, parity holds only for corpora whose every cell stays
     * below it (overflow markers are dropped by the verification join,
     * so capped losses are invisible downstream; monitor the candidate
-    * stream for `d1 == LshBucketProcessor.OverflowD1` if you cap). */
+    * stream for `d1 == LshBucketProcessor.OverflowD1` if you cap).
+    *
+    * `ttl` expires idle cell members at read ([[StateTtl]]) — the same
+    * recency-window semantics as the text twin; parity with batch dd7
+    * of course holds only without a TTL. */
   def verifiedPairs(vecs: DataFrame, normedStore: DataFrame,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue,
+      ttl: Option[StateTtl] = None): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
     val ci = collectCoarse(normedStore.select(col("vec_id"), col("v").as("embedding")))
     val cells = fineCells(normedStore, ci)
     assignments(vecs, ci, cells).as[BandDoc]
       .groupByKey(b => (b.band, b.bv))
-      .transformWithState(new LshBucketProcessor(maxBucket),
+      .transformWithState(new LshBucketProcessor(maxBucket, ttl),
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update(),
         org.apache.spark.sql.Encoders.product[CandPair])

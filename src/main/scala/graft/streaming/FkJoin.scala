@@ -48,27 +48,46 @@ object FkJoin {
   /** Phase 1: per-pk FK bookkeeping, emits retract+upsert envelopes.
     * A left row with `lval == null` is a tombstone (the KTable delete):
     * it retracts the subscription at the last FK and clears the
-    * bookkeeping, so the joined row disappears downstream. */
-  class FkRouter extends StatefulProcessor[Long, LeftRow, FkMsg] {
-    @transient private var lastFk: ValueState[Long] = _
+    * bookkeeping, so the joined row disappears downstream.
+    *
+    * With `ttl` set, bookkeeping idle past the TTL is forgotten: an FK
+    * change after expiry emits no retraction to the old FK — coherent
+    * with the joiner, whose subscription for that pk expired on the same
+    * clock.
+    *
+    * CHECKPOINT COMPATIBILITY: round 10 widened the "lastFk" state from
+    * Long to (fk, writeTs) — a streaming query cannot resume a
+    * checkpoint written by the Long version; restart from a fresh
+    * checkpoint and re-feed the changelog. */
+  class FkRouter(ttl: Option[StateTtl] = None)
+      extends StatefulProcessor[Long, LeftRow, FkMsg] {
+    @transient private var lastFk: ValueState[(Long, Long)] = _ // (fk, writeTs)
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      lastFk = getHandle.getValueState[Long]("lastFk", Encoders.scalaLong, TTLConfig.NONE)
+      lastFk = getHandle.getValueState[(Long, Long)]("lastFk",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    private def liveFk(): Option[Long] =
+      if (!lastFk.exists()) None
+      else {
+        val (fk, ts) = lastFk.get()
+        if (ttl.exists(_.expired(ts))) { lastFk.clear(); None } else Some(fk)
+      }
 
     override def handleInputRows(
         key: Long, rows: Iterator[LeftRow], timerValues: TimerValues): Iterator[FkMsg] = {
       val out = Vector.newBuilder[FkMsg]
       rows.toVector.sortBy(_.seq).foreach { r =>
         if (r.lval == null) { // left tombstone
-          if (lastFk.exists()) {
-            out += FkMsg(lastFk.get(), "L", r.pk, lastFk.get(), null, null, r.seq, retract = true)
+          liveFk().foreach { fk =>
+            out += FkMsg(fk, "L", r.pk, fk, null, null, r.seq, retract = true)
             lastFk.clear()
           }
         } else {
-          if (lastFk.exists() && lastFk.get() != r.fk) {
-            out += FkMsg(lastFk.get(), "L", r.pk, lastFk.get(), null, null, r.seq, retract = true)
+          liveFk().filter(_ != r.fk).foreach { fk =>
+            out += FkMsg(fk, "L", r.pk, fk, null, null, r.seq, retract = true)
           }
-          lastFk.update(r.fk)
+          lastFk.update((r.fk, ttl.map(_.clock()).getOrElse(0L)))
           out += FkMsg(r.fk, "L", r.pk, r.fk, r.lval, null, r.seq, retract = false)
         }
       }
@@ -76,21 +95,50 @@ object FkJoin {
     }
   }
 
-  /** Phase 2: per-fk join state (right value + subscribed lefts). */
-  class FkJoiner extends StatefulProcessor[Long, FkMsg, FkJoined] {
-    @transient private var right: ValueState[RightRow] = _
-    @transient private var lefts: MapState[Long, LeftRow] = _
+  /** A state row paired with its last-write timestamp (0 when no TTL —
+    * the timestamp is never consulted then). */
+  final case class Stamped[V](v: V, writeTs: Long)
+
+  /** Phase 2: per-fk join state (right value + subscribed lefts).
+    * `ttl` as in [[FkRouter]]: an expired subscription stops receiving
+    * right-update fan-out; an expired right value joins as null again.
+    *
+    * CHECKPOINT COMPATIBILITY: round 10 wrapped both state rows in
+    * [[Stamped]] — checkpoints from earlier rounds cannot resume. */
+  class FkJoiner(ttl: Option[StateTtl] = None)
+      extends StatefulProcessor[Long, FkMsg, FkJoined] {
+    @transient private var right: ValueState[Stamped[RightRow]] = _
+    @transient private var lefts: MapState[Long, Stamped[LeftRow]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      right = getHandle.getValueState[RightRow]("right", Encoders.product[RightRow], TTLConfig.NONE)
-      lefts = getHandle.getMapState[Long, LeftRow](
-        "lefts", Encoders.scalaLong, Encoders.product[LeftRow], TTLConfig.NONE)
+      right = getHandle.getValueState[Stamped[RightRow]](
+        "right", Encoders.product[Stamped[RightRow]], TTLConfig.NONE)
+      lefts = getHandle.getMapState[Long, Stamped[LeftRow]](
+        "lefts", Encoders.scalaLong, Encoders.product[Stamped[LeftRow]], TTLConfig.NONE)
     }
+
+    private def now(): Long = ttl.map(_.clock()).getOrElse(0L)
 
     override def handleInputRows(
         key: Long, rows: Iterator[FkMsg], timerValues: TimerValues): Iterator[FkJoined] = {
       val out = Vector.newBuilder[FkJoined]
-      def rv: String = if (right.exists()) right.get().rval else null
+      def rv: String =
+        if (!right.exists()) null
+        else {
+          val s = right.get()
+          if (ttl.exists(_.expired(s.writeTs))) { right.clear(); null } else s.v.rval
+        }
+      // live subscriptions; expired ones are dropped from state (removal
+      // buffered — no mutation under the state iterator)
+      def liveLefts(): Seq[(Long, LeftRow)] = {
+        val live = Vector.newBuilder[(Long, LeftRow)]
+        val dead = Vector.newBuilder[Long]
+        lefts.iterator().foreach { case (pk, s) =>
+          if (ttl.exists(_.expired(s.writeTs))) dead += pk else live += (pk -> s.v)
+        }
+        dead.result().foreach(lefts.removeKey)
+        live.result()
+      }
       rows.toVector.sortBy(m => (m.seq, m.side)).foreach { m =>
         if (m.side == "L" && m.retract) {
           if (lefts.containsKey(m.pk)) {
@@ -99,12 +147,12 @@ object FkJoin {
           }
         } else if (m.side == "L") {
           val lr = LeftRow(m.pk, m.fk, m.lval, m.seq)
-          lefts.updateValue(m.pk, lr)
+          lefts.updateValue(m.pk, Stamped(lr, now()))
           out += FkJoined(m.pk, m.fk, m.lval, rv, m.seq, retracted = false)
         } else { // right upsert or tombstone: fan out to all subscribers
           if (m.rval == null) right.clear() // right delete → left-join nulls
-          else right.update(RightRow(key, m.rval, m.seq))
-          lefts.iterator().foreach { case (pk, lr) =>
+          else right.update(Stamped(RightRow(key, m.rval, m.seq), now()))
+          liveLefts().foreach { case (pk, lr) =>
             out += FkJoined(pk, key, lr.lval, m.rval, m.seq, retracted = false)
           }
         }
@@ -114,17 +162,24 @@ object FkJoin {
   }
 
   /** Compose the two phases over changelog streams (or batch datasets in
-    * tests). Returns the joined changelog. */
-  def fkJoinStream(left: Dataset[LeftRow], right: Dataset[RightRow]): Dataset[FkJoined] = {
+    * tests). Returns the joined changelog.
+    *
+    * `ttl`: optional state expiry (reference TtlProvider analog,
+    * enforced on read — see [[StateTtl]]). None (the default) keeps
+    * state forever; Some(StateTtl(ms)) expires abandoned pks, fks and
+    * subscriptions ms after their last update, without leaving
+    * TimeMode.None. */
+  def fkJoinStream(left: Dataset[LeftRow], right: Dataset[RightRow],
+      ttl: Option[StateTtl] = None): Dataset[FkJoined] = {
     implicit val longEnc: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
     implicit val msgEnc: org.apache.spark.sql.Encoder[FkMsg] = Encoders.product[FkMsg]
     implicit val joinedEnc: org.apache.spark.sql.Encoder[FkJoined] = Encoders.product[FkJoined]
     val routed = left.groupByKey(_.pk)
-      .transformWithState(new FkRouter, TimeMode.None(), OutputMode.Update())
+      .transformWithState(new FkRouter(ttl), TimeMode.None(), OutputMode.Update())
     val rightMsgs = right.map(r =>
       FkMsg(r.rk, "R", -1L, r.rk, null, r.rval, r.seq, retract = false))
     routed.union(rightMsgs)
       .groupByKey(_.key)
-      .transformWithState(new FkJoiner, TimeMode.None(), OutputMode.Update())
+      .transformWithState(new FkJoiner(ttl), TimeMode.None(), OutputMode.Update())
   }
 }

@@ -193,4 +193,38 @@ class FkJoinSpec extends SparkSpecBase {
     // the pre-restart fk-10 subscription of pk 1 was retracted after restart
     assert(rows.exists(r => r.pk == 1 && r.seq == 5 && r.retracted && r.fk == 10))
   }
+
+  test("FK join state TTL: an expired subscription stops fanning out") {
+    // reference TtlProvider analog: with ttl set, a subscription idle
+    // past the TTL falls out of the joiner's state, so a later right
+    // update no longer fans out to it — while a fresh subscription on
+    // the same fk still receives the update. (The no-TTL suites above
+    // pin the contrast: there, BOTH subscribers get the fan-out.)
+    // Expiry is driven by the manual clock — deterministic, no sleeps.
+    implicit val sq = spark.sqlContext
+    ManualTtlClock.nowMs.set(1000L)
+    val ttl = Some(graft.streaming.StateTtl(5000L, ManualTtlClock.clock))
+    val lms = MemoryStream[LeftRow]
+    val rms = MemoryStream[RightRow]
+    val q = FkJoin.fkJoinStream(lms.toDS(), rms.toDS(), ttl = ttl)
+      .toDF().writeStream.format("memory").queryName("fksink_ttl")
+      .outputMode("update").start()
+    try {
+      // pk 1 subscribes to fk 10, then goes idle past the TTL
+      lms.addData(Seq(LeftRow(1, 10, "a1", 1)))
+      q.processAllAvailable()
+      ManualTtlClock.nowMs.addAndGet(10000L) // > ttl since pk 1's write
+      // pk 2 subscribes to the same fk, fresh (inside its TTL window)
+      lms.addData(Seq(LeftRow(2, 10, "b1", 2)))
+      q.processAllAvailable()
+      // right 10 arrives: fan-out must reach only the live subscription
+      rms.addData(Seq(RightRow(10, "M10", 3)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("fksink_ttl").as[FkJoined].collect().toSeq
+    assert(rows.filter(_.seq == 3).map(_.pk).toSet == Set(2L),
+      s"expired pk-1 subscription must not fan out; got ${rows.filter(_.seq == 3)}")
+    // pk 1 did subscribe (pre-expiry emission with no right yet)
+    assert(rows.exists(r => r.pk == 1 && r.seq == 1 && r.rval == null && !r.retracted))
+  }
 }

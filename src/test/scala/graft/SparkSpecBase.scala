@@ -10,3 +10,12 @@ trait SparkSpecBase extends AnyFunSuite {
 
   val sfDir = "/root/testdata/sf0.001"
 }
+
+/** JVM-global manual clock for [[graft.streaming.StateTtl]] tests:
+  * local-mode executors share the JVM, so processors observe `nowMs`
+  * updates made by the test thread between micro-batches — expiry
+  * becomes deterministic, no sleeps. */
+object ManualTtlClock {
+  val nowMs = new java.util.concurrent.atomic.AtomicLong(0L)
+  val clock: () => Long = () => nowMs.get()
+}

@@ -802,6 +802,27 @@ class StreamingParitySpec extends SparkSpecBase {
     assert(cap < LshBucketProcessor.DefaultMaxBucket)
   }
 
+  test("dedup-at-ingest: bucket state TTL expires idle members") {
+    // reference TtlProvider analog on the ingest index: identical docs
+    // always pair when state is unbounded (the flood test above); with
+    // a TTL, a member idle past it expires, so a later arrival pairs
+    // only with members still inside the window. Manual clock — the
+    // expiry step is deterministic, no sleeps.
+    ManualTtlClock.nowMs.set(1000L)
+    val ttl = Some(graft.streaming.StateTtl(5000L, ManualTtlClock.clock))
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val h = TopologyTestHarness[DocRow](spark,
+      df => DedupStream.candidates(df, ttl = ttl), "update")
+    val got = try {
+      h.pipe(Seq(DocRow(1L, text)))
+      ManualTtlClock.nowMs.addAndGet(10000L) // > ttl since doc 1 admitted
+      h.pipe(Seq(DocRow(2L, text))) // doc 1 expired -> pairs with nothing
+      h.pipe(Seq(DocRow(3L, text))) // doc 2 still live -> one pair
+      h.results().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    } finally h.close()
+    assert(got == Set((2L, 3L)), s"expected only the in-window pair (2,3); got $got")
+  }
+
   test("streaming embedding dedup-at-ingest: verified IVF pair stream == batch dd7") {
     import graft.operators.Similarity
     // embeddings replayed in id order, 50 per micro-batch; cell
