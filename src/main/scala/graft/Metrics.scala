@@ -32,6 +32,32 @@ final case class QueryMetric(
       * where outputRows only says what came OUT. */
     originRows: Long = -1L)
 
+/** One stateful operator's state-store gauges for one micro-batch — the
+  * analog of the reference's per-store metrics registry
+  * (kafka-client/src/main/java/dev/responsive/kafka/internal/metrics/ —
+  * per-store size/flush/latency gauges, MetricsUtils scoping), surfaced
+  * from Spark's own StreamingQueryProgress.stateOperators rather than a
+  * custom registry: Spark already aggregates per-operator state metrics
+  * at every batch; this gives a library user the "which store is hot"
+  * answer programmatically. */
+final case class StateStoreGauge(
+    queryName: String,
+    batchId: Long,
+    operatorName: String,
+    /** Rows resident in the operator's state store after the batch. */
+    numRowsTotal: Long,
+    /** Rows written this batch (puts). */
+    numRowsUpdated: Long,
+    /** Rows evicted this batch (watermark/TTL removals). */
+    numRowsRemoved: Long,
+    /** Time spent committing state this batch, ms — the reference's
+      * flush-latency sensor analog. */
+    commitTimeMs: Long,
+    /** Resident state memory (provider-reported), bytes. */
+    memoryUsedBytes: Long,
+    /** State-store partitions backing the operator. */
+    numShufflePartitions: Long)
+
 final class MetricsListener extends QueryExecutionListener {
   private val queue = new ConcurrentLinkedQueue[QueryMetric]()
 
@@ -129,6 +155,28 @@ object Metrics {
     import org.apache.spark.sql.functions.{count, lit}
     df.observe(OriginTap, count(lit(1)).as("rows_in"))
   }
+
+  /** Per-store gauges for every stateful operator of a streaming query,
+    * one row per (micro-batch, operator), oldest batch first — read any
+    * time; `recentProgress` retains the last
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100)
+    * batches. Batches with no stateful operator contribute no rows.
+    * See [[StateStoreGauge]] for the reference-metrics mapping. */
+  def stateStoreGauges(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[StateStoreGauge] =
+    q.recentProgress.toSeq.flatMap { p =>
+      p.stateOperators.toSeq.map { so =>
+        StateStoreGauge(
+          queryName = Option(p.name).getOrElse(""),
+          batchId = p.batchId,
+          operatorName = so.operatorName,
+          numRowsTotal = so.numRowsTotal,
+          numRowsUpdated = so.numRowsUpdated,
+          numRowsRemoved = so.numRowsRemoved,
+          commitTimeMs = so.commitTimeMs,
+          memoryUsedBytes = so.memoryUsedBytes,
+          numShufflePartitions = so.numShufflePartitions)
+      }
+    }
 
   /** Attach a fresh listener to the session and return it. */
   def attach(spark: SparkSession): MetricsListener = {

@@ -107,4 +107,35 @@ class MetricsSpec extends SparkSpecBase {
     assert(seen.forall(_ == 250L), s"per-batch origin counts: $seen")
     assert(seen.sum == events.size)
   }
+
+  test("per-store gauges: stateOperators surfaced for a transformWithState query") {
+    // the reference's per-store metrics registry analog: after each
+    // micro-batch, every stateful operator reports its store's row
+    // count, writes, commit latency and memory — "which store is hot"
+    import graft.streaming.FkJoin
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[FkJoin.LeftRow]
+    val q = ms.toDS().groupByKey(_.pk)
+      .transformWithState(new FkJoin.FkRouter(), TimeMode.None(), OutputMode.Update())
+      .toDF().writeStream.format("memory").queryName("gaugesink")
+      .outputMode("update").start()
+    try {
+      ms.addData(Seq(FkJoin.LeftRow(1, 10, "a", 1), FkJoin.LeftRow(2, 20, "b", 2)))
+      q.processAllAvailable()
+      ms.addData(Seq(FkJoin.LeftRow(3, 30, "c", 3)))
+      q.processAllAvailable()
+      val gauges = Metrics.stateStoreGauges(q)
+      assert(gauges.nonEmpty, "no state-operator gauges surfaced")
+      assert(gauges.forall(_.queryName == "gaugesink"))
+      assert(gauges.forall(_.operatorName.nonEmpty))
+      // both batches wrote state; the resident row count reaches 3 pks
+      assert(gauges.map(_.numRowsUpdated).sum >= 3, s"updates: $gauges")
+      assert(gauges.map(_.numRowsTotal).max == 3, s"rows-total: $gauges")
+      assert(gauges.forall(_.numShufflePartitions > 0))
+      // gauges are per (batch, operator): distinct batch ids observed
+      assert(gauges.map(_.batchId).distinct.size >= 2)
+    } finally q.stop()
+  }
 }
