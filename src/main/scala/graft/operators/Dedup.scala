@@ -365,15 +365,26 @@ object Dedup {
     * cid, so beyond broadcast reach it degrades to a linear-in-n
     * shuffle, never a linear broadcast. */
   private[graft] def twoLevelRanked(
-      e: DataFrame, fine: DataFrame, coarse: DataFrame, probes: Int): DataFrame = {
-    // level 1: each FINE anchor's single nearest coarse cell (K·K1
-    // cosines, broadcast of the √K-sized coarse set — runs once)
+      e: DataFrame, fine: DataFrame, coarse: DataFrame, probes: Int): DataFrame =
+    twoLevelRankedTagged(e, tagFine(fine, coarse), coarse, probes)
+
+  /** Level 1 of [[twoLevelRanked]], split out so callers ranking TWO
+    * vector sets against one index (corpus at Dd7Probes depth, the
+    * NumQueries query rows at √K depth — sim2/sim3) tag the fine set
+    * once: each FINE anchor's single nearest coarse cell (K·K1
+    * cosines, broadcast of the √K-sized coarse set — runs once). */
+  private[graft] def tagFine(fine: DataFrame, coarse: DataFrame): DataFrame = {
     val a2c = fine.crossJoin(broadcast(coarse))
       .withColumn("ccos", VectorExprs.dot(col("av"), col("cv")) / (col("an") * col("cn")))
       .groupBy(col("aid"))
       .agg(graft.functions.SketchAggs.topk(col("ccos"), col("cid"), 1).as("t"))
       .select(col("aid"), col("t.id").getItem(0).as("cid"))
-    val fineTagged = fine.join(a2c, Seq("aid"))
+    fine.join(a2c, Seq("aid"))
+  }
+
+  /** Levels 2–3 of [[twoLevelRanked]] over a pre-tagged fine set. */
+  private[graft] def twoLevelRankedTagged(
+      e: DataFrame, fineTagged: DataFrame, coarse: DataFrame, probes: Int): DataFrame = {
     // level 2: each VECTOR's Dd7CoarseProbes nearest coarse cells —
     // n·K1 cosines against a √K broadcast; first(v) rides the same
     // map-side partial agg so the corpus is never re-joined
@@ -399,27 +410,47 @@ object Dedup {
     * = the first K/K1 vec_ids of `e` itself. */
   private[graft] def twoLevelRankedPrefix(
       e: DataFrame, k: Long, k1: Long, probes: Int): DataFrame =
-    twoLevelRanked(e,
-      e.filter(col("vec_id") < k)
-        .select(col("vec_id").as("aid"), col("v").as("av"), col("nrm").as("an")),
-      e.filter(col("vec_id") < k1)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn")),
-      probes)
+    twoLevelRanked(e, prefixFine(e, k), prefixCoarse(e, k1), probes)
+
+  private[graft] def prefixFine(e: DataFrame, k: Long): DataFrame =
+    e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("aid"), col("v").as("av"), col("nrm").as("an"))
+
+  private[graft] def prefixCoarse(e: DataFrame, k1: Long): DataFrame =
+    e.filter(col("vec_id") < k1)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+
+  /** The prefix index's coarse-tagged fine anchors, memoized per
+    * (session, dir): level 1 of the quantizer (K·K1 cosines) runs once
+    * and serves BOTH the corpus assignment ([[rankedPrefix]]) and
+    * sim2's deep query ranking. */
+  private val fineTaggedCache = Memo.newCache[DataFrame]()
+  private[graft] def fineTaggedPrefix(s: SparkSession, d: String): DataFrame =
+    Memo.get(fineTaggedCache, s, d) {
+      val e = Similarity.normed(s, d)
+      val k = dd7AnchorCount(Similarity.corpusN(s, d))
+      Memo.mat(tagFine(prefixFine(e, k), prefixCoarse(e, dd7CoarseCount(k))))
+    }
 
   /** The corpus's ranked prefix-index assignment, memoized per
-    * (session, dir) at depth max(NProbe, K1) — deep enough for BOTH
-    * sim2's query probing AND dd7/dd9's top-Dd7Probes multi-assignment
-    * (the top-3 prefix of a top-16 ranking IS the top-3 ranking), so
-    * the three pipelines plan ONE assignment job instead of each
-    * paying the n·√K·d quantization pass. */
+    * (session, dir) at depth Dd7Probes — dd7/dd9's multi-assignment
+    * depth, and the depth sim2's CORPUS side needs; the three
+    * pipelines plan ONE assignment job instead of each paying the
+    * n·√K·d quantization pass. sim2's queries DO need √K-deep
+    * ranking, but only for its NumQueries vectors — ranking the whole
+    * corpus at max(NProbe, K1) depth (the round-9 form) made the
+    * memoized frame ~K1·n rows (354M at the 100× probe — a √n-factor
+    * blowup over the n·Dd7Probes rows actually consumed; sim2 58 s vs
+    * dd7's 17 s on identical data); the deep ranking now runs
+    * separately over just the query rows
+    * ([[graft.operators.Similarity]] sim2). */
   private val rankedCache = Memo.newCache[DataFrame]()
   private[graft] def rankedPrefix(s: SparkSession, d: String): DataFrame =
     Memo.get(rankedCache, s, d) {
       val e = Similarity.normed(s, d)
       val k = dd7AnchorCount(Similarity.corpusN(s, d))
-      val k1 = dd7CoarseCount(k)
-      Memo.mat(twoLevelRankedPrefix(e, k, k1,
-        math.max(Similarity.NProbe.toLong, k1).toInt))
+      Memo.mat(twoLevelRankedTagged(e, fineTaggedPrefix(s, d),
+        prefixCoarse(e, dd7CoarseCount(k)), Dd7Probes))
     }
 
   /** dd7 — embedding near-dup via TWO-LEVEL IVF-cell blocking: the

@@ -93,10 +93,15 @@ object Similarity {
     * restriction is inactive (Dd7CoarseProbes = 16 = K1 probes every
     * coarse cell), so ranking is bit-identical to a flat K-anchor scan.
     *
-    * One ranked pass serves both sides: ranked to nprobe depth; the
-    * corpus keeps r ≤ Dd7Probes, the NumQueries query rows keep all —
-    * the extra exploded rows (nprobe·n vs 3·n, 3 narrow columns) are
-    * filtered directly on the agg output, before any shuffle. Fully
+    * Two ranking passes at the two depths actually consumed: the
+    * corpus multi-assigns at Dd7Probes depth (the memoized
+    * dd7/dd9-shared job), and ONLY the NumQueries query rows rank at
+    * nprobe = max(NProbe, K1) depth (√K cosines × NumQueries — free).
+    * The round-9 single-pass form ranked the whole corpus nprobe-deep,
+    * a √n-factor row blowup whose depth-beyond-3 rows were read for 10
+    * vectors and discarded for the rest (measured 58 s vs dd7's 17 s
+    * at the 100× probe). Per-vector ranking is independent, so the
+    * split is bit-identical to slicing the deep ranking. Fully
     * deterministic ((cos DESC, id ASC) everywhere — TopKAgg order), so
     * the oracle replays the identical algorithm in DuckDB
     * (twoLevelRankedSql, shared verbatim with dd7/dd9) and the driver
@@ -105,10 +110,22 @@ object Similarity {
     "sim2_ann_ivf_topk",
     (s, d) => {
       val e = normed(s, d)
-      val ranked = Dedup.rankedPrefix(s, d) // memoized — shared with dd7/dd9
-      val assigned = ranked.filter(col("r") <= Dedup.Dd7Probes)
+      // corpus multi-assignment at Dd7Probes depth — memoized, shared
+      // with dd7/dd9
+      val assigned = Dedup.rankedPrefix(s, d).filter(col("r") <= Dedup.Dd7Probes)
         .select(col("vec_id"), col("cell"))
-      val probes = ranked.filter(col("vec_id") < NumQueries)
+      // query probing at max(NProbe, K1) depth — ranked separately over
+      // ONLY the NumQueries query rows (√K cosines × NumQueries), so
+      // the corpus never pays √K-deep ranking; the shared level-1
+      // fine→coarse tagging is memoized. Per-vector ranking is
+      // independent, so this is bit-identical to slicing the query rows
+      // out of a full-corpus deep ranking (what the oracle computes).
+      val k = Dedup.dd7AnchorCount(corpusN(s, d))
+      val k1 = Dedup.dd7CoarseCount(k)
+      val probes = Dedup.twoLevelRankedTagged(
+          e.filter(col("vec_id") < NumQueries),
+          Dedup.fineTaggedPrefix(s, d), Dedup.prefixCoarse(e, k1),
+          math.max(NProbe.toLong, k1).toInt)
         .select(col("vec_id").as("qid"), col("cell"))
       // candidates = corpus rows sharing ≥ 1 probed cell with a query,
       // deduped before scoring (a pair can share several cells).
@@ -120,8 +137,15 @@ object Similarity {
         .select(col("qid"), col("vec_id")).distinct()
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      // candidate fetch: BROADCAST the per-query-bounded (qid, vec_id)
+      // shortlist (~NumQueries·nprobe·cellsize rows — √n growth, ~16 MB
+      // at 20M vectors, ~120 MB at 10⁹) so the corpus streams once and
+      // never shuffles its vectors. Left to the optimizer, cand sits
+      // just past the auto-broadcast threshold and the fetch planned as
+      // a both-sides exchange — ~11 GB of corpus vectors at the 1000×
+      // probe, the whole tail cost of the query.
       topkPerQid(
-        cand.join(e, Seq("vec_id")).join(broadcast(q), Seq("qid"))
+        broadcast(cand).join(e, Seq("vec_id")).join(broadcast(q), Seq("qid"))
           .withColumn("cos",
             VectorExprs.dot(col("v"), col("qv")) / (col("nrm") * col("qn"))))
     },
@@ -236,19 +260,26 @@ object Similarity {
         cs.toSeq.toDF("i", "cw")
           .select(col("i").cast("long").as(idc), col("cw").as(vc),
             sqrt(VectorExprs.dot(col("cw"), col("cw"))).as(nc))
-      val ranked = Dedup.twoLevelRanked(e,
-        centFrame(trained, "aid", "av", "an"),
-        centFrame(trained.take(k1), "cid", "cv", "cn"), nprobe)
-      val assigned = ranked.filter(col("r") <= Dedup.Dd7Probes)
+      // tag the trained fine centroids under the coarse subset once;
+      // corpus multi-assigns at Dd7Probes depth, only the NumQueries
+      // query rows rank at nprobe = max(NProbe, K1) depth (same
+      // corpus-shallow / query-deep split as sim2 — ranking the whole
+      // corpus nprobe-deep is a √k-factor blowup for rows whose depth
+      // beyond Dd7Probes is never read)
+      val coarse = centFrame(trained.take(k1), "cid", "cv", "cn")
+      val fineTagged = Dedup.tagFine(centFrame(trained, "aid", "av", "an"), coarse)
+      val assigned = Dedup.twoLevelRankedTagged(e, fineTagged, coarse, Dedup.Dd7Probes)
         .select(col("vec_id"), col("cell"))
-      val probes = ranked.filter(col("vec_id") < NumQueries)
+      val probes = Dedup.twoLevelRankedTagged(
+          e.filter(col("vec_id") < NumQueries), fineTagged, coarse, nprobe)
         .select(col("vec_id").as("qid"), col("cell"))
       val cand = assigned.join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id")).distinct()
       val q = e.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-      val scored = cand.join(e, Seq("vec_id")).join(broadcast(q), Seq("qid"))
+      // broadcast the bounded shortlist — corpus never shuffles (sim2)
+      val scored = broadcast(cand).join(e, Seq("vec_id")).join(broadcast(q), Seq("qid"))
         .withColumn("cos", VectorExprs.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
       val exact = exactTopk(s, d).select(col("qid"), col("neighbor_id"))
       topkPerQid(scored)
