@@ -14,10 +14,11 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** The full registry, SURVEY §2.10 (Q1–Q56 + q05/q08/q09/q13 variants)
+  /** The full registry, SURVEY §2.10 (Q1–Q57 + q05/q08/q09/q13 variants)
     * plus the training-data pipeline surface (dedup dd1–dd10, similarity
-    * sim1–sim4, text tx1–tx7, multimodal mm1–mm3, pipelines td1–td3) —
-    * 88 queries, each with a DuckDB oracle. */
+    * sim1–sim4 + the served-index sim2b, text tx1–tx7, multimodal
+    * mm1–mm3, pipelines td1–td3) — 90 queries, each with a DuckDB
+    * oracle. */
   val registry: Seq[QueryDef] =
     Relational.all ++ WindowedAgg.all ++ StatefulOps.all ++ StatelessOps.all ++
       Dedup.all ++ Simhash.all ++ Similarity.all ++ TextOps.all ++ Multimodal.all ++

@@ -165,6 +165,69 @@ object Similarity {
     doc = "two-level n-scaled IVF ANN (dd7's quantizer): deterministic — oracle replays the same algorithm"
   )
 
+  /** One-time cell-bucketed ANN index landing for [[sim2b]]: the
+    * corpus's Dd7Probes multi-assignment joined with its vectors,
+    * written once as a lakehouse table bucketed and sorted on `cell`
+    * (memoized per (session, dir) — the q04b landing pattern applied
+    * to ANN serving). At 100 TB this is the deployable index shape:
+    * the quantization pass runs at ingest, and a query's cost is the
+    * probed cells' rows, not the corpus. */
+  private val servedIndexCache = Memo.newCache[DataFrame]()
+  private def servedIndex(s: SparkSession, d: String): DataFrame =
+    Memo.get(servedIndexCache, s, d) {
+      // collision-resistant table suffix — same reasoning as
+      // Relational.bucketedFacts (ADVICE r8)
+      val suffix = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      val t = s"graft_ann_index_$suffix"
+      val idx = Dedup.rankedPrefix(s, d).filter(col("r") <= Dedup.Dd7Probes)
+        .select(col("cell"), col("vec_id"))
+        .join(normed(s, d), Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+      graft.sources.Lakehouse.writeBucketed(idx, t, Seq("cell"), 16)
+      s.table(t)
+    }
+
+  /** sim2b — sim2 SERVED from the persisted index: identical result
+    * (same DuckDB oracle), but the corpus assignment is read from the
+    * one-time [[servedIndex]] landing instead of being recomputed, and
+    * the scan touches ONLY the probed cells. The probed cell-id list is
+    * bounded (NumQueries · nprobe ≈ 10·√K ids — 160 at the graded SFs,
+    * ~1.8k at 2M vectors, ~40k at 10⁹) and is collected to the driver
+    * and pushed into the scan as an In filter, where bucket pruning +
+    * parquet row-group stats (the table is sorted on cell) skip every
+    * unprobed cell — per-query I/O ∝ probed cells, not corpus size.
+    * The driver-side collect is the same bounded-by-construction
+    * pattern as the k-means TrainSample. */
+  val sim2b = QueryDef(
+    "sim2b_ann_ivf_served",
+    (s, d) => {
+      val e = normed(s, d)
+      val k = Dedup.dd7AnchorCount(corpusN(s, d))
+      val k1 = Dedup.dd7CoarseCount(k)
+      val probes = Dedup.twoLevelRankedTagged(
+          e.filter(col("vec_id") < NumQueries),
+          Dedup.fineTaggedPrefix(s, d), Dedup.prefixCoarse(e, k1),
+          math.max(NProbe.toLong, k1).toInt)
+        .select(col("vec_id").as("qid"), col("cell"))
+      val cellIds = probes.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val hits = servedIndex(s, d).filter(col("cell").isin(cellIds: _*))
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), col("v"), col("nrm"))
+        .distinct() // a pair sharing several probed cells scores once
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      topkPerQid(
+        hits.join(broadcast(q), Seq("qid"))
+          .withColumn("cos",
+            VectorExprs.dot(col("v"), col("qv")) / (col("nrm") * col("qn"))))
+    },
+    sim2.oracle, // identical assignment + scoring by construction
+    doc = "sim2 served from the persisted cell-bucketed index: probed-cells-only scan"
+  )
+
   val KmeansIters = 3
   val RecallGate = 0.6
 
@@ -376,5 +439,5 @@ object Similarity {
     doc = "PQ ANN: ADC over 4-bit codes + exact re-rank; recall-gated vs sim1"
   )
 
-  val all: Seq[QueryDef] = Seq(sim1, sim2, sim3, sim4)
+  val all: Seq[QueryDef] = Seq(sim1, sim2, sim2b, sim3, sim4)
 }

@@ -38,6 +38,7 @@ class QueriesSpec extends SparkSpecBase {
     "q33_pivot" -> 15, "q34_percentiles" -> 5, "q35_deterministic_split" -> 3,
     "q36_asof_join" -> 202,
     "sim1_ann_brute_topk" -> 50, "sim2_ann_ivf_topk" -> 50,
+    "sim2b_ann_ivf_served" -> 50,
     "sim3_ann_ivf_kmeans" -> 10, "sim4_ann_pq_topk" -> 10,
     "tx1_token_stats" -> 500, "tx2_langid_ngram" -> 500,
     "tx3_quality_score" -> 500, "tx4_fingerprint" -> 500,

@@ -16,6 +16,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("sim2's plan never shuffles the corpus: broadcast fetch, no sort-merge join") {
+    // the 1000x probe found the candidate fetch falling off the
+    // auto-broadcast cliff into a both-sides exchange (~11 GB of corpus
+    // vectors at 20M rows); sim2 now broadcasts the per-query-bounded
+    // shortlist explicitly. Pin the shape: every join in the serving
+    // plan is broadcast-built — a SortMergeJoin appearing here means
+    // the corpus is being shuffled again.
+    val df = SparkEntry.queries("sim2_ann_ivf_topk")(spark, sfDir)
+    df.collect() // materialize so AQE settles on the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffle crept back in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+  }
+
+  test("served-index ANN returns exactly the recomputed answer (sim2b == sim2)") {
+    // the landing writes the SAME assignment the live pipeline
+    // computes, so serving from the bucketed index must be
+    // row-identical, not merely recall-equivalent
+    def rows(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows("sim2b_ann_ivf_served") == rows("sim2_ann_ivf_topk"))
+  }
+
   test("k-means IVF clears the recall gate for every query") {
     val oks = SparkEntry.queries("sim3_ann_ivf_kmeans")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
