@@ -149,11 +149,12 @@ case class TopKAgg(
     scoreChild: Expression,
     idChild: Expression,
     k: Int,
+    distinctIds: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuf] {
 
-  override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
+  override def createAggregationBuffer(): TopKBuf = new TopKBuf(k, distinctIds)
 
   override def update(buf: TopKBuf, input: InternalRow): TopKBuf = {
     val s = scoreChild.eval(input)
@@ -182,7 +183,7 @@ case class TopKAgg(
   override def deserialize(bytes: Array[Byte]): TopKBuf = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new TopKBuf(k)
+    val buf = new TopKBuf(k, distinctIds)
     var i = 0
     while (i < n) { buf.offer(bb.getDouble, bb.getLong); i += 1 }
     buf
@@ -202,8 +203,13 @@ case class TopKAgg(
   override def prettyName: String = "graft_topk"
 }
 
-/** Mutable bounded top-k list kept sorted by (score DESC, id ASC). */
-final class TopKBuf(k: Int) {
+/** Mutable bounded top-k list kept sorted by (score DESC, id ASC).
+  * `distinct = true` keeps at most one (best) entry per id — the
+  * aggregate-level dedup that lets ANN serving score multi-assigned
+  * candidates DIRECTLY (a pair sharing several probed cells offers the
+  * same (score, id) more than once) without a distinct/dropDuplicates
+  * exchange before the aggregation. */
+final class TopKBuf(k: Int, distinct: Boolean = false) {
   require(k > 0, s"top-k needs k > 0, got $k")
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
@@ -213,6 +219,20 @@ final class TopKBuf(k: Int) {
     s > scores(i) || (s == scores(i) && id < ids(i))
 
   def offer(s: Double, id: Long): Unit = {
+    if (distinct) {
+      // k is tiny — the linear probe is cheaper than any map
+      var j = 0
+      while (j < size) {
+        if (ids(j) == id) {
+          if (!beats(s, id, j)) return // existing entry is ≥ — drop the dup
+          // better score for the same id: remove, then insert normally
+          var m = j
+          while (m < size - 1) { scores(m) = scores(m + 1); ids(m) = ids(m + 1); m += 1 }
+          size -= 1
+          j = size // exit loop
+        } else j += 1
+      }
+    }
     if (size == k && !beats(s, id, k - 1)) return
     var i = math.min(size, k - 1)
     while (i > 0 && beats(s, id, i - 1)) {
@@ -290,4 +310,11 @@ object SketchAggs {
     ColumnBridge.column(
       TopKAgg(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
         .toAggregateExpression())
+  /** Top-k over DISTINCT ids (best entry per id) — dedups duplicate
+    * candidate offers inside the sketch instead of with an upstream
+    * distinct exchange. */
+  def topkDistinct(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKAgg(ColumnBridge.expression(score), ColumnBridge.expression(id), k,
+        distinctIds = true).toAggregateExpression())
 }

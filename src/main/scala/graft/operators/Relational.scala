@@ -131,17 +131,20 @@ object Relational {
       // session's memoized s.table(...) at the wrong data (ADVICE r8)
       val suffix = java.security.MessageDigest.getInstance("MD5")
         .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-      val liT = s"graft_bk_lineitem_$suffix"
-      val oT = s"graft_bk_orders_$suffix"
-      // the catalog is per-JVM, so a fresh session re-lands (Overwrite) —
-      // the amortized cost a lakehouse pays once at ingest
-      graft.sources.Lakehouse.writeBucketed(
-        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
-        liT, Seq("l_orderkey"), 16)
-      graft.sources.Lakehouse.writeBucketed(
-        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"),
-        oT, Seq("o_orderkey"), 16)
-      (s.table(liT), s.table(oT))
+      // landBucketed reuses a previous JVM's landing when the
+      // fingerprint (dir + row count + column list + layout version)
+      // still matches — the landing is a true one-time ingest cost, not
+      // a per-session one (VERDICT r10 #2). Row counts are metadata-
+      // cheap on parquet and catch an in-place fixture regen.
+      val li = graft.sources.Lakehouse.landBucketed(
+        s, s"graft_bk_lineitem_$suffix", Seq("l_orderkey"), 16,
+        s"q04b|v1|$d|n=${Tables.lineitem(s, d).count()}|cols=l_orderkey,l_extendedprice,l_discount")(
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"))
+      val o = graft.sources.Lakehouse.landBucketed(
+        s, s"graft_bk_orders_$suffix", Seq("o_orderkey"), 16,
+        s"q04b|v1|$d|n=${Tables.orders(s, d).count()}|cols=o_orderkey,o_custkey,o_orderdate")(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate"))
+      (li, o)
     }
 
   /** Q4b — the q04 join chain with both fact tables read from the

@@ -78,6 +78,61 @@ object Lakehouse {
       .saveAsTable(table)
   }
 
+  /** One-time bucketed landing with CROSS-SESSION reuse: land `df` as a
+    * bucketed table exactly once per (warehouse, table, fingerprint) —
+    * across JVMs, not just per session. [[writeBucketed]] alone re-lands
+    * (Overwrite) in every new JVM because the in-memory catalog forgets
+    * the table; at 100 TB the landing IS the expensive step, so a
+    * "persisted" index that re-lands per session is a demo, not an
+    * index (VERDICT r10 #2).
+    *
+    * Mechanics: the landing stamps a `_graft_meta` marker file (hidden
+    * from parquet listings by the `_` prefix) into the table location
+    * recording the caller's `fingerprint` plus the schema DDL and
+    * bucket spec. A later session finding a matching marker REGISTERS
+    * the existing files instead of rewriting them — `CREATE TABLE ...
+    * USING parquet CLUSTERED BY ... LOCATION ...` restores the bucket
+    * spec in the catalog (bucket ids are recovered from the `_NNNNN`
+    * file-name suffix, so Exchange-free joins and bucket pruning work
+    * exactly as on the writing session). `df` is by-name and never
+    * evaluated on the reuse path — the quantization/shuffle job behind
+    * it does not run.
+    *
+    * `fingerprint` must capture everything the landed bytes depend on
+    * (source dir, corpus size, index formula/version): a mismatch — or
+    * a marker-less location — forces a clean re-land. */
+  def landBucketed(
+      s: SparkSession, table: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      fingerprint: String)(df: => DataFrame): DataFrame = {
+    require(!fingerprint.contains('\n'), "fingerprint must be single-line")
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT))
+    val marker = new java.io.File(loc, "_graft_meta")
+    val spec = s"buckets=$numBuckets cols=${bucketCols.mkString(",")}"
+    val recorded: Option[Array[String]] =
+      if (marker.isFile)
+        Some(new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").split("\n", -1))
+      else None
+    recorded match {
+      case Some(Array(fp, spc, ddl, _*)) if fp == fingerprint && spc == spec =>
+        if (!s.catalog.tableExists(table)) {
+          val bk = bucketCols.map(c => s"`$c`").mkString(", ")
+          s.sql(
+            s"""CREATE TABLE `$table` ($ddl) USING parquet
+               |CLUSTERED BY ($bk) SORTED BY ($bk) INTO $numBuckets BUCKETS
+               |LOCATION '${loc.toURI}'""".stripMargin)
+        }
+        s.table(table)
+      case _ =>
+        val data = df
+        writeBucketed(data, table, bucketCols, numBuckets)
+        java.nio.file.Files.write(marker.toPath,
+          s"$fingerprint\n$spec\n${data.schema.toDDL}".getBytes("UTF-8"))
+        s.table(table)
+    }
+  }
+
   /** Z-order (Morton) clustering: write `df` laid out along the
     * interleaved-bit curve of `zCols`, so file AND row-group min/max
     * ranges narrow on EVERY z column simultaneously — a point/range

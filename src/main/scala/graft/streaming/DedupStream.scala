@@ -62,7 +62,17 @@ object LshBucketProcessor {
   * overflow markers can over-count under redelivery. That is the
   * deliberate trade: remembering capped doc_ids would grow state without
   * bound, exactly what the cap exists to prevent. Read the marker count
-  * as "drop events", not "distinct docs dropped". */
+  * as "drop events", not "distinct docs dropped".
+  *
+  * Replay idempotence UNDER TTL (ADVICE r10): with a TTL set, a doc
+  * whose bucket entry has expired and is later redelivered is
+  * re-admitted as new and re-pairs with the bucket's live members — the
+  * same (d1, d2) CandPair can therefore be emitted once per TTL era,
+  * not once ever. "Replay is idempotent" holds exactly within one era
+  * (a redelivery while the entry is live emits nothing). Consumers
+  * running with a TTL should treat the candidate stream as
+  * at-least-once per pair and dedup downstream (the batch verify step
+  * dd3 feeds candidates into already does). */
 class LshBucketProcessor(maxBucket: Int = LshBucketProcessor.DefaultMaxBucket,
     ttl: Option[StateTtl] = None)
   extends StatefulProcessor[(Int, Long), BandDoc, CandPair] {

@@ -141,9 +141,14 @@ object FkJoin {
       }
       rows.toVector.sortBy(m => (m.seq, m.side)).foreach { m =>
         if (m.side == "L" && m.retract) {
+          // same stamped TTL read as liveLefts/rv (ADVICE r10): an
+          // expired subscription is cleared WITHOUT emitting — the
+          // downstream already stopped seeing it when it expired
           if (lefts.containsKey(m.pk)) {
+            val expired = ttl.exists(_.expired(lefts.getValue(m.pk).writeTs))
             lefts.removeKey(m.pk)
-            out += FkJoined(m.pk, key, null, null, m.seq, retracted = true)
+            if (!expired)
+              out += FkJoined(m.pk, key, null, null, m.seq, retracted = true)
           }
         } else if (m.side == "L") {
           val lr = LeftRow(m.pk, m.fk, m.lval, m.seq)

@@ -94,4 +94,25 @@ class FunctionsSpec extends SparkSpecBase {
     assert(got(1L) == Seq(5L, 11L, 13L))
     assert(got(2L) == Seq(20L))
   }
+
+  test("topkDistinct keeps one (best) entry per id across duplicates and merges") {
+    // the ANN-serving shape: a candidate multi-assigned to several
+    // probed cells offers the same (score, id) repeatedly — with plain
+    // topk it would fill the buffer with copies of itself
+    val rows = Seq(
+      (1L, 0.9, 11L), (1L, 0.9, 11L), (1L, 0.9, 11L), (1L, 0.9, 11L),
+      (1L, 0.8, 12L), (1L, 0.8, 12L), (1L, 0.7, 13L), (1L, 0.6, 14L),
+      // same id with differing scores keeps the best
+      (1L, 0.2, 15L), (1L, 0.65, 15L))
+    def run(c: org.apache.spark.sql.Column) = rows.toDF("g", "score", "id")
+      .repartition(4) // force partial buffers + merge
+      .groupBy("g").agg(c.as("top"))
+      .select(col("top.id").as("ids"))
+      .collect().head.getSeq[Long](0)
+    assert(run(SketchAggs.topkDistinct(col("score"), col("id"), 3)) == Seq(11L, 12L, 13L))
+    assert(run(SketchAggs.topkDistinct(col("score"), col("id"), 5)) ==
+      Seq(11L, 12L, 13L, 15L, 14L))
+    // and the non-distinct form still admits duplicates (the contrast)
+    assert(run(SketchAggs.topk(col("score"), col("id"), 3)) == Seq(11L, 11L, 11L))
+  }
 }

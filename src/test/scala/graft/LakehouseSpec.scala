@@ -271,4 +271,47 @@ class LakehouseSpec extends SparkSpecBase with org.scalatest.BeforeAndAfterAll {
     assert(after == dirs.length, s"$after files vs ${dirs.length} partitions")
     assert(spark.read.parquet(out).count() == 1000)
   }
+
+  test("landBucketed reuses a prior JVM's landing: no re-land, bucket spec restored") {
+    val s = spark
+    val t = "lh_land_reuse"
+    val df = Tables.events(s, sfDir).select("event_id", "user_id", "value")
+    try {
+      var landed = 0
+      Lakehouse.landBucketed(s, t, Seq("user_id"), 4, "fp|v1") { landed += 1; df }
+      assert(landed == 1)
+      // same session, marker + catalog entry present: by-name body untouched
+      Lakehouse.landBucketed(s, t, Seq("user_id"), 4, "fp|v1") { landed += 1; df }
+      assert(landed == 1, "same-session reuse re-evaluated the landing plan")
+      // simulate a FRESH JVM: catalog forgets the table but the files
+      // (and the _graft_meta marker) survive in the warehouse. Dropping
+      // a managed table deletes its files, so stash them first.
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val loc = Paths.get(wh, t)
+      val stash = Files.createTempDirectory("graft-lh-stash")
+      tmpRoots.synchronized(tmpRoots += stash)
+      def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+        Files.walk(from).forEach { p =>
+          val q = to.resolve(from.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(q)
+          else { Files.createDirectories(q.getParent); Files.copy(p, q); () }
+        }
+      }
+      copyTree(loc, stash.resolve("t"))
+      s.sql(s"DROP TABLE `$t`")
+      assert(!Files.exists(loc), "managed drop should have cleared the location")
+      copyTree(stash.resolve("t"), loc)
+      // fresh-catalog reuse: registers the existing files, never runs the plan
+      val reused = Lakehouse.landBucketed(s, t, Seq("user_id"), 4, "fp|v1") { landed += 1; df }
+      assert(landed == 1, "cross-session reuse re-evaluated the landing plan")
+      assert(reused.count() == df.count())
+      // the restored catalog entry carries the bucket spec: a group-by
+      // on the bucket column needs no Exchange
+      val plan = reused.groupBy("user_id").count().queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucket spec lost on re-register:\n${plan.take(800)}")
+      // a fingerprint change (corpus regenerated / formula bumped) re-lands
+      Lakehouse.landBucketed(s, t, Seq("user_id"), 4, "fp|v2") { landed += 1; df }
+      assert(landed == 2, "fingerprint mismatch must force a re-land")
+    } finally s.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
 }

@@ -39,7 +39,8 @@ class QueriesSpec extends SparkSpecBase {
     "q36_asof_join" -> 202,
     "sim1_ann_brute_topk" -> 50, "sim2_ann_ivf_topk" -> 50,
     "sim2b_ann_ivf_served" -> 50,
-    "sim3_ann_ivf_kmeans" -> 10, "sim4_ann_pq_topk" -> 10,
+    "sim3_ann_ivf_kmeans" -> 10, "sim3b_ann_kmeans_served" -> 10,
+    "sim4_ann_pq_topk" -> 10, "sim4b_ann_pq_served" -> 10,
     "tx1_token_stats" -> 500, "tx2_langid_ngram" -> 500,
     "tx3_quality_score" -> 500, "tx4_fingerprint" -> 500,
     "tx5_pii_redact" -> 500, "tx6_repetition" -> 500,

@@ -51,6 +51,18 @@ class SimilaritySpec extends SparkSpecBase {
     assert(oks.size == 10 && oks.values.forall(_ == 1), s"recall gate failed: $oks")
   }
 
+  test("served k-means and PQ indexes answer identically to their inline twins") {
+    // deterministic driver-side training means the landed cells/codes
+    // ARE the inline pipeline's — serving must be row-identical, not
+    // merely gate-equivalent (the stronger claim sim2b already makes)
+    def rows(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows("sim3b_ann_kmeans_served") == rows("sim3_ann_ivf_kmeans"))
+    assert(rows("sim4b_ann_pq_served") == rows("sim4_ann_pq_topk"))
+    assert(rows("sim3b_ann_kmeans_served").forall(_._2 == 1))
+    assert(rows("sim4b_ann_pq_served").forall(_._2 == 1))
+  }
+
   test("LSH and SimHash dedup find exactly the exhaustive-Jaccard pairs") {
     def pairs(name: String): Set[(Long, Long)] =
       SparkEntry.queries(name)(spark, sfDir)
