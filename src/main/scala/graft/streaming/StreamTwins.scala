@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registry-graded streaming twins: replay the fixture through a REAL
+  * Structured Streaming query (MemoryStream source → watermarked state
+  * → append-mode memory sink) and return the sink table, so the
+  * driver's DuckDB oracle grades the STREAMING execution path — not
+  * just the batch plan the other registry entries exercise. This is
+  * the registry-level analog of the reference's differential
+  * regression harness (vanilla-vs-Responsive e2e,
+  * kafka-client-examples/e2e-test/src/main/java/dev/responsive/examples/regression/),
+  * which replays the same records through both engines and diffs:
+  * here the "two engines" are Spark's micro-batch streaming runtime
+  * and DuckDB's batch SQL over the same rows.
+  *
+  * The replay driver collects the fixture to feed MemoryStream chunk
+  * by chunk — the ResponsiveTopologyTestDriver shape (in-process
+  * record feeding, responsive-test-utils/.../ResponsiveTopologyTestDriver.java:47),
+  * bounded by the graded fixture. It is NOT a production ingest
+  * pattern (production is readStream via [[Topics]]); `scalePath =
+  * false` keeps the scale probes off it.
+  */
+object StreamTwins {
+
+  /** Chunks per replay: > 1 so windows span micro-batch boundaries and
+    * cross-batch state restore/merge is actually exercised; bounded so
+    * per-batch runtime overhead stays O(1) in fixture size. */
+  val ReplayChunks = 8
+
+  private def replayEvents(
+      s: SparkSession, d: String, transform: DataFrame => DataFrame): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, d).as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id)).toVector
+    val maxTs = evs.map(_.ts.getTime).max
+    // a far-future sentinel pushes the watermark past every real
+    // window so append mode finalizes them all (suppress-until-close
+    // flush) — filtered back out of the graded result
+    val sentinel = Event(-1L,
+      new java.sql.Timestamp(maxTs + 7L * 24 * 3600 * 1000), -1L, "view", 0.0, "{}")
+    val chunkSize = math.max(1, (evs.size + ReplayChunks - 1) / ReplayChunks)
+    val h = TopologyTestHarness[Event](s, transform, "append")
+    try (evs.grouped(chunkSize).toSeq :+ Vector(sentinel)).foreach(h.pipe)
+    finally h.close()
+    h.results().filter(col("user_id") =!= -1L)
+  }
+
+  /** q07's tumbling aggregation executed by the streaming runtime —
+    * same oracle, so CORRECTNESS fails if the streamed state machinery
+    * (watermark advance, window eviction, cross-batch merge) ever
+    * diverges from the batch answer. */
+  val q07s = QueryDef(
+    "q07s_tumbling_stream",
+    (s, d) => replayEvents(s, d, StreamOps.tumblingAgg(_)),
+    graft.operators.WindowedAgg.q07.oracle,
+    doc = "q07 replayed through MemoryStream + watermarked append sink: oracle-grades the streaming path",
+    scalePath = false
+  )
+
+  val all: Seq[QueryDef] = Seq(q07s)
+}

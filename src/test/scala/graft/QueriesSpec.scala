@@ -19,7 +19,8 @@ class QueriesSpec extends SparkSpecBase {
     "q02_agg" -> 6, "q03_stream_table_join" -> 1500, "q04_join_chain" -> 5,
     "q04b_join_chain_bucketed" -> 5,
     "q05_anti_join" -> 3, "q05_semi_join" -> 147, "q06_broadcast_join" -> 10,
-    "q07_tumbling_window" -> 951, "q08_hopping_window" -> 3800,
+    "q07_tumbling_window" -> 951, "q07s_tumbling_stream" -> 951,
+    "q08_hopping_window" -> 3800,
     "q08b_hopping_sliced" -> 11379,
     "q09_session_window" -> 946, "q09b_session_grace" -> 946,
     "q10_interval_join" -> 1, "q37_window_backward_fetch" -> 45,
