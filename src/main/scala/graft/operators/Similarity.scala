@@ -311,18 +311,22 @@ object Similarity {
     * unprobed cell — per-query I/O ∝ probed cells, not corpus size.
     * The driver-side collect is the same bounded-by-construction
     * pattern as the k-means TrainSample. */
+  /** One bounded fine-anchor fetch for the probed coarse cells —
+    * ≤ nprobe·K/K1 rows ∝ √K, shared by sim2b and the recall probe. */
+  private def prefixFineFetch(s: SparkSession, d: String): Seq[Long] => Array[(Long, Anchor)] =
+    cids => Dedup.fineTaggedPrefix(s, d)
+      .filter(col("cid").isin(cids: _*))
+      .select(col("cid"), col("aid"), col("av"), col("an")).collect()
+      .map(r => (r.getLong(0),
+        Anchor(r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3))))
+
   val sim2b = QueryDef(
     "sim2b_ann_ivf_served",
     (s, d) => {
       val k1 = Dedup.dd7CoarseCount(Dedup.dd7AnchorCount(corpusN(s, d)))
       // probes rank driver-locally (resident √K coarse; one bounded
       // fine-anchor fetch); identical ranking to the distributed form
-      val probes = localProbes(s, d, coarsePrefixLocal(s, d),
-        cids => Dedup.fineTaggedPrefix(s, d)
-          .filter(col("cid").isin(cids: _*))
-          .select(col("cid"), col("aid"), col("av"), col("an")).collect()
-          .map(r => (r.getLong(0),
-            Anchor(r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))),
+      val probes = localProbes(s, d, coarsePrefixLocal(s, d), prefixFineFetch(s, d),
         math.max(NProbe.toLong, k1).toInt)
       serveTopk(s, d, servedIndex(s, d), probes)
     },
@@ -668,6 +672,37 @@ object Similarity {
     sim4.oracle,
     doc = "sim4 served from the persisted PQ code table: no per-query corpus re-encode"
   )
+
+  /** Recall instrumentation (VERDICT r10 #8): the served top-k answer
+    * at an EXPLICIT fine-probe depth for the prefix (sim2b) or k-means
+    * (sim3b) index, and the exact reference answer — the pieces
+    * [[graft.tools.RecallProbe]] measures a recall@k / nprobe
+    * trade-off curve from. Runs the SAME driver-resident probe ranking
+    * and the SAME probed-cells-only serving plan as the graded
+    * queries, so the measured recall is the recall of what ships, not
+    * of a parallel implementation. */
+  private[graft] def servedTopkAt(
+      s: SparkSession, d: String, kind: String, nprobe: Int): DataFrame = kind match {
+    case "prefix" =>
+      val probes = localProbes(s, d, coarsePrefixLocal(s, d), prefixFineFetch(s, d), nprobe)
+      serveTopk(s, d, servedIndex(s, d), probes)
+    case "kmeans" =>
+      val (coarse, fineTagged, _) = kmLocal(s, d)
+      val probes = localProbes(s, d, coarse,
+        cids => { val want = cids.toSet; fineTagged.filter(t => want(t._1)) }, nprobe)
+      serveTopk(s, d, kmServedIndex(s, d), probes)
+    case other => throw new IllegalArgumentException(s"unknown index kind: $other")
+  }
+
+  /** (qid, neighbor_id) of the exact brute-force answer (memoized). */
+  private[graft] def exactNeighbors(s: SparkSession, d: String): DataFrame =
+    exactTopk(s, d).select(col("qid"), col("neighbor_id"))
+
+  /** K1 (= default serving nprobe ≈ √K) for the prefix quantizer at
+    * this corpus size — the top of RecallProbe's nprobe sweep. */
+  private[graft] def defaultNprobe(s: SparkSession, d: String): Int =
+    math.max(NProbe.toLong,
+      Dedup.dd7CoarseCount(Dedup.dd7AnchorCount(corpusN(s, d)))).toInt
 
   val all: Seq[QueryDef] = Seq(sim1, sim2, sim2b, sim3, sim3b, sim4, sim4b)
 }

@@ -28,7 +28,7 @@ object StreamTwins {
   /** Chunks per replay: > 1 so windows span micro-batch boundaries and
     * cross-batch state restore/merge is actually exercised; bounded so
     * per-batch runtime overhead stays O(1) in fixture size. */
-  val ReplayChunks = 8
+  val ReplayChunks = 4
 
   private def replayEvents(
       s: SparkSession, d: String, transform: DataFrame => DataFrame): DataFrame = {
@@ -42,7 +42,10 @@ object StreamTwins {
     val sentinel = Event(-1L,
       new java.sql.Timestamp(maxTs + 7L * 24 * 3600 * 1000), -1L, "view", 0.0, "{}")
     val chunkSize = math.max(1, (evs.size + ReplayChunks - 1) / ReplayChunks)
-    val h = TopologyTestHarness[Event](s, transform, "append")
+    // fixture-scale state fits a handful of partitions; 4 keeps the
+    // replay's per-batch store cost ~flat vs the 32-partition default
+    // (~8× fewer RocksDB opens+commits per micro-batch)
+    val h = TopologyTestHarness[Event](s, transform, "append", statePartitions = Some(4))
     try (evs.grouped(chunkSize).toSeq :+ Vector(sentinel)).foreach(h.pipe)
     finally h.close()
     h.results().filter(col("user_id") =!= -1L)

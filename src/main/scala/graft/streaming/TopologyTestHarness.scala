@@ -31,12 +31,28 @@ final class TopologyTestHarness[T: Encoder] private (
     spark: SparkSession,
     transform: DataFrame => DataFrame,
     outputMode: String,
-    name: String) {
+    name: String,
+    statePartitions: Option[Int]) {
 
   private implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
   private val source = MemoryStream[T]
-  private val query = transform(source.toDF()).writeStream
-    .format("memory").queryName(name).outputMode(outputMode).start()
+  // A streaming query pins its state-partition count from
+  // spark.sql.shuffle.partitions AT START (cloned into the query's
+  // isolated session) — per-store cost is per partition per batch, so
+  // a fixture-scale replay over the session default (one per core)
+  // pays ~32 RocksDB opens+commits per stateful operator per
+  // micro-batch for state that fits in a handful. `statePartitions`
+  // scopes a smaller count to THIS query: set before start, restored
+  // right after (start clones the conf; later batches keep the pinned
+  // value), leaving the session untouched for everything else.
+  private val query = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = statePartitions.map(_ => spark.conf.get(key))
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try transform(source.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(outputMode).start()
+    finally prev.foreach(spark.conf.set(key, _))
+  }
 
   /** Feed one chunk and block until it is fully processed. */
   def pipe(chunk: Seq[T]): this.type = {
@@ -58,7 +74,9 @@ object TopologyTestHarness {
   def apply[T: Encoder](
       spark: SparkSession,
       transform: DataFrame => DataFrame,
-      outputMode: String = "update"): TopologyTestHarness[T] =
+      outputMode: String = "update",
+      statePartitions: Option[Int] = None): TopologyTestHarness[T] =
     new TopologyTestHarness[T](
-      spark, transform, outputMode, s"graft_harness_${counter.incrementAndGet()}")
+      spark, transform, outputMode, s"graft_harness_${counter.incrementAndGet()}",
+      statePartitions)
 }

@@ -1,0 +1,112 @@
+package graft.tools
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming ingest throughput probe (VERDICT r10 #7): the dedup-at-
+  * ingest twins have parity evidence (StreamingParitySpec) and state-
+  * boundedness evidence (StateSoakSpec) but, before round 11, no SCALE
+  * measurement. This drives each twin over a probe corpus as a real
+  * file-based stream — `readStream.parquet` with `maxFilesPerTrigger`,
+  * the lakehouse-ingest shape — against the `noop` sink, and records
+  * per micro-batch: input rows, trigger wall-time, and the state-store
+  * gauges (rows total/updated, commit ms, state bytes). Headline
+  * numbers: rows/sec overall and per-batch state growth — a
+  * superlinear per-batch trigger time as state accumulates is exactly
+  * what this probe exists to catch.
+  *
+  * A wall-clock deadline (default 20 min per twin) bounds the run: if
+  * the corpus doesn't finish in time the artifact says so
+  * (`finished:false`) and reports throughput over what WAS ingested —
+  * a partial measurement beats a hung probe.
+  *
+  * Run: sbt "runMain graft.tools.IngestProbe [srcDir] [docs|vecs|both]"
+  * (default /tmp/scale100d1, both). Env: SPARK_GRAFT_PROBE_OUT
+  * (artifact dir, default /tmp), SPARK_GRAFT_INGEST_FILES (files per
+  * trigger, default 2), SPARK_GRAFT_INGEST_DEADLINE_SEC (default 1200).
+  */
+object IngestProbe {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/tmp/scale100d1")
+    val mode = args.lift(1).getOrElse("both")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "/tmp")
+    val mft = sys.env.getOrElse("SPARK_GRAFT_INGEST_FILES", "2")
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_INGEST_DEADLINE_SEC", "1200").toLong
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", "32"))
+      .config("spark.sql.adaptive.enabled", "false") // streaming plans
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.numRecentProgressUpdates", "2000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def fileStream(table: String): DataFrame = {
+      val path = s"$src/$table.parquet"
+      spark.readStream
+        .schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", mft)
+        .parquet(path)
+    }
+
+    /** Run one twin to completion or deadline; return the JSON fragment. */
+    def drive(name: String, out: DataFrame): String = {
+      val ckpt = java.nio.file.Files.createTempDirectory(s"ingest_$name").toString
+      val q = out.writeStream.format("noop")
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      val done = new CountDownLatch(1)
+      val worker = new Thread(() => {
+        try q.processAllAvailable()
+        catch { case _: Throwable => () } // surfaced via q.exception below
+        finally done.countDown()
+      })
+      worker.setDaemon(true)
+      val t0 = System.nanoTime()
+      worker.start()
+      val finished = done.await(deadlineSec, TimeUnit.SECONDS)
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      val err = q.exception.map(_.cause.toString.take(200))
+      q.stop()
+      val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0).sortBy(_.batchId)
+      val rows = prog.map(_.numInputRows).sum
+      val trigMs = prog.map(_.durationMs.getOrDefault("triggerExecution", 0L).toLong).sum
+      val rps = if (trigMs > 0) rows * 1000.0 / trigMs else 0.0
+      val batches = prog.map { p =>
+        val st = p.stateOperators.toSeq
+        f"""{"batch":${p.batchId},"rows":${p.numInputRows},""" +
+          f""""ms":${p.durationMs.getOrDefault("triggerExecution", 0L)},""" +
+          f""""stateRows":${st.map(_.numRowsTotal).sum},""" +
+          f""""stateBytes":${st.map(_.memoryUsedBytes).sum},""" +
+          f""""commitMs":${st.map(_.commitTimeMs).sum}}"""
+      }.mkString(",")
+      println(f"INGEST $name%-5s rows=$rows%,d in $wallSec%.1f s wall " +
+        f"($rps%,.0f rows/s of trigger time), ${prog.size} batches, " +
+        f"finished=$finished${err.map(e => s" ERROR $e").getOrElse("")}")
+      f""""$name":{"rows":$rows,"wall_sec":$wallSec%.1f,"rows_per_sec":$rps%.0f,""" +
+        f""""finished":$finished,"files_per_trigger":$mft,""" +
+        err.map(e => s""""error":"${e.replace("\"", "'")}",""").getOrElse("") +
+        f""""batches":[$batches]}"""
+    }
+
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (mode == "docs" || mode == "both") {
+      // text twin: full dd3 path — signatures, banding, bucket state,
+      // content-store verification against the corpus's gram sets
+      val store = graft.operators.Dedup.gramSets(spark, src)
+      parts += drive("docs", graft.streaming.DedupStream.verifiedPairs(
+        fileStream("documents").select(col("doc_id"), col("text")), store))
+    }
+    if (mode == "vecs" || mode == "both") {
+      // embedding twin: full dd7 path — two-level assignment, cell
+      // state, exact-cosine verification against the normalized corpus
+      val store = graft.operators.Similarity.normed(spark, src)
+      parts += drive("vecs", graft.streaming.EmbedDedupStream.verifiedPairs(
+        fileStream("embeddings").select(col("vec_id"), col("embedding")), store))
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/ingest.json"),
+      s"""{"src":"$src",${parts.mkString(",")}}\n""")
+    println(s"INGEST artifact $outDir/ingest.json")
+    spark.stop()
+  }
+}

@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Recall@k / nprobe trade-off curve for the served ANN indexes
+  * (VERDICT r10 #8): the fixture-scale recall GATE (sim3's per-qid
+  * recall ≥ 0.6) is a single point; an index you would ship at 100 TB
+  * needs the measured curve — how much recall each probed cell buys —
+  * so operators can pick nprobe per workload instead of inheriting the
+  * default.
+  *
+  * For each index kind (prefix = sim2b's untrained prefix quantizer,
+  * kmeans = sim3b's Lloyd-trained centroids) and each nprobe in
+  * {1, K1/4, K1/2, K1} (K1 = √K = the default serving depth), serves
+  * the NumQueries×TopK answer through the EXACT serving path the
+  * graded queries use ([[graft.operators.Similarity.servedTopkAt]])
+  * and scores recall@TopK against sim1's exact brute-force answer.
+  * Also times each serve call (index landing excluded — the one-time
+  * cost is reported separately) so the artifact shows the full
+  * recall-vs-latency frontier.
+  *
+  * Run: sbt "runMain graft.tools.RecallProbe [srcDir]" (default
+  * /root/testdata/sf0.1; point at a probe corpus e.g. /tmp/scale100d1
+  * for the 100× curve). Artifact: $SPARK_GRAFT_PROBE_OUT/recall.json
+  * (default /tmp/recall.json's parent = /tmp).
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "/tmp")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Similarity
+
+    // exact reference answer once (memoized); its cost is the brute
+    // force the index exists to avoid — reported for contrast
+    val t0 = System.nanoTime()
+    val exact = Similarity.exactNeighbors(spark, src).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactSec = (System.nanoTime() - t0) / 1e9
+    println(f"RECALL exact answer: ${exact.size} pairs in $exactSec%.1f s")
+
+    val k1 = Similarity.defaultNprobe(spark, src)
+    val sweep = Seq(1, math.max(1, k1 / 4), math.max(1, k1 / 2), k1).distinct
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    for (kind <- Seq("prefix", "kmeans"); np <- sweep) {
+      // first serve at this (kind, np) includes any one-time landing;
+      // measure the SECOND call as the warm per-query serving cost
+      val warm0 = System.nanoTime()
+      Similarity.servedTopkAt(spark, src, kind, np).count()
+      val landSec = (System.nanoTime() - warm0) / 1e9
+      val t1 = System.nanoTime()
+      val got = Similarity.servedTopkAt(spark, src, kind, np).collect()
+        .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("neighbor_id")))).toSet
+      val sec = (System.nanoTime() - t1) / 1e9
+      val recall = (exact & got).size.toDouble / exact.size
+      results(s"$kind@$np") = (recall, sec)
+      println(f"RECALL $kind%-7s nprobe=$np%3d recall@k=$recall%.3f " +
+        f"serve=$sec%6.2f s (first call $landSec%.2f s incl. landing)")
+    }
+
+    val json = results.map { case (k, (r, s)) =>
+      f""""$k":{"recall":$r%.4f,"sec":$s%.2f}""" }.mkString(",")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/recall.json"),
+      f"""{"src":"$src","k1":$k1,"exact_sec":$exactSec%.1f,"curve":{$json}}%n""")
+    println(s"RECALL artifact $outDir/recall.json")
+    spark.stop()
+  }
+}
