@@ -182,9 +182,15 @@ object Similarity {
     java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
-  private val servedIndexCache = Memo.newCache[DataFrame]()
+  /** NOT DataFrame-memoized (unlike the corpus-side frames): a held
+    * Dataset pins the relation's file listing at resolution time, so a
+    * serve through it can miss rows a later [[graft.streaming.IndexIngest]]
+    * micro-batch appended (observed: refreshTable did not un-pin the
+    * held plan). Re-resolving per serve costs one marker read + catalog
+    * lookup (~ms) and is what a serving node must do anyway against a
+    * maintained index. */
   private def servedIndex(s: SparkSession, d: String): DataFrame =
-    Memo.get(servedIndexCache, s, d) {
+    {
       val n = corpusN(s, d)
       // landBucketed: a later JVM finding the fingerprint-stamped
       // landing registers it instead of re-quantizing the corpus — the
@@ -198,6 +204,18 @@ object Similarity {
           .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
       }
     }
+
+  /** Land (or re-register) the prefix-quantizer serving index for
+    * `d`'s corpus and return its catalog table name — the handle
+    * [[graft.streaming.IndexIngest]] appends newly-ingested vectors
+    * into. The quantizer is FROZEN at landing (standard IVF add
+    * semantics: adding vectors never retrains the coarse structure),
+    * so appended rows extend the table under the same cells and the
+    * landing fingerprint stays valid. */
+  private[graft] def prefixIndexTable(s: SparkSession, d: String): String = {
+    servedIndex(s, d)
+    s"graft_ann_index_${dirSuffix(d)}"
+  }
 
   /** A quantizer anchor held driver-side: (id, vector, norm). Norms are
     * collected from the distributed frames (never recomputed) so local
@@ -495,9 +513,10 @@ object Similarity {
     * bucketed and sorted on `cell`. Valid across sessions because
     * training is deterministic (see [[kmCentroids]]); the fingerprint
     * re-lands on any corpus or formula change. */
-  private val kmServedIndexCache = Memo.newCache[DataFrame]()
+  /** Not DataFrame-memoized — same maintained-index re-resolution
+    * contract as [[servedIndex]]. */
   private def kmServedIndex(s: SparkSession, d: String): DataFrame =
-    Memo.get(kmServedIndexCache, s, d) {
+    {
       val n = corpusN(s, d)
       graft.sources.Lakehouse.landBucketed(
         s, s"graft_ann_km_index_${dirSuffix(d)}", Seq("cell"), 16,
@@ -650,9 +669,10 @@ object Similarity {
     * a later session (deterministic — [[pqCodebooks]]) and the
     * fingerprint guards corpus/formula drift, so the landed codes stay
     * valid without re-encoding the corpus. */
-  private val pqCodesCache = Memo.newCache[DataFrame]()
+  /** Not DataFrame-memoized — same maintained-index re-resolution
+    * contract as [[servedIndex]]. */
   private def pqCodesServed(s: SparkSession, d: String): DataFrame =
-    Memo.get(pqCodesCache, s, d) {
+    {
       val n = corpusN(s, d)
       graft.sources.Lakehouse.landBucketed(
         s, s"graft_ann_pq_codes_${dirSuffix(d)}", Seq("vec_id"), 16,

@@ -133,6 +133,73 @@ object Lakehouse {
     }
   }
 
+  /** Append rows to an existing bucketed table, preserving its bucket
+    * layout: `insertInto` carries the catalog table's bucket spec into
+    * the write, so each append produces correctly-hashed,
+    * bucket-id-named files and Exchange-free joins / bucket pruning
+    * keep working over old and new rows alike. Columns are matched BY
+    * NAME against the table schema before the (position-based)
+    * insert — a reordered caller projection must never silently land
+    * values in the wrong column. This is the maintenance half of a
+    * landed index ([[landBucketed]]): land once, then append
+    * increments; compact slivers with [[compactBucketed]]. */
+  def appendBucketed(df: DataFrame, table: String): Unit = {
+    val s = df.sparkSession
+    val cols = s.table(table).schema.fieldNames
+    require(df.columns.toSet == cols.toSet,
+      s"appendBucketed($table): columns ${df.columns.mkString(",")} != table schema ${cols.mkString(",")}")
+    df.select(cols.map(col): _*).write.mode(SaveMode.Append).insertInto(table)
+  }
+
+  /** Compact a bucketed table in place: rewrite its current rows into
+    * one file per bucket and swap. Incremental appends
+    * ([[appendBucketed]]) add a file per bucket per batch — a day of
+    * 5-minute batches is 288 slivers per bucket, and scan cost is
+    * per-file, not per-row; this is the bucketed-table twin of
+    * [[compact]]. The bucket spec is read from the catalog so the
+    * rewrite can never drift from the table's layout, and any
+    * `_graft_meta` landing marker is carried across the swap so
+    * [[landBucketed]]'s cross-session reuse still recognizes the
+    * compacted table. */
+  def compactBucketed(s: SparkSession, table: String): Unit = {
+    val tid = s.sessionState.sqlParser.parseTableIdentifier(table)
+    val meta = s.sessionState.catalog.getTableMetadata(tid)
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"compactBucketed: `$table` is not bucketed"))
+    val stage = table + "__compacting"
+    // One file per bucket needs task i to hold exactly bucket i's rows.
+    // The pre-repartition uses the same hash the bucketed writer routes
+    // by (pmod(hash(cols), n) — collation-aware only for strings), BUT
+    // the write planner REMOVES a bare repartition above WriteFiles
+    // (bucketed V1 writes only require an ordering; observed plan:
+    // Scan → Sort → WriteFiles, no Exchange → tasks × buckets sliver
+    // files survive the "compaction"). Materializing the repartitioned
+    // frame pins the exchange: the write consumes the cached 16
+    // aligned partitions and emits exactly one file per bucket.
+    val arranged = s.table(table)
+      .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      arranged.count() // materialize BEFORE touching the original
+      writeBucketed(arranged, stage, spec.bucketColumnNames, spec.numBuckets)
+    } finally { arranged.unpersist(); () }
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT))
+    val marker = new java.io.File(loc, "_graft_meta")
+    val markerBytes =
+      if (marker.isFile) Some(java.nio.file.Files.readAllBytes(marker.toPath)) else None
+    s.sql(s"DROP TABLE `$table`") // managed: deletes the sliver files
+    if (loc.exists()) { // reuse-path tables are EXTERNAL — drop leaves the files
+      def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
+      rm(loc)
+    }
+    s.sql(s"ALTER TABLE `$stage` RENAME TO `$table`") // moves the compacted dir into place
+    markerBytes.foreach { b =>
+      java.nio.file.Files.write(new java.io.File(loc, "_graft_meta").toPath, b); ()
+    }
+    s.catalog.refreshTable(table)
+  }
+
   /** Z-order (Morton) clustering: write `df` laid out along the
     * interleaved-bit curve of `zCols`, so file AND row-group min/max
     * ranges narrow on EVERY z column simultaneously — a point/range

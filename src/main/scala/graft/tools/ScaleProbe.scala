@@ -151,14 +151,15 @@ object ScaleProbe {
       println(f"PROBE datagen $datagenSec%.1f s")
     }
 
-    val defaults = Seq("q02_agg", "q04_join_chain", "q07_tumbling_window",
+    val defaults = Seq("q02_agg", "q04_join_chain", "q04b_join_chain_bucketed",
+      "q07_tumbling_window",
       "q08_hopping_window", "q09_session_window", "q10_interval_join",
       "q12_ttl_default", "q13b_ttl_from_key", "q14_dedup_first", "q17_topk",
       "q22_batch_by_key", "q36_asof_join", "q37_window_backward_fetch",
       "q38_stratified_sample",
       "dd1_dedup_exact", "dd3_dedup_minhash_lsh", "dd5_dedup_simhash",
       "dd6_dedup_clusters", "sim1_ann_brute_topk", "sim2_ann_ivf_topk",
-      "sim2b_ann_ivf_served",
+      "sim2b_ann_ivf_served", "sim3b_ann_kmeans_served", "sim4b_ann_pq_served",
       "sim3_ann_ivf_kmeans", "sim4_ann_pq_topk", "td1_curation_pipeline",
       "td2_decontamination", "q35_deterministic_split",
       "q39_corpus_mix", "q40_sequence_packing", "q41_cdc_snapshot_diff",

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Lakehouse
+import graft.streaming.IndexIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+/** Streaming maintenance of the persisted ANN index: append-at-ingest
+  * under the frozen quantizer, served visibility, and bucketed
+  * compaction. Runs against a COPY of the sf0.001 embeddings so the
+  * mutated index table (dir-hash-keyed) can never leak into the graded
+  * fixtures' landings. */
+class IndexIngestSpec extends SparkSpecBase with BeforeAndAfterAll {
+
+  private val corpusRoot = Files.createTempDirectory("graft-idx-corpus")
+  private val corpusDir = corpusRoot.toString
+
+  override protected def afterAll(): Unit =
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS `${Similarity.prefixIndexTable(spark, corpusDir)}`")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      rm(corpusRoot.toFile)
+    } finally super.afterAll()
+
+  private def indexFiles(table: String): Seq[java.io.File] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT))
+    Option(loc.listFiles()).toSeq.flatten.filter(_.getName.endsWith(".parquet")).toSeq
+  }
+
+  test("streamed appends land bucketed under the frozen quantizer; serving sees them; compaction keeps them") {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .write.mode("overwrite").parquet(s"$corpusDir/embeddings.parquet")
+
+    val tbl = Similarity.prefixIndexTable(spark, corpusDir) // lands once
+    val before = spark.table(tbl).count()
+    val np = Similarity.defaultNprobe(spark, corpusDir)
+    // ingest exact copies of query vectors 0..2 under fresh ids, split
+    // across two micro-batches so multiple bucketed appends accumulate
+    val copies = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+      .map { case (id, v) => (900000L + id, v) }
+    // the assignment stage in isolation: Dd7Probes cells per vector
+    val corpus = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorExprs.dot(col("v"), col("v"))))
+    val ci = graft.streaming.EmbedDedupStream.collectCoarse(
+      corpus.select(col("vec_id"), col("v").as("embedding")))
+    val cells = graft.streaming.EmbedDedupStream.fineCells(corpus, ci)
+    val batchDf = copies.toDF("vec_id", "embedding")
+    val assigned = IndexIngest.assignBatch(batchDf, ci, cells)
+    assert(assigned.count() == copies.size * Dedup.Dd7Probes,
+      s"assignBatch produced ${assigned.count()} rows")
+
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, Array[Float])]
+    val q = IndexIngest.maintainPrefixIndex(
+      src.toDF().toDF("vec_id", "embedding"), corpusDir)
+    try {
+      src.addData(copies.take(2))
+      q.processAllAvailable()
+      src.addData(copies.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // one multi-assigned row per probe per appended vector
+    val after = spark.table(tbl).count()
+    assert(after == before + 3 * Dedup.Dd7Probes, s"$before -> $after")
+    // frozen-quantizer equivalence: an appended copy's cells are exactly
+    // the cells the landing assigned its identical source vector — the
+    // table equals a from-scratch landing of corpus ∪ appends
+    def cellsOf(id: Long): Seq[Long] =
+      spark.table(tbl).filter(col("vec_id") === id)
+        .select(col("cell")).collect().map(_.getLong(0)).sorted.toSeq
+    for (i <- 0L to 2L)
+      assert(cellsOf(900000L + i) == cellsOf(i), s"cells drifted for copy of $i")
+    // served visibility: the exact copy (cos = 1) is now each query's
+    // top neighbor through the same probed-cells-only serving plan
+    val servedAll = Similarity.servedTopkAt(spark, corpusDir, "prefix", np)
+      .filter(col("qid") < 3).orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(r.fieldIndex("qid")), r.getInt(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("neighbor_id"))))
+    val served = servedAll.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    for (i <- 0L to 2L)
+      assert(served(i) == 900000L + i, s"qid $i top-1 = ${served(i)}")
+
+    // compaction: 3 bucketed writes (landing + 2 appends) left sliver
+    // files; compactBucketed rewrites to ≤ one file per bucket with
+    // identical rows and an unchanged serving answer
+    val sliverCount = indexFiles(tbl).size
+    val servedBefore = Similarity.servedTopkAt(spark, corpusDir, "prefix", np)
+      .orderBy("qid", "rank").collect().toSeq
+    Lakehouse.compactBucketed(spark, tbl)
+    val compacted = indexFiles(tbl)
+    assert(compacted.size < sliverCount, s"$sliverCount -> ${compacted.size}")
+    assert(compacted.size <= 16, s"more files than buckets: ${compacted.size}")
+    assert(spark.table(tbl).count() == after)
+    // the landing marker survived the swap → a later session re-registers
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    assert(new java.io.File(
+      new java.io.File(wh, tbl.toLowerCase(java.util.Locale.ROOT)), "_graft_meta").isFile)
+    val servedAfter = Similarity.servedTopkAt(spark, corpusDir, "prefix", np)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(servedAfter == servedBefore)
+  }
+}
