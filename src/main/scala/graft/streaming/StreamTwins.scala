@@ -63,5 +63,45 @@ object StreamTwins {
     scalePath = false
   )
 
-  val all: Seq[QueryDef] = Seq(q07s)
+  /** q09's session windows through the streaming runtime: exercises
+    * the session-merge state machinery (gap-based window growth,
+    * cross-batch session extension, watermark finalization) against
+    * the same DuckDB oracle as batch q09. */
+  val q09s = QueryDef(
+    "q09s_session_stream",
+    (s, d) => replayEvents(s, d, StreamOps.sessionAgg(_)),
+    graft.operators.WindowedAgg.q09.oracle,
+    doc = "q09 session windows replayed through the streaming runtime: oracle-grades session-merge state",
+    scalePath = false
+  )
+
+  /** The documents fixture replayed id-ordered through the dedup-at-
+    * ingest engine ([[DedupStream.verifiedPairs]]: per-row MinHash
+    * signatures, LSH bucket state, stream-static Jaccard verify),
+    * graded by dd3's DuckDB oracle. The stream may re-emit a pair once
+    * per colliding band (batch distinct()s), so the sink is distinct'd
+    * — values are bit-identical by the signature/verify parity law. */
+  private def replayDocs(
+      s: SparkSession, d: String, transform: DataFrame => DataFrame): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toVector
+    val chunkSize = math.max(1, (docs.size + ReplayChunks - 1) / ReplayChunks)
+    val h = TopologyTestHarness[(Long, String)](
+      s, df => transform(df.toDF("doc_id", "text")), "update", statePartitions = Some(4))
+    try docs.grouped(chunkSize).foreach(h.pipe)
+    finally h.close()
+    h.results()
+  }
+
+  val dd3s = QueryDef(
+    "dd3s_dedup_stream",
+    (s, d) => replayDocs(s, d,
+      df => DedupStream.verifiedPairs(df, graft.operators.Dedup.gramSets(s, d))).distinct(),
+    graft.operators.Dedup.dd3.oracle,
+    doc = "dd3 as a stream: MinHash/LSH dedup-at-ingest replay graded by the batch oracle",
+    scalePath = false
+  )
+
+  val all: Seq[QueryDef] = Seq(q07s, q09s, dd3s)
 }

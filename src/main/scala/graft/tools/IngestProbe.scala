@@ -38,6 +38,8 @@ object IngestProbe {
         sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", "32"))
       .config("spark.sql.adaptive.enabled", "false") // streaming plans
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass", // transformWithState needs RocksDB
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.numRecentProgressUpdates", "2000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
