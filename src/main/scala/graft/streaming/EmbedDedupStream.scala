@@ -133,7 +133,21 @@ object EmbedDedupStream {
     // subset of these per-cell bests (a global winner beats everything
     // in its own cell a fortiori), so the per-vector merge only ever
     // sees probes·coarseProbes candidate rows.
-    val perCell = routed.join(cells, Seq("cid"))
+    //
+    // The broadcast decision is made HERE from ci.k, not left to the
+    // planner: a groupBy output has no reliable size estimate, and at
+    // 2M vectors the 16 MB fine frame sat just past the 10 MB
+    // auto-broadcast threshold — the planner exchanged the ROUTED side
+    // (coarseProbes rows per vector, each carrying the full vector:
+    // ~1.6 GB per micro-batch, re-spilled every batch until the probe
+    // disk filled). Explicit size gate: whole fine index ≈ k·(8d+24) B,
+    // broadcast while under 256 MB (≈ 500M vectors at d=64), cid-shuffle
+    // beyond — same asymptotics the doc above promises, now actually
+    // planned that way in the window where it matters.
+    val dim = ci.coarse.headOption.map(_._2.length).getOrElse(64)
+    val cellsSide =
+      if (ci.k * (8L * dim + 24) < (256L << 20)) broadcast(cells) else cells
+    val perCell = routed.join(cellsSide, Seq("cid"))
       .select(col("vec_id"), col("v"), col("nrm"), col("anchors"))
       .as[(Long, Array[Double], Double, Array[FineAnchor])]
       .flatMap { case (id, v, nrm, anchors) =>

@@ -62,7 +62,12 @@ object IndexIngest {
     * append into `corpusDir`'s landed prefix index (landed first if
     * absent). Returns the running query; each committed micro-batch is
     * immediately visible to [[graft.operators.Similarity]]'s served
-    * queries (`insertInto` refreshes the catalog relation). */
+    * queries (`insertInto` refreshes the catalog relation).
+    *
+    * The caller owns vec_id uniqueness: an id already present in the
+    * index is appended as a second row set, and served top-k — which
+    * dedups by id — would silently keep one. Upserts need a delete+
+    * append compaction pass, not this hot path. */
   def maintainPrefixIndex(
       vecs: DataFrame, corpusDir: String,
       checkpointDir: Option[String] = None): StreamingQuery = {

@@ -41,6 +41,11 @@ object IngestProbe {
       .config("spark.sql.streaming.stateStore.providerClass", // transformWithState needs RocksDB
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.numRecentProgressUpdates", "2000")
+      // a long-running streaming JVM under a big heap rarely GCs, so
+      // ContextCleaner never reclaims finished micro-batches' shuffle
+      // files (default periodicGC is 30 min) — they accumulate on disk
+      // for the whole run. One-minute periodic GC bounds that residue.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -52,7 +57,10 @@ object IngestProbe {
         .parquet(path)
     }
 
-    /** Run one twin to completion or deadline; return the JSON fragment. */
+    /** Run one twin to completion or deadline; return the JSON fragment.
+      * The checkpoint (RocksDB state — 18 GB for the docs twin at 1000×)
+      * is deleted afterwards: a leaked per-run checkpoint filled the
+      * probe disk and failed the NEXT twin's shuffle with ENOSPC. */
     def drive(name: String, out: DataFrame): String = {
       val ckpt = java.nio.file.Files.createTempDirectory(s"ingest_$name").toString
       val q = out.writeStream.format("noop")
@@ -70,6 +78,10 @@ object IngestProbe {
       val wallSec = (System.nanoTime() - t0) / 1e9
       val err = q.exception.map(_.cause.toString.take(200))
       q.stop()
+      locally { // reap the checkpoint before the next twin runs
+        def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
+        rm(new java.io.File(ckpt))
+      }
       val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0).sortBy(_.batchId)
       val rows = prog.map(_.numInputRows).sum
       val trigMs = prog.map(_.durationMs.getOrDefault("triggerExecution", 0L).toLong).sum
@@ -91,20 +103,48 @@ object IngestProbe {
         f""""batches":[$batches]}"""
     }
 
+    // Land each verification store as a table BUCKETED ON ITS JOIN KEY
+    // before streaming: a stream-static join re-plans per micro-batch,
+    // and with a plain (persisted) store both SMJ sides exchange EVERY
+    // batch — the store's shuffle files accumulate until JVM exit and
+    // filled the probe disk at 1000× (2M vectors × ~3 GB/batch →
+    // ENOSPC at batch 14). Bucketed on the key, the store scan
+    // satisfies the join's distribution+ordering as-is: per-batch disk
+    // is the small candidate-side shuffle only. This is the lakehouse
+    // shape a 100 TB deployment serves verification from anyway.
+    def landStore(name: String, key: String)(df: => DataFrame): DataFrame = {
+      val suffix = java.security.MessageDigest.getInstance("MD5")
+        .digest(src.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      graft.sources.Lakehouse.landBucketed(
+        spark, s"graft_ingstore_${name}_$suffix", Seq(key), 32,
+        s"ingstore|v1|$name|$src")(df)
+    }
+
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     if (mode == "docs" || mode == "both") {
       // text twin: full dd3 path — signatures, banding, bucket state,
       // content-store verification against the corpus's gram sets
-      val store = graft.operators.Dedup.gramSets(spark, src)
+      val store = landStore("grams", "doc_id")(graft.operators.Dedup.gramSets(spark, src))
       parts += drive("docs", graft.streaming.DedupStream.verifiedPairs(
         fileStream("documents").select(col("doc_id"), col("text")), store))
     }
     if (mode == "vecs" || mode == "both") {
       // embedding twin: full dd7 path — two-level assignment, cell
-      // state, exact-cosine verification against the normalized corpus
-      val store = graft.operators.Similarity.normed(spark, src)
+      // state, exact-cosine verification against the normalized corpus.
+      // SPARK_GRAFT_INGEST_MAXBUCKET (default uncapped) bounds per-cell
+      // membership: on a corpus with high intrinsic pair density (this
+      // fixture: batch dd7 finds 57.6M pairs at 2M vectors) the
+      // UNCAPPED twin's per-batch verification work grows with cell
+      // occupancy — measured 6 s → 59 s/batch across a 2M-vector run —
+      // because each arrival pairs with every live member. The cap is
+      // the engine's documented knob for pair-density-bounded ingest
+      // (candidates stream carries OverflowD1 markers for audit).
+      val maxBucket = sys.env.get("SPARK_GRAFT_INGEST_MAXBUCKET")
+        .map(_.toInt).getOrElse(Int.MaxValue)
+      val store = landStore("normed", "vec_id")(graft.operators.Similarity.normed(spark, src))
       parts += drive("vecs", graft.streaming.EmbedDedupStream.verifiedPairs(
-        fileStream("embeddings").select(col("vec_id"), col("embedding")), store))
+        fileStream("embeddings").select(col("vec_id"), col("embedding")), store,
+        maxBucket = maxBucket))
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/ingest.json"),
       s"""{"src":"$src",${parts.mkString(",")}}\n""")
