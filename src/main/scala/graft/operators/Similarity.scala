@@ -192,17 +192,22 @@ object Similarity {
   private def servedIndex(s: SparkSession, d: String): DataFrame =
     {
       val n = corpusN(s, d)
+      val t = s"graft_ann_index_${dirSuffix(d)}"
       // landBucketed: a later JVM finding the fingerprint-stamped
       // landing registers it instead of re-quantizing the corpus — the
-      // by-name body (and the rankedPrefix job behind it) never runs
-      graft.sources.Lakehouse.landBucketed(
-        s, s"graft_ann_index_${dirSuffix(d)}", Seq("cell"), 16,
-        s"annidx|v1|$d|n=$n|k=${Dedup.dd7AnchorCount(n)}|p=${Dedup.Dd7Probes}") {
+      // by-name body (and the rankedPrefix job behind it) never runs.
+      // `seq` = 0 marks corpus rows; maintenance appends carry their
+      // batch seq (IndexIngest), and tombstoned versions (deleted or
+      // upserted ids since the last compaction) are masked at read.
+      val df = graft.sources.Lakehouse.landBucketed(
+        s, t, Seq("cell"), 16,
+        s"annidx|v2|$d|n=$n|k=${Dedup.dd7AnchorCount(n)}|p=${Dedup.Dd7Probes}") {
         Dedup.rankedPrefix(s, d).filter(col("r") <= Dedup.Dd7Probes)
           .select(col("cell"), col("vec_id"))
           .join(normed(s, d), Seq("vec_id"))
-          .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+          .select(col("cell"), col("vec_id"), col("v"), col("nrm"), lit(0L).as("seq"))
       }
+      graft.sources.Lakehouse.maskTombstones(s, t, df, "vec_id")
     }
 
   /** Land (or re-register) the prefix-quantizer serving index for

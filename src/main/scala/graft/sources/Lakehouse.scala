@@ -28,6 +28,48 @@ import org.apache.spark.sql.functions._
   */
 object Lakehouse {
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  private def warehouseLoc(s: SparkSession, table: String): java.io.File = {
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT))
+  }
+
+  /** The staging table name a [[compactBucketed]] run writes into. */
+  private def stageName(table: String): String = table + "__compacting"
+
+  /** Complete a compaction swap a previous run crashed in the middle of
+    * (ADVICE r11): [[compactBucketed]] stamps the `_graft_meta` marker
+    * into its stage BEFORE dropping the live table, so at every instant
+    * at least one of (live marker, stage marker) exists. If the live
+    * marker is gone but a marked stage survives, the crash landed
+    * between DROP and RENAME — adopt the stage as the live table
+    * (catalog rename when this JVM still holds the stage entry, raw
+    * directory move when a fresh JVM finds only the files). Rows are
+    * identical to the pre-compaction table by construction, so adoption
+    * never loses data; without it the next [[landBucketed]] would
+    * silently RE-LAND the corpus-only index, discarding every streamed
+    * append. */
+  private def adoptOrphanStage(s: SparkSession, table: String): Unit = {
+    val loc = warehouseLoc(s, table)
+    val stage = stageName(table)
+    val stageLoc = warehouseLoc(s, stage)
+    val liveMarker = new java.io.File(loc, "_graft_meta")
+    val stageMarker = new java.io.File(stageLoc, "_graft_meta")
+    if (!liveMarker.isFile && stageMarker.isFile) {
+      if (s.catalog.tableExists(stage) && !s.catalog.tableExists(table)) {
+        s.sql(s"ALTER TABLE `$stage` RENAME TO `$table`") // same-JVM crash: finish the swap
+        s.catalog.refreshTable(table)
+      } else if (!s.catalog.tableExists(table)) {
+        if (loc.exists()) rmTree(loc) // markerless leftovers
+        java.nio.file.Files.move(stageLoc.toPath, loc.toPath) // cross-JVM: files only; landBucketed re-registers
+        ()
+      }
+    }
+  }
+
   /** Write `df` hive-partitioned by `partitionCols`. `maxRecordsPerFile`
     * bounds file size (Spark splits writer output at the bound);
     * `sortCols` sort within each output file so downstream range/point
@@ -64,12 +106,8 @@ object Lakehouse {
     // a previous JVM may have left the managed location behind while
     // this session's in-memory catalog has no entry for it — saveAsTable
     // refuses to CREATE over an existing location, so clear it
-    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT))
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
-      rm(loc)
-    }
+    val loc = warehouseLoc(s, table)
+    if (loc.exists()) rmTree(loc)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
@@ -106,8 +144,8 @@ object Lakehouse {
       bucketCols: Seq[String], numBuckets: Int,
       fingerprint: String)(df: => DataFrame): DataFrame = {
     require(!fingerprint.contains('\n'), "fingerprint must be single-line")
-    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT))
+    adoptOrphanStage(s, table) // recover a crashed compaction swap first
+    val loc = warehouseLoc(s, table)
     val marker = new java.io.File(loc, "_graft_meta")
     val spec = s"buckets=$numBuckets cols=${bucketCols.mkString(",")}"
     val recorded: Option[Array[String]] =
@@ -127,6 +165,10 @@ object Lakehouse {
       case _ =>
         val data = df
         writeBucketed(data, table, bucketCols, numBuckets)
+        // a clean re-land invalidates any maintenance sidecar from the
+        // previous landing: the commit log died with the location rm in
+        // writeBucketed; the tombstone dir lives beside it — clear too
+        locally { val td = tombsDir(s, table); if (td.exists()) rmTree(td) }
         java.nio.file.Files.write(marker.toPath,
           s"$fingerprint\n$spec\n${data.schema.toDDL}".getBytes("UTF-8"))
         s.table(table)
@@ -145,10 +187,19 @@ object Lakehouse {
     * increments; compact slivers with [[compactBucketed]]. */
   def appendBucketed(df: DataFrame, table: String): Unit = {
     val s = df.sparkSession
-    val cols = s.table(table).schema.fieldNames
+    val schema = s.table(table).schema
+    val cols = schema.fieldNames
     require(df.columns.toSet == cols.toSet,
       s"appendBucketed($table): columns ${df.columns.mkString(",")} != table schema ${cols.mkString(",")}")
-    df.select(cols.map(col): _*).write.mode(SaveMode.Append).insertInto(table)
+    val arranged = df.select(cols.map(col): _*)
+    // types must MATCH, not merely cast (ADVICE r11): insertInto inserts
+    // positionally with implicit casts, so e.g. an array<float> embedding
+    // against an array<double> column would land silently-coerced data
+    arranged.schema.fields.zip(schema.fields).foreach { case (got, want) =>
+      require(got.dataType == want.dataType,
+        s"appendBucketed($table): column ${want.name} type ${got.dataType.sql} != table's ${want.dataType.sql}")
+    }
+    arranged.write.mode(SaveMode.Append).insertInto(table)
   }
 
   /** Compact a bucketed table in place: rewrite its current rows into
@@ -160,44 +211,175 @@ object Lakehouse {
     * rewrite can never drift from the table's layout, and any
     * `_graft_meta` landing marker is carried across the swap so
     * [[landBucketed]]'s cross-session reuse still recognizes the
-    * compacted table. */
+    * compacted table.
+    *
+    * NOT concurrent-ingest-safe: stop any stream appending to `table`
+    * (e.g. [[graft.streaming.IndexIngest.maintainPrefixIndex]]) before
+    * compacting — rows appended after the internal snapshot cannot make
+    * it into the rewrite. The swap detects that drift (row-count
+    * re-check) and aborts discarding the stage rather than losing rows.
+    * Crash-safe: the landing marker is stamped into the stage BEFORE the
+    * live table is dropped, and a crash mid-swap is completed by the
+    * next [[landBucketed]]/[[compactBucketed]] call on the same table
+    * ([[adoptOrphanStage]]). */
   def compactBucketed(s: SparkSession, table: String): Unit = {
+    compactSwap(s, table, bucketSpecOf(s, table), identity)
+  }
+
+  private def bucketSpecOf(
+      s: SparkSession, table: String): org.apache.spark.sql.catalyst.catalog.BucketSpec = {
+    adoptOrphanStage(s, table) // recover (or clear the way for) a crashed prior run
     val tid = s.sessionState.sqlParser.parseTableIdentifier(table)
-    val meta = s.sessionState.catalog.getTableMetadata(tid)
-    val spec = meta.bucketSpec.getOrElse(
-      throw new IllegalArgumentException(s"compactBucketed: `$table` is not bucketed"))
-    val stage = table + "__compacting"
-    // One file per bucket needs task i to hold exactly bucket i's rows.
-    // The pre-repartition uses the same hash the bucketed writer routes
-    // by (pmod(hash(cols), n) — collation-aware only for strings), BUT
-    // the write planner REMOVES a bare repartition above WriteFiles
-    // (bucketed V1 writes only require an ordering; observed plan:
-    // Scan → Sort → WriteFiles, no Exchange → tasks × buckets sliver
-    // files survive the "compaction"). Materializing the repartitioned
-    // frame pins the exchange: the write consumes the cached 16
-    // aligned partitions and emits exactly one file per bucket.
-    val arranged = s.table(table)
+    s.sessionState.catalog.getTableMetadata(tid).bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"compact: `$table` is not bucketed"))
+  }
+
+  /** The rewrite-and-swap core shared by [[compactBucketed]] and
+    * [[compactMaintained]]: persist `liveRowsOf(table)`, write it as the
+    * stage table, guard against concurrent appends, then swap the stage
+    * into place carrying the landing marker and commit log.
+    *
+    * One file per bucket needs task i to hold exactly bucket i's rows.
+    * The pre-repartition uses the same hash the bucketed writer routes
+    * by (pmod(hash(cols), n) — collation-aware only for strings), BUT
+    * the write planner REMOVES a bare repartition above WriteFiles
+    * (bucketed V1 writes only require an ordering; observed plan:
+    * Scan → Sort → WriteFiles, no Exchange → tasks × buckets sliver
+    * files survive the "compaction"). Materializing the repartitioned
+    * frame pins the exchange: the write consumes the cached aligned
+    * partitions and emits exactly one file per bucket. */
+  private def compactSwap(
+      s: SparkSession, table: String,
+      spec: org.apache.spark.sql.catalyst.catalog.BucketSpec,
+      liveRowsOf: DataFrame => DataFrame): Unit = {
+    val stage = stageName(table)
+    val arranged = liveRowsOf(s.table(table))
       .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val snapshot = s.table(table).count() // raw-row snapshot for the drift guard
     try {
       arranged.count() // materialize BEFORE touching the original
       writeBucketed(arranged, stage, spec.bucketColumnNames, spec.numBuckets)
     } finally { arranged.unpersist(); () }
-    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT))
-    val marker = new java.io.File(loc, "_graft_meta")
-    val markerBytes =
-      if (marker.isFile) Some(java.nio.file.Files.readAllBytes(marker.toPath)) else None
-    s.sql(s"DROP TABLE `$table`") // managed: deletes the sliver files
-    if (loc.exists()) { // reuse-path tables are EXTERNAL — drop leaves the files
-      def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); () }
-      rm(loc)
-    }
-    s.sql(s"ALTER TABLE `$stage` RENAME TO `$table`") // moves the compacted dir into place
-    markerBytes.foreach { b =>
-      java.nio.file.Files.write(new java.io.File(loc, "_graft_meta").toPath, b); ()
-    }
+    // Concurrent-append guard (ADVICE r11): a live ingest stream that
+    // appended after the snapshot would lose those rows to the swap.
+    // Re-count the live table and abort (discarding the stage) on drift —
+    // the caller must stop the ingest stream around compaction.
     s.catalog.refreshTable(table)
+    val nowRows = s.table(table).count()
+    if (nowRows != snapshot) {
+      s.sql(s"DROP TABLE IF EXISTS `$stage`")
+      val stageLoc = warehouseLoc(s, stage)
+      if (stageLoc.exists()) rmTree(stageLoc)
+      throw new IllegalStateException(
+        s"compactBucketed(`$table`): table grew $snapshot -> $nowRows rows during the rewrite " +
+          "(concurrent append?). Stage discarded; stop ingest streams during compaction and retry.")
+    }
+    val loc = warehouseLoc(s, table)
+    // marker + commit log into the STAGE before the swap (ADVICE r11): at
+    // every instant at least one of (live marker, stage marker) exists,
+    // so a crash anywhere in the swap is recoverable by
+    // [[adoptOrphanStage]] instead of silently re-landing a corpus-only
+    // index; the commit log keeps the maintenance seq counter monotonic
+    // across compactions (a reset counter could un-mask tombstoned rows).
+    for (f <- Seq("_graft_meta", "_graft_commits")) {
+      val src = new java.io.File(loc, f)
+      if (src.isFile) {
+        java.nio.file.Files.copy(src.toPath,
+          new java.io.File(warehouseLoc(s, stage), f).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    }
+    s.sql(s"DROP TABLE `$table`") // managed: deletes the sliver files
+    if (loc.exists()) rmTree(loc) // reuse-path tables are EXTERNAL — drop leaves the files
+    s.sql(s"ALTER TABLE `$stage` RENAME TO `$table`") // moves the compacted dir (incl. marker) into place
+    s.catalog.refreshTable(table)
+  }
+
+  // ------------------------------------------------------------------
+  // Maintained-table sidecars: tombstones + commit log. The reference's
+  // KV contract treats put(key, null) as delete
+  // (/root/reference/kafka-client/src/main/java/dev/responsive/kafka/internal/stores/ResponsiveKeyValueStore.java:148-155)
+  // and resolves versions in its commit buffer; re-expressed lakehouse-
+  // first: a landed bucketed table is append-only (parquet), so deletes
+  // and upserts are TOMBSTONE rows in a sidecar dir, masked at read and
+  // physically dropped at compaction — the LSM delete marker pattern.
+  // ------------------------------------------------------------------
+
+  /** Tombstone sidecar location for a maintained table (plain parquet
+    * dir — no catalog entry, so it needs no cross-JVM re-registration). */
+  private def tombsDir(s: SparkSession, table: String): java.io.File =
+    warehouseLoc(s, table + "__tombs")
+
+  /** Append tombstones: `df` must be (id: bigint, seq: bigint) — every
+    * row of `table` whose `idCol` matches `id` and whose `seq` column is
+    * < the tombstone's seq is dead. An upsert therefore writes its
+    * tombstone and its replacement rows with the SAME seq (new rows
+    * survive, strictly-older rows die). */
+  private[graft] def appendTombstones(s: SparkSession, table: String, df: DataFrame): Unit =
+    df.select(col("id").cast("long"), col("seq").cast("long"))
+      .coalesce(1) // per-batch tombstone sets are small; one sliver file each
+      .write.mode(SaveMode.Append).parquet(tombsDir(s, table).toString)
+
+  /** The current tombstone set, or None when no deletes are pending. */
+  private[graft] def tombstones(s: SparkSession, table: String): Option[DataFrame] = {
+    val dir = tombsDir(s, table)
+    if (dir.isDirectory && Option(dir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
+      Some(s.read.parquet(dir.toString))
+    else None
+  }
+
+  /** `df` (rows of `table`, carrying a bigint `seq` column) with
+    * tombstoned rows masked out: a row is live iff its seq is >= every
+    * tombstone seq recorded for its id. The tombstone set is bounded by
+    * deletes-since-last-compaction (pure inserts write none), so the
+    * broadcast stays small under any sane compaction cadence; the mask
+    * disappears entirely (df returned as-is) when no deletes are
+    * pending. */
+  private[graft] def maskTombstones(
+      s: SparkSession, table: String, df: DataFrame, idCol: String): DataFrame =
+    tombstones(s, table) match {
+      case None => df
+      case Some(t) =>
+        val tmax = t.groupBy(col("id")).agg(max(col("seq")).as("__tseq"))
+          .withColumnRenamed("id", idCol)
+        df.join(broadcast(tmax), Seq(idCol), "left_outer")
+          .filter(col("__tseq").isNull || col("seq") >= col("__tseq"))
+          .drop("__tseq")
+    }
+
+  /** Maintenance commit log: (last applied streaming batchId, max issued
+    * seq). Lives as `_graft_commits` beside the landing marker, so a
+    * re-land resets it and [[compactSwap]] carries it across swaps. */
+  private[graft] def readCommits(s: SparkSession, table: String): (Long, Long) = {
+    val f = new java.io.File(warehouseLoc(s, table), "_graft_commits")
+    if (!f.isFile) (-1L, 0L)
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split("\n") match { case Array(b, q, _*) => (b.toLong, q.toLong); case _ => (-1L, 0L) }
+  }
+
+  private[graft] def writeCommits(s: SparkSession, table: String, batchId: Long, seq: Long): Unit = {
+    java.nio.file.Files.write(
+      new java.io.File(warehouseLoc(s, table), "_graft_commits").toPath,
+      s"$batchId\n$seq".getBytes("UTF-8"))
+    ()
+  }
+
+  /** Compact a MAINTAINED bucketed table: like [[compactBucketed]], but
+    * the rewrite keeps only live rows — tombstoned versions
+    * ([[maskTombstones]] over `idCol`/`seq`) are physically dropped, as
+    * are byte-identical duplicate rows (the residue of a crash landing
+    * exactly between a micro-batch's append and its commit-log record —
+    * see [[graft.streaming.IndexIngest.maintainPrefixIndex]]). The
+    * tombstone sidecar is cleared afterwards: its work is now baked into
+    * the files. Same mutual-exclusion contract as [[compactBucketed]]:
+    * stop ingest streams around the call. */
+  def compactMaintained(s: SparkSession, table: String, idCol: String): Unit = {
+    compactSwap(s, table, bucketSpecOf(s, table),
+      raw => maskTombstones(s, table, raw, idCol).dropDuplicates())
+    val dir = tombsDir(s, table)
+    if (dir.exists()) rmTree(dir)
   }
 
   /** Z-order (Morton) clustering: write `df` laid out along the

@@ -18,10 +18,26 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Frozen-quantizer semantics are the standard IVF add contract
   * (FAISS `IndexIVF.add`): cell centroids never move after the build,
   * so an appended vector's cells are exactly what a full re-land would
-  * assign it — the table stays bit-equal to a from-scratch landing of
-  * corpus ∪ appends (spec-pinned in IndexIngestSpec), and the landing
-  * fingerprint stays valid because the quantizer inputs (the ORIGINAL
-  * corpus prefix) are untouched by appends.
+  * assign it — the table's (cell, vec_id, v, nrm) content stays equal
+  * to a from-scratch landing of corpus ∪ appends (spec-pinned in
+  * IndexIngestSpec; `seq` is maintenance metadata on top), and the
+  * landing fingerprint stays valid because the quantizer inputs (the
+  * ORIGINAL corpus prefix) are untouched by appends.
+  *
+  * DELETE / UPSERT contract (the reference's put-null⇒delete,
+  * ResponsiveKeyValueStore.java:148-155, applied to the landed index):
+  * a batch row with a NULL embedding deletes its vec_id; a non-null row
+  * whose vec_id already exists is an UPSERT — in both cases the batch
+  * writes a tombstone (vec_id, seq) into the table's sidecar, and
+  * upsert rows land with the same seq (so they survive their own
+  * tombstone while every strictly-older row for that id dies). Serving
+  * masks tombstoned rows at read
+  * ([[graft.sources.Lakehouse.maskTombstones]]);
+  * [[graft.sources.Lakehouse.compactMaintained]] drops them physically
+  * and clears the sidecar. Because an upsert must supersede the old
+  * rows, EVERY incoming id is tombstoned — callers with insert-only
+  * streams who want a tombstone-free sidecar can pass
+  * `upserts = false`.
   *
   * Scale shape:
   *  - per arriving vector: (K1 + probes·K/K1)·d ≈ √K·d multiply-adds —
@@ -30,47 +46,59 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    level 2 via the distributed cid-keyed fine-cell join);
   *  - per micro-batch: ONE bucketed append — files land hashed and
   *    named by bucket id, so bucket pruning and Exchange-free joins
-  *    keep working across old and new rows;
+  *    keep working across old and new rows — plus (when the batch
+  *    deletes/upserts) one small tombstone sliver;
   *  - file slivers (one per bucket per batch) are bounded by
-  *    [[graft.sources.Lakehouse.compactBucketed]], the bucketed twin
+  *    [[graft.sources.Lakehouse.compactMaintained]], the bucketed twin
   *    of the compaction every incremental sink needs.
   */
 object IndexIngest {
 
   /** Assign one batch of raw vectors (vec_id, embedding: float array)
     * to the frozen quantizer's cells and return serving-index rows
-    * (cell, vec_id, v, nrm) — [[EmbedDedupStream.assignments]]'s
+    * (cell, vec_id, v, nrm, seq) — [[EmbedDedupStream.assignments]]'s
     * multi-assignment (bv = fine cell) joined back to the vector
     * payload, with the norm computed by the batch pipeline's exact
     * expressions so served cosines are bit-identical for old and new
-    * rows. */
+    * rows. `seq` is the batch's maintenance sequence number (0 for the
+    * corpus landing). */
   private[graft] def assignBatch(
       batch: DataFrame,
       ci: EmbedDedupStream.CoarseIndex,
-      cells: DataFrame): DataFrame = {
+      cells: DataFrame,
+      seq: Long = 0L): DataFrame = {
     val normed = batch
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(graft.functions.VectorExprs.dot(col("v"), col("v"))))
     EmbedDedupStream.assignments(batch, ci, cells)
       .select(col("bv").as("cell"), col("doc_id").as("vec_id"))
       .join(normed, Seq("vec_id"))
-      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"), lit(seq).as("seq"))
   }
 
   /** Start the maintenance stream: `vecs` (a streaming DataFrame of
-    * (vec_id, embedding)) → frozen-quantizer assignment → bucketed
-    * append into `corpusDir`'s landed prefix index (landed first if
-    * absent). Returns the running query; each committed micro-batch is
-    * immediately visible to [[graft.operators.Similarity]]'s served
-    * queries (`insertInto` refreshes the catalog relation).
+    * (vec_id, embedding); embedding NULL ⇒ delete) → frozen-quantizer
+    * assignment → bucketed append into `corpusDir`'s landed prefix
+    * index (landed first if absent). Returns the running query; each
+    * committed micro-batch is immediately visible to
+    * [[graft.operators.Similarity]]'s served queries (`insertInto`
+    * refreshes the catalog relation).
     *
-    * The caller owns vec_id uniqueness: an id already present in the
-    * index is appended as a second row set, and served top-k — which
-    * dedups by id — would silently keep one. Upserts need a delete+
-    * append compaction pass, not this hot path. */
+    * Idempotence (ADVICE r11): with `checkpointDir` set, each applied
+    * micro-batch records its batchId in the table's `_graft_commits`
+    * log, and a replayed batch (restart re-runs the last uncommitted
+    * one) is SKIPPED instead of double-appended. The append and the
+    * commit record are two writes, not one transaction — a crash
+    * landing exactly between them re-appends one batch on restart;
+    * served top-k is immune (topkDistinct dedups ids) and
+    * [[graft.sources.Lakehouse.compactMaintained]] drops the
+    * byte-identical duplicate rows. Without a checkpoint the source
+    * itself replays arbitrarily on restart, so no batch-skip is
+    * attempted (test-only mode; production callers should set one). */
   def maintainPrefixIndex(
       vecs: DataFrame, corpusDir: String,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      upserts: Boolean = true): StreamingQuery = {
     val s = vecs.sparkSession
     val table = graft.operators.Similarity.prefixIndexTable(s, corpusDir)
     // the frozen quantizer: √K coarse anchors driver-resident, K-row
@@ -83,14 +111,41 @@ object IndexIngest {
       corpus.select(col("vec_id"), col("v").as("embedding")))
     val cells = EmbedDedupStream.fineCells(corpus, ci).cache()
     val w = vecs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.Lakehouse.appendBucketed(assignBatch(batch, ci, cells), table)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (lastBatch, maxSeq) = graft.sources.Lakehouse.readCommits(s, table)
+        if (checkpointDir.isDefined && batchId <= lastBatch) {
+          // replayed after restart: already applied — skip (idempotence)
+        } else {
+          val seq = maxSeq + 1
+          val dels = batch.filter(col("embedding").isNull).select(col("vec_id"))
+          val ups = batch.filter(col("embedding").isNotNull)
+          // tombstone first, then append with the same seq: if the batch
+          // re-runs after a crash here, the replayed tombstones are
+          // byte-equal (same seq) and mask nothing extra
+          if (upserts || !dels.isEmpty) {
+            val ids = if (upserts) batch.select(col("vec_id")) else dels
+            graft.sources.Lakehouse.appendTombstones(s, table,
+              ids.select(col("vec_id").as("id"), lit(seq).as("seq")))
+          }
+          graft.sources.Lakehouse.appendBucketed(assignBatch(ups, ci, cells, seq), table)
+          graft.sources.Lakehouse.writeCommits(s, table, batchId, seq)
+        }
         // the insert runs in the micro-batch's CLONED session; its
         // refresh does not touch the serving session's relation cache,
         // so invalidate there — commit-then-visible, the IQ contract
         s.catalog.refreshTable(table)
       }
     checkpointDir.foreach(cp => w.option("checkpointLocation", cp))
-    w.start()
+    val q = w.start()
+    // release the quantizer cache when THIS query terminates (ADVICE
+    // r11: it leaked per invocation in a long-lived session)
+    s.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == q.id) { cells.unpersist(); s.streams.removeListener(this) }
+    })
+    q
   }
 }

@@ -112,4 +112,85 @@ class IndexIngestSpec extends SparkSpecBase with BeforeAndAfterAll {
       .orderBy("qid", "rank").collect().toSeq
     assert(servedAfter == servedBefore)
   }
+
+  test("upsert re-cells a vector, delete removes it from serving; compaction bakes both in") {
+    import spark.implicits._
+    val tbl = Similarity.prefixIndexTable(spark, corpusDir)
+    val np = Similarity.defaultNprobe(spark, corpusDir)
+    def cellsOf(id: Long): Seq[Long] =
+      spark.table(tbl).filter(col("vec_id") === id)
+        .select(col("cell")).collect().map(_.getLong(0)).distinct.sorted.toSeq
+    def top1(qid: Long): Long =
+      Similarity.servedTopkAt(spark, corpusDir, "prefix", np)
+        .filter(col("qid") === qid && col("rank") === 1)
+        .collect().head.getLong(2)
+    def neighborsOf(qid: Long): Seq[Long] =
+      Similarity.servedTopkAt(spark, corpusDir, "prefix", np)
+        .filter(col("qid") === qid).collect()
+        .map(_.getLong(2)).toSeq
+
+    // baseline from the previous test: 900000/900001 are exact copies of
+    // query vecs 0/1 and serve as their top-1
+    assert(top1(0L) == 900000L && top1(1L) == 900001L)
+    val emb5 = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .filter(col("vec_id") === 5)
+      .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+
+    // one batch carrying an UPSERT (900001 becomes a copy of query vec 5)
+    // and a DELETE (900000, null embedding — the put-null contract)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.IndexIngest.maintainPrefixIndex(
+      src.toDF().toDF("vec_id", "embedding"), corpusDir)
+    try {
+      src.addData(Seq((900001L, emb5), (900000L, null: Array[Float])))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // served BEFORE compaction: tombstone masking at read
+    assert(top1(5L) == 900001L, "upserted vector must serve under its new embedding")
+    assert(!neighborsOf(1L).contains(900001L), "old version must stop serving for its old query")
+    assert(!neighborsOf(0L).contains(900000L), "deleted id must disappear from served top-k")
+    // raw table still holds the superseded rows (masked, not yet dropped)
+    assert(spark.table(tbl).filter(col("vec_id") === 900000L).count() == Dedup.Dd7Probes)
+    assert(graft.sources.Lakehouse.tombstones(spark, tbl).isDefined)
+
+    val servedBefore = Similarity.servedTopkAt(spark, corpusDir, "prefix", np)
+      .orderBy("qid", "rank").collect().toSeq
+    graft.sources.Lakehouse.compactMaintained(spark, tbl, "vec_id")
+    // physical drop: deleted id gone, upserted id holds ONLY its new cells
+    assert(spark.table(tbl).filter(col("vec_id") === 900000L).count() == 0)
+    assert(spark.table(tbl).filter(col("vec_id") === 900001L).count() == Dedup.Dd7Probes)
+    assert(cellsOf(900001L) == cellsOf(5L), "upserted rows must sit in the new embedding's cells")
+    // sidecar cleared; serving answers unchanged by the physical rewrite
+    assert(graft.sources.Lakehouse.tombstones(spark, tbl).isEmpty)
+    val servedAfter = Similarity.servedTopkAt(spark, corpusDir, "prefix", np)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(servedAfter == servedBefore)
+  }
+
+  test("checkpointed maintenance skips replayed batchIds (idempotent appends)") {
+    import spark.implicits._
+    val tbl = Similarity.prefixIndexTable(spark, corpusDir)
+    val before = spark.table(tbl).count()
+    val (lastBatch, maxSeq) = graft.sources.Lakehouse.readCommits(spark, tbl)
+    // pretend batches up to 10 were already applied: a checkpointed
+    // stream re-delivering batchIds 0..N≤10 must append NOTHING
+    graft.sources.Lakehouse.writeCommits(spark, tbl, 10L, maxSeq)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-idx-ckpt").toString
+    val emb2 = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .filter(col("vec_id") === 2)
+      .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.IndexIngest.maintainPrefixIndex(
+      src.toDF().toDF("vec_id", "embedding"), corpusDir, checkpointDir = Some(ckpt))
+    try {
+      src.addData(Seq((910000L, emb2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table(tbl).count() == before, "replayed batch must not double-append")
+    // restore the real commit record so later tests see a sane counter
+    graft.sources.Lakehouse.writeCommits(spark, tbl, lastBatch, maxSeq)
+  }
 }
