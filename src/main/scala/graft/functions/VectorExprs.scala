@@ -138,6 +138,48 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
     copy(left = l, right = r)
 }
 
+/** PQ asymmetric-distance (ADC) score: for a code row `codes[i] ∈
+  * [0, k)` (one 4-bit centroid id per subspace) and a per-query lookup
+  * table `tab` flattened as tab[i*k + cid] = dot(query sub-vector i,
+  * centroid cid of subspace i), the approximate inner product is
+  * Σ_i tab[i*k + codes[i]] — M array reads per candidate, no
+  * multiplies. The FAISS ADC kernel as a whole-stage-codegen
+  * expression; the HOF `aggregate(...)` form interprets per element
+  * and allocates, which matters when every probed cell's codes flow
+  * through this per query batch. */
+case class AdcScore(left: Expression, right: Expression, k: Int) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_adc_score"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val tab = b.asInstanceOf[ArrayData]
+    val n = codes.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += tab.getDouble(i * k + codes.getInt(i)); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $b.getDouble($i * $k + $a.getInt($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcScore =
+    copy(left = l, right = r)
+}
+
 object VectorExprs {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -145,4 +187,6 @@ object VectorExprs {
     ColumnBridge.column(ArrayEqualCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def sortedIntersect(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def adcScore(codes: Column, tab: Column, k: Int): Column =
+    ColumnBridge.column(AdcScore(ColumnBridge.expression(codes), ColumnBridge.expression(tab), k))
 }

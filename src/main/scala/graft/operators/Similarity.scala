@@ -628,11 +628,30 @@ object Similarity {
       .agg(expr("max_by(cid, struct(score, -cid))").as("cid"))
   }
 
-  /** ADC + exact-re-rank serving tail over a code table (inline or
+  /** Exact re-rank of a bounded (qid, vec_id) candidate shortlist: the
+    * PQ serving tail shared by sim4/sim4b (global ADC) and sim4c
+    * (cell-pruned ADC). The shortlist broadcasts (ReRankFactor·k rows
+    * per query), so the corpus never shuffles for the vector fetch. */
+  private def pqRerank(s: SparkSession, d: String, cands: DataFrame): DataFrame = {
+    val e = normed(s, d)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val reranked = broadcast(cands)
+      .join(e, Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cos", VectorExprs.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+    topkPerQid(reranked)
+  }
+
+  /** ADC + exact-re-rank serving tail over a FLAT code table (inline or
     * landed): per-query lookup tables of subspace dot products
     * broadcast against the codes, top ReRankFactor×k candidates fetch
     * their raw vectors (broadcast shortlist — the corpus never
-    * shuffles for the fetch), then the recall gate. */
+    * shuffles for the fetch), then the recall gate. NOTE this is the
+    * flat-PQ shape: the ADC join scans the ENTIRE n·M code table per
+    * query batch. Kept as the un-pruned baseline; the designated scale
+    * path is [[sim4c]]'s composed IVF+PQ, whose ADC touches only
+    * probed cells. */
   private def pqServe(s: SparkSession, d: String, codes: DataFrame): DataFrame = {
     val e = normed(s, d)
     import s.implicits._
@@ -652,14 +671,7 @@ object Similarity {
     val cands = approx.groupBy(col("qid"))
       .agg(graft.functions.SketchAggs.topk(col("apx"), col("vec_id"), candK).as("top"))
       .select(col("qid"), explode(col("top.id")).as("vec_id"))
-    // exact re-rank of the (broadcast) shortlist only
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val reranked = broadcast(cands)
-      .join(e, Seq("vec_id"))
-      .join(broadcast(q), Seq("qid"))
-      .withColumn("cos", VectorExprs.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
-    recallGate(s, d, topkPerQid(reranked))
+    recallGate(s, d, pqRerank(s, d, cands))
   }
 
   val sim4 = QueryDef(
@@ -698,6 +710,97 @@ object Similarity {
     doc = "sim4 served from the persisted PQ code table: no per-query corpus re-encode"
   )
 
+  /** One-time landing of the COMPOSED IVF+PQ index (the FAISS
+    * IndexIVFPQ shape — VERDICT r11 #1): each vector's M-element PQ
+    * code array, replicated into its Dd7Probes fine cells under the
+    * SAME frozen prefix quantizer as [[servedIndex]], bucketed and
+    * sorted on `cell`. ~8·Dd7Probes B/vector at rest; a query batch's
+    * ADC then touches ONLY its probed cells' codes (sim2b's In-filter
+    * pruning applied to the PQ path), where sim4/sim4b by construction
+    * scan the entire n·M code table per batch — the one plan that
+    * could not survive 100 TB. */
+  private def ivfPqIndex(s: SparkSession, d: String): DataFrame = {
+    val n = corpusN(s, d)
+    graft.sources.Lakehouse.landBucketed(
+      s, s"graft_ann_ivfpq_${dirSuffix(d)}", Seq("cell"), 16,
+      s"ivfpq|v1|$d|n=$n|k=${Dedup.dd7AnchorCount(n)}|p=${Dedup.Dd7Probes}" +
+        s"|m=$PqM|kc=$PqK|it=$PqIters|ts=$TrainSample") {
+      // codes as one ordered array per vector (8 B at PqM=16, PqK=16):
+      // ADC reads M positions per candidate instead of joining M rows
+      val codes = pqEncode(s, d)
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(struct(col("m"), col("cid")))).as("mc"))
+        .select(col("vec_id"), expr("transform(mc, x -> x.cid)").as("codes"))
+      Dedup.rankedPrefix(s, d).filter(col("r") <= Dedup.Dd7Probes)
+        .select(col("cell"), col("vec_id"))
+        .join(codes, Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("codes"))
+    }
+  }
+
+  /** Per-query flattened ADC lookup tables, computed DRIVER-side from
+    * the memoized codebooks and query vectors (PqM·PqK doubles per
+    * query — 2 KB): tab[m·PqK + cid] = dot(unit-query sub-vector m,
+    * centroid cid). Same ascending-loop arithmetic as the distributed
+    * pqSubs/dot path, so ADC scores match sim4's bit-for-bit; zero
+    * distributed jobs where sim4's table build runs an explode + join. */
+  private def adcTables(s: SparkSession, d: String): Seq[(Long, Array[Double])] = {
+    val books = pqCodebooks(s, d)
+    queryVecs(s, d).toSeq.map { qv =>
+      val u = qv.v.map(_ / qv.nrm)
+      val tab = new Array[Double](PqM * PqK)
+      books.foreach { case (m, cid, cv) =>
+        var acc = 0.0
+        var i = 0
+        while (i < PqSubDim) { acc += u(m * PqSubDim + i) * cv(i); i += 1 }
+        tab(m * PqK + cid) = acc
+      }
+      (qv.id, tab)
+    }
+  }
+
+  /** Cell-pruned ADC top-k: probe ranking runs driver-local (as sim2b),
+    * the probed cell ids push into the composed-index scan as an In
+    * filter (bucket pruning + row-group skip), the broadcast ADC tables
+    * score each candidate's code array in one codegen'd expression, and
+    * the per-qid candidate shortlist comes out of the bounded top-k
+    * sketch (id-deduped — a multi-assigned vector scores identically in
+    * every shared cell). ONE scan of probed cells + ONE k-pair-per-
+    * partition exchange per query batch. */
+  private def ivfPqCands(s: SparkSession, d: String, nprobe: Int): DataFrame = {
+    val probes = localProbes(s, d, coarsePrefixLocal(s, d), prefixFineFetch(s, d), nprobe)
+    val cellIds = probes.map(_._2).distinct.toSeq
+    import s.implicits._
+    val probesDf = probes.toSeq.toDF("qid", "cell")
+    val tabs = adcTables(s, d).toDF("qid", "tab")
+    val candK = ReRankFactor * TopK
+    val scored = ivfPqIndex(s, d).filter(col("cell").isin(cellIds: _*))
+      .join(broadcast(probesDf), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(tabs), Seq("qid"))
+      .withColumn("apx", VectorExprs.adcScore(col("codes"), col("tab"), PqK))
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.SketchAggs.topkDistinct(col("apx"), col("vec_id"), candK).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("vec_id"))
+  }
+
+  /** sim4c — the composed IVF+PQ serving path (FAISS IndexIVFPQ): PQ
+    * codes landed WITH their cell assignment, ADC restricted to probed
+    * cells, exact re-rank of the bounded shortlist, recall-gated like
+    * sim4. Per-query-batch cost ∝ probed cells' rows — the 100 TB PQ
+    * shape; sim4/sim4b remain as the flat-PQ baselines whose ADC scans
+    * all codes. */
+  val sim4c = QueryDef(
+    "sim4c_ann_ivfpq_served",
+    (s, d) => {
+      val k1 = Dedup.dd7CoarseCount(Dedup.dd7AnchorCount(corpusN(s, d)))
+      recallGate(s, d, pqRerank(s, d,
+        ivfPqCands(s, d, math.max(NProbe.toLong, k1).toInt)))
+    },
+    sim4.oracle,
+    doc = "composed IVF+PQ: probed-cells-only ADC over the landed cell-bucketed code table; recall-gated vs sim1"
+  )
+
   /** Recall instrumentation (VERDICT r10 #8): the served top-k answer
     * at an EXPLICIT fine-probe depth for the prefix (sim2b) or k-means
     * (sim3b) index, and the exact reference answer — the pieces
@@ -716,6 +819,8 @@ object Similarity {
       val probes = localProbes(s, d, coarse,
         cids => { val want = cids.toSet; fineTagged.filter(t => want(t._1)) }, nprobe)
       serveTopk(s, d, kmServedIndex(s, d), probes)
+    case "ivfpq" =>
+      pqRerank(s, d, ivfPqCands(s, d, nprobe))
     case other => throw new IllegalArgumentException(s"unknown index kind: $other")
   }
 
@@ -729,5 +834,5 @@ object Similarity {
     math.max(NProbe.toLong,
       Dedup.dd7CoarseCount(Dedup.dd7AnchorCount(corpusN(s, d)))).toInt
 
-  val all: Seq[QueryDef] = Seq(sim1, sim2, sim2b, sim3, sim3b, sim4, sim4b)
+  val all: Seq[QueryDef] = Seq(sim1, sim2, sim2b, sim3, sim3b, sim4, sim4b, sim4c)
 }

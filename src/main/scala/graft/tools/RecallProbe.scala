@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
   * default.
   *
   * For each index kind (prefix = sim2b's untrained prefix quantizer,
-  * kmeans = sim3b's Lloyd-trained centroids) and each nprobe in
+  * kmeans = sim3b's Lloyd-trained centroids, ivfpq = sim4c's composed
+  * cell-bucketed PQ codes with exact re-rank) and each nprobe in
   * {1, K1/4, K1/2, K1} (K1 = √K = the default serving depth), serves
   * the NumQueries×TopK answer through the EXACT serving path the
   * graded queries use ([[graft.operators.Similarity.servedTopkAt]])
@@ -48,7 +49,7 @@ object RecallProbe {
     val k1 = Similarity.defaultNprobe(spark, src)
     val sweep = Seq(1, math.max(1, k1 / 4), math.max(1, k1 / 2), k1).distinct
     val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    for (kind <- Seq("prefix", "kmeans"); np <- sweep) {
+    for (kind <- Seq("prefix", "kmeans", "ivfpq"); np <- sweep) {
       // first serve at this (kind, np) includes any one-time landing;
       // measure the SECOND call as the warm per-query serving cost
       val warm0 = System.nanoTime()

