@@ -27,8 +27,15 @@ object StreamTwins {
 
   /** Chunks per replay: > 1 so windows span micro-batch boundaries and
     * cross-batch state restore/merge is actually exercised; bounded so
-    * per-batch runtime overhead stays O(1) in fixture size. */
-  val ReplayChunks = 4
+    * per-batch runtime overhead stays O(1) in fixture size.
+    *
+    * Overridable via `-Dgraft.replay.chunks=N` (floor 2 — a single-chunk
+    * replay would stop exercising cross-batch state, which is the whole
+    * point of the twins): [[graft.Bench]] sets 2 to reclaim the
+    * fixed per-micro-batch runtime cost (~40% of the twins' wall time),
+    * while the CORRECTNESS default stays 4. */
+  def ReplayChunks: Int =
+    math.max(2, sys.props.get("graft.replay.chunks").map(_.toInt).getOrElse(4))
 
   private def replayEvents(
       s: SparkSession, d: String, transform: DataFrame => DataFrame): DataFrame = {
@@ -94,6 +101,88 @@ object StreamTwins {
     h.results()
   }
 
+  /** Changelog envelope for the FK-join replay: side "L" = left upsert
+    * (a=pk, b=fk, sval=lval; sval null ⇒ tombstone), side "R" = right
+    * upsert (a=rk, sval=rval; sval null ⇒ right delete). `seq` is a
+    * GLOBAL feed sequence — the joined changelog folds to final state
+    * by max seq per pk. */
+  final case class FkIn(side: String, a: Long, b: Long, sval: String, seq: Long)
+
+  /** q24's table–table FK join replayed through the two-phase streaming
+    * router/joiner ([[FkJoin]] — the subscription/response topology the
+    * reference builds on internal topics), graded by q24's DuckDB
+    * oracle. The feed deliberately exercises every changelog path:
+    *
+    *  - HALF the customers arrive only AFTER all orders, so their
+    *    orders first join as rval=null and are completed by the
+    *    right-update fan-out, not the left lookup;
+    *  - a deterministic subset of orders (o_orderkey % 97 == 0) first
+    *    arrives under a DECOY custkey and is corrected chunks later —
+    *    the router's retract-old-FK / subscribe-new-FK path;
+    *  - one synthetic order (pk −999) is inserted and then tombstoned
+    *    (lval null) — its pk must not survive into the aggregate;
+    *  - one customer is deleted (rval null) and re-upserted — its
+    *    subscribers see null-join fan-out then the corrected fan-out.
+    *
+    * Grading folds the accumulated update-mode changelog to final state
+    * (max-seq row per pk; an FK change's paired retract/upsert share a
+    * seq and the upsert wins) and aggregates per nation — so
+    * CORRECTNESS fails if retraction, fan-out, tombstoning or
+    * last-write-wins ordering ever diverges from the batch join. */
+  private def replayFkJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val custs = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._1).toVector
+    val ords = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toVector
+    val nextCust: Map[Long, Long] = // a decoy fk that exists and differs
+      custs.indices.map(i => custs(i)._1 -> custs((i + 1) % custs.size)._1).toMap
+    var seq = 0L
+    def nxt(): Long = { seq += 1; seq }
+    val (earlyCusts, lateCusts) = custs.splitAt(custs.size / 2)
+    val delCust = earlyCusts.head
+    val chunk0 = earlyCusts.map(c => FkIn("R", c._1, 0L, c._2.toString, nxt())) :+
+      FkIn("L", -999L, delCust._1, "123.45", nxt()) // synthetic, tombstoned at the end
+    val decoys = ords.filter(_._1 % 97 == 0)
+      .map { case (ok, ck, tp) => FkIn("L", ok, nextCust(ck), tp.toString, nxt()) }
+    val orderRows = ords.map { case (ok, ck, tp) => FkIn("L", ok, ck, tp.toString, nxt()) }
+    val chunkSize = math.max(1, (orderRows.size + ReplayChunks - 1) / ReplayChunks)
+    val lastChunk =
+      Vector(FkIn("R", delCust._1, 0L, null, nxt())) ++ // right delete: subscribers re-join null
+        lateCusts.map(c => FkIn("R", c._1, 0L, c._2.toString, nxt())) ++
+        Vector(
+          FkIn("R", delCust._1, 0L, delCust._2.toString, nxt()), // re-upsert
+          FkIn("L", -999L, 0L, null, nxt())) // left tombstone
+    val h = TopologyTestHarness[FkIn](s, df => {
+      val ds = df.as[FkIn]
+      val left = ds.filter(_.side == "L").map(r => FkJoin.LeftRow(r.a, r.b, r.sval, r.seq))
+      val right = ds.filter(_.side == "R").map(r => FkJoin.RightRow(r.a, r.sval, r.seq))
+      FkJoin.fkJoinStream(left, right).toDF()
+    }, "update", statePartitions = Some(4))
+    try (Seq(chunk0, decoys) ++ orderRows.grouped(chunkSize).toSeq :+ lastChunk)
+      .filter(_.nonEmpty).foreach(h.pipe)
+    finally h.close()
+    val last = h.results().groupBy(col("pk"))
+      .agg(expr("max_by(struct(lval, rval, retracted), struct(seq, IF(retracted, 0, 1))) AS f"))
+      .select(col("pk"), col("f.lval").as("lval"), col("f.rval").as("rval"),
+        col("f.retracted").as("retracted"))
+      .filter(!col("retracted") && col("rval").isNotNull)
+    last.groupBy(col("rval").cast("int").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("lval").cast("double")), 2).as("total"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_orders"), col("total"))
+  }
+
+  val q24s = QueryDef(
+    "q24s_fk_join_stream",
+    (s, d) => replayFkJoin(s, d),
+    graft.operators.Relational.q24.oracle,
+    doc = "q24 replayed through the streaming FK router/joiner: oracle-grades retraction/fan-out state",
+    scalePath = false
+  )
+
   val dd3s = QueryDef(
     "dd3s_dedup_stream",
     (s, d) => replayDocs(s, d,
@@ -103,5 +192,5 @@ object StreamTwins {
     scalePath = false
   )
 
-  val all: Seq[QueryDef] = Seq(q07s, q09s, dd3s)
+  val all: Seq[QueryDef] = Seq(q07s, q09s, q24s, dd3s)
 }
