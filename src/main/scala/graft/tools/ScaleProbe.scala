@@ -134,14 +134,46 @@ object ScaleProbe {
       // random corpus has intrinsic P(cos ≥ 0.4) ≈ 5e-4, so incidental
       // pairs still grow ~quadratically in n — the knob removes the
       // PLANTED duplicates, which dominate at dup = 1.0.
+      // HARD pairs (VERDICT r11 #3): a second hash window plants copies
+      // at CONTROLLED cosine t ∈ {0.75, 0.85, 0.95} against the source —
+      // v' = t·v̂ + √(1−t²)·ŵ·|v| with w = r − (r·v/|v|²)v the
+      // orthogonalized ±1 pattern, so cos(v, v') = t exactly and |v'| =
+      // |v|. Exact copies land in the source's own cells (recall 1.0 at
+      // any depth — the round-11 curves were degenerate because ONLY
+      // those and cos≈0 rewrites existed); hard pairs sit near cell
+      // boundaries, so served recall genuinely degrades as nprobe drops
+      // and the recall/nprobe curve carries information.
+      // SPARK_GRAFT_PROBE_HARD (default 0.02) is the hard fraction.
+      val hardFrac = sys.env.get("SPARK_GRAFT_PROBE_HARD").map(_.toDouble).getOrElse(0.02)
+      val hardCut = dupCut + math.round(hardFrac * 1000)
       val emb = graft.Tables.embeddings(spark, src)
       val vStride = stride(emb, "vec_id")
       copies(emb)((d, i) =>
           (if (i == 0) d
-           else d.withColumn("embedding",
-             when(pmod(xxhash64(col("vec_id"), lit(i)), lit(1000)) < lit(dupCut), col("embedding"))
-               .otherwise(expr(
-                 s"transform(embedding, (x, j) -> IF(pmod(xxhash64(j, $i), 2) = 0, -x, x))"))))
+           else {
+             val sel = pmod(xxhash64(col("vec_id"), lit(i)), lit(1000))
+             d.withColumn("__vd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+              .withColumn("__r", expr(
+                s"transform(sequence(0, size(embedding) - 1)," +
+                  s" j -> IF(pmod(xxhash64(vec_id, $i, j), 2) = 0, 1.0D, -1.0D))"))
+              .withColumn("__vv", graft.functions.VectorExprs.dot(col("__vd"), col("__vd")))
+              .withColumn("__rv", graft.functions.VectorExprs.dot(col("__vd"), col("__r")))
+              .withColumn("__w", expr("zip_with(__r, __vd, (rj, vj) -> rj - __rv / __vv * vj)"))
+              .withColumn("__ww", greatest(
+                graft.functions.VectorExprs.dot(col("__w"), col("__w")), lit(1e-12)))
+              .withColumn("__t", element_at(
+                array(lit(0.75), lit(0.85), lit(0.95)),
+                (pmod(xxhash64(col("vec_id"), lit(i), lit(7)), lit(3)) + 1).cast("int")))
+              .withColumn("embedding",
+                when(sel < lit(dupCut), col("embedding"))
+                  .when(sel < lit(hardCut), expr(
+                    "transform(zip_with(__vd, __w, (vj, wj) ->" +
+                      " __t * vj + sqrt(1.0D - __t * __t) * sqrt(__vv / __ww) * wj)," +
+                      " x -> CAST(x AS FLOAT))"))
+                  .otherwise(expr(
+                    s"transform(embedding, (x, j) -> IF(pmod(xxhash64(j, $i), 2) = 0, -x, x))")))
+              .drop("__vd", "__r", "__vv", "__rv", "__w", "__ww", "__t")
+           })
             .withColumn("vec_id", col("vec_id") + lit(i * vStride)))
         .write.mode("overwrite").parquet(s"$Out/embeddings.parquet")
       for (t <- Seq("customer", "nation", "region", "supplier", "part"))
