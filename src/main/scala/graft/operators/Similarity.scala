@@ -275,8 +275,8 @@ object Similarity {
       s: SparkSession, d: String,
       coarse: Array[Anchor],
       fineFetch: Seq[Long] => Array[(Long, Anchor)],
-      nprobe: Int): Array[(Long, Long)] = {
-    val qs = queryVecs(s, d)
+      nprobe: Int,
+      qs: Array[Anchor]): Array[(Long, Long)] = {
     val probedCids = qs.map(q =>
       q.id -> topAnchors(q.v, q.nrm, coarse, Dedup.Dd7CoarseProbes).map(_.id))
     val fineByCid = fineFetch(probedCids.flatMap(_._2).distinct.toSeq)
@@ -307,13 +307,15 @@ object Similarity {
     * through an extra exchange). */
   private def serveTopk(
       s: SparkSession, d: String, idx: DataFrame,
-      probeRows: Array[(Long, Long)]): DataFrame = {
-    val e = normed(s, d)
+      probeRows: Array[(Long, Long)],
+      qs: Array[Anchor]): DataFrame = {
     val cellIds = probeRows.map(_._2).distinct.toSeq
     import s.implicits._
     val probes = probeRows.toSeq.toDF("qid", "cell")
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    // the query batch broadcasts from the driver-resident anchors —
+    // collected from the same normed frame for the graded queries
+    // (identical doubles), arbitrary caller vectors for searchTopk
+    val q = qs.toSeq.map(a => (a.id, a.v, a.nrm)).toDF("qid", "qv", "qn")
     val scored = idx.filter(col("cell").isin(cellIds: _*))
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
@@ -350,8 +352,8 @@ object Similarity {
       // probes rank driver-locally (resident √K coarse; one bounded
       // fine-anchor fetch); identical ranking to the distributed form
       val probes = localProbes(s, d, coarsePrefixLocal(s, d), prefixFineFetch(s, d),
-        math.max(NProbe.toLong, k1).toInt)
-      serveTopk(s, d, servedIndex(s, d), probes)
+        math.max(NProbe.toLong, k1).toInt, queryVecs(s, d))
+      serveTopk(s, d, servedIndex(s, d), probes, queryVecs(s, d))
     },
     sim2.oracle, // identical assignment + scoring by construction
     doc = "sim2 served from the persisted cell-bucketed index: probed-cells-only scan"
@@ -562,8 +564,8 @@ object Similarity {
       val (coarse, fineTagged, k1) = kmLocal(s, d)
       val probes = localProbes(s, d, coarse,
         cids => { val want = cids.toSet; fineTagged.filter(t => want(t._1)) },
-        math.max(NProbe, k1))
-      recallGate(s, d, serveTopk(s, d, kmServedIndex(s, d), probes))
+        math.max(NProbe, k1), queryVecs(s, d))
+      recallGate(s, d, serveTopk(s, d, kmServedIndex(s, d), probes, queryVecs(s, d)))
     },
     sim3.oracle,
     doc = "sim3 served from the persisted k-means cell-bucketed index: probed-cells-only scan"
@@ -632,10 +634,11 @@ object Similarity {
     * PQ serving tail shared by sim4/sim4b (global ADC) and sim4c
     * (cell-pruned ADC). The shortlist broadcasts (ReRankFactor·k rows
     * per query), so the corpus never shuffles for the vector fetch. */
-  private def pqRerank(s: SparkSession, d: String, cands: DataFrame): DataFrame = {
+  private def pqRerank(
+      s: SparkSession, d: String, cands: DataFrame, qs: Array[Anchor]): DataFrame = {
     val e = normed(s, d)
-    val q = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    import s.implicits._
+    val q = qs.toSeq.map(a => (a.id, a.v, a.nrm)).toDF("qid", "qv", "qn")
     val reranked = broadcast(cands)
       .join(e, Seq("vec_id"))
       .join(broadcast(q), Seq("qid"))
@@ -671,7 +674,7 @@ object Similarity {
     val cands = approx.groupBy(col("qid"))
       .agg(graft.functions.SketchAggs.topk(col("apx"), col("vec_id"), candK).as("top"))
       .select(col("qid"), explode(col("top.id")).as("vec_id"))
-    recallGate(s, d, pqRerank(s, d, cands))
+    recallGate(s, d, pqRerank(s, d, cands, queryVecs(s, d)))
   }
 
   val sim4 = QueryDef(
@@ -744,9 +747,10 @@ object Similarity {
     * centroid cid). Same ascending-loop arithmetic as the distributed
     * pqSubs/dot path, so ADC scores match sim4's bit-for-bit; zero
     * distributed jobs where sim4's table build runs an explode + join. */
-  private def adcTables(s: SparkSession, d: String): Seq[(Long, Array[Double])] = {
+  private def adcTables(
+      s: SparkSession, d: String, qs: Array[Anchor]): Seq[(Long, Array[Double])] = {
     val books = pqCodebooks(s, d)
-    queryVecs(s, d).toSeq.map { qv =>
+    qs.toSeq.map { qv =>
       val u = qv.v.map(_ / qv.nrm)
       val tab = new Array[Double](PqM * PqK)
       books.foreach { case (m, cid, cv) =>
@@ -767,12 +771,13 @@ object Similarity {
     * sketch (id-deduped — a multi-assigned vector scores identically in
     * every shared cell). ONE scan of probed cells + ONE k-pair-per-
     * partition exchange per query batch. */
-  private def ivfPqCands(s: SparkSession, d: String, nprobe: Int): DataFrame = {
-    val probes = localProbes(s, d, coarsePrefixLocal(s, d), prefixFineFetch(s, d), nprobe)
+  private def ivfPqCands(
+      s: SparkSession, d: String, nprobe: Int, qs: Array[Anchor]): DataFrame = {
+    val probes = localProbes(s, d, coarsePrefixLocal(s, d), prefixFineFetch(s, d), nprobe, qs)
     val cellIds = probes.map(_._2).distinct.toSeq
     import s.implicits._
     val probesDf = probes.toSeq.toDF("qid", "cell")
-    val tabs = adcTables(s, d).toDF("qid", "tab")
+    val tabs = adcTables(s, d, qs).toDF("qid", "tab")
     val candK = ReRankFactor * TopK
     val scored = ivfPqIndex(s, d).filter(col("cell").isin(cellIds: _*))
       .join(broadcast(probesDf), Seq("cell"))
@@ -795,7 +800,8 @@ object Similarity {
     (s, d) => {
       val k1 = Dedup.dd7CoarseCount(Dedup.dd7AnchorCount(corpusN(s, d)))
       recallGate(s, d, pqRerank(s, d,
-        ivfPqCands(s, d, math.max(NProbe.toLong, k1).toInt)))
+        ivfPqCands(s, d, math.max(NProbe.toLong, k1).toInt, queryVecs(s, d)),
+        queryVecs(s, d)))
     },
     sim4.oracle,
     doc = "composed IVF+PQ: probed-cells-only ADC over the landed cell-bucketed code table; recall-gated vs sim1"
@@ -810,18 +816,56 @@ object Similarity {
     * queries, so the measured recall is the recall of what ships, not
     * of a parallel implementation. */
   private[graft] def servedTopkAt(
-      s: SparkSession, d: String, kind: String, nprobe: Int): DataFrame = kind match {
+      s: SparkSession, d: String, kind: String, nprobe: Int): DataFrame =
+    searchAnchors(s, d, kind, nprobe, queryVecs(s, d))
+
+  /** The serving dispatch shared by the graded queries (queryVecs) and
+    * [[searchTopk]] (arbitrary caller vectors). */
+  private def searchAnchors(
+      s: SparkSession, d: String, kind: String, nprobe: Int,
+      qs: Array[Anchor]): DataFrame = kind match {
     case "prefix" =>
-      val probes = localProbes(s, d, coarsePrefixLocal(s, d), prefixFineFetch(s, d), nprobe)
-      serveTopk(s, d, servedIndex(s, d), probes)
+      val probes = localProbes(s, d, coarsePrefixLocal(s, d), prefixFineFetch(s, d), nprobe, qs)
+      serveTopk(s, d, servedIndex(s, d), probes, qs)
     case "kmeans" =>
       val (coarse, fineTagged, _) = kmLocal(s, d)
       val probes = localProbes(s, d, coarse,
-        cids => { val want = cids.toSet; fineTagged.filter(t => want(t._1)) }, nprobe)
-      serveTopk(s, d, kmServedIndex(s, d), probes)
+        cids => { val want = cids.toSet; fineTagged.filter(t => want(t._1)) }, nprobe, qs)
+      serveTopk(s, d, kmServedIndex(s, d), probes, qs)
     case "ivfpq" =>
-      pqRerank(s, d, ivfPqCands(s, d, nprobe))
+      pqRerank(s, d, ivfPqCands(s, d, nprobe, qs), qs)
     case other => throw new IllegalArgumentException(s"unknown index kind: $other")
+  }
+
+  /** PUBLIC ANN search for ARBITRARY query vectors — the online-serving
+    * surface (a real query is near, not in, the index): rank each
+    * vector's probes against the driver-resident quantizer, then serve
+    * top-[[TopK]] from the landed index of `kind` ("prefix" | "kmeans"
+    * | "ivfpq") exactly as the graded queries are served. Query ids
+    * must not collide with corpus vec_ids if the caller wants the
+    * self-pair filter to stay inert (negative ids are safe). Cost per
+    * batch: |queries|·√K driver cosines + one probed-cells-only scan. */
+  def searchTopk(
+      s: SparkSession, d: String, kind: String,
+      queries: Seq[(Long, Array[Double])],
+      nprobe: Int = 0): DataFrame = {
+    val qs = queries.map { case (id, v) => Anchor(id, v, math.sqrt(dotA(v, v))) }.toArray
+    val np = if (nprobe > 0) nprobe else defaultNprobe(s, d)
+    searchAnchors(s, d, kind, np, qs)
+  }
+
+  /** Exact brute-force top-[[TopK]] for ARBITRARY query vectors (the
+    * ground truth [[searchTopk]] is measured against): one corpus scan
+    * with the query batch broadcast — the sim1 plan shape. */
+  def exactTopkFor(
+      s: SparkSession, d: String, queries: Seq[(Long, Array[Double])]): DataFrame = {
+    val e = normed(s, d)
+    import s.implicits._
+    val q = queries.map { case (id, v) => (id, v, math.sqrt(dotA(v, v))) }
+      .toDF("qid", "qv", "qn")
+    topkPerQid(
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cos", VectorExprs.dot(col("v"), col("qv")) / (col("nrm") * col("qn"))))
   }
 
   /** (qid, neighbor_id) of the exact brute-force answer (memoized). */

@@ -65,10 +65,56 @@ object RecallProbe {
         f"serve=$sec%6.2f s (first call $landSec%.2f s incl. landing)")
     }
 
+    // ---- OUT-OF-SAMPLE sweep (round 12): the in-corpus curves above
+    // are structurally near-1.0 for the prefix quantizer — a corpus
+    // vector IS an anchor, so anything whose best anchor isn't the
+    // query sits below the background top-k cut and everything in the
+    // exact answer co-cells with the query. Real online queries are
+    // NEAR the index, not in it: rotate each graded query vector to a
+    // controlled cosine (deterministic plane) and serve it through the
+    // public searchTopk API — recall then genuinely depends on probing
+    // depth, which is the trade-off this artifact exists to map.
+    def perturb(id: Long, v: Array[Double], t: Double): Array[Double] = {
+      val rnd = new java.util.SplittableRandom(id * 7919 + 17)
+      val r = Array.fill(v.length)(if (rnd.nextBoolean()) 1.0 else -1.0)
+      val vv = v.map(x => x * x).sum
+      val rv = r.indices.map(i => r(i) * v(i)).sum
+      val w = r.indices.map(i => r(i) - rv / vv * v(i)).toArray
+      val ww = math.max(w.map(x => x * x).sum, 1e-12)
+      val sc = math.sqrt(1 - t * t) * math.sqrt(vv / ww)
+      v.indices.map(i => t * v(i) + sc * w(i)).toArray
+    }
+    import org.apache.spark.sql.functions.col
+    val rawQs = spark.read.parquet(s"$src/embeddings.parquet")
+      .filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // three perturbation strengths per query, negative ids (no corpus
+    // collision): query j at cos t_j, t cycling {0.95, 0.85, 0.75}
+    val ts = Array(0.95, 0.85, 0.75)
+    val oosQs = rawQs.map { case (id, v) =>
+      (-(id + 1), perturb(id, v, ts((id % 3).toInt)))
+    }.toSeq
+    val oosExact = Similarity.exactTopkFor(spark, src, oosQs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val oosResults = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    for (kind <- Seq("prefix", "kmeans", "ivfpq"); np <- sweep) {
+      Similarity.searchTopk(spark, src, kind, oosQs, np).count() // warm
+      val t1 = System.nanoTime()
+      val got = Similarity.searchTopk(spark, src, kind, oosQs, np).collect()
+        .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("neighbor_id")))).toSet
+      val sec = (System.nanoTime() - t1) / 1e9
+      val recall = (oosExact & got).size.toDouble / oosExact.size
+      oosResults(s"$kind@$np") = (recall, sec)
+      println(f"RECALL-OOS $kind%-7s nprobe=$np%3d recall@k=$recall%.3f serve=$sec%6.2f s")
+    }
+
     val json = results.map { case (k, (r, s)) =>
       f""""$k":{"recall":$r%.4f,"sec":$s%.2f}""" }.mkString(",")
+    val oosJson = oosResults.map { case (k, (r, s)) =>
+      f""""$k":{"recall":$r%.4f,"sec":$s%.2f}""" }.mkString(",")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/recall.json"),
-      f"""{"src":"$src","k1":$k1,"exact_sec":$exactSec%.1f,"curve":{$json}}%n""")
+      f"""{"src":"$src","k1":$k1,"exact_sec":$exactSec%.1f,"curve":{$json},"oos_curve":{$oosJson}}%n""")
     println(s"RECALL artifact $outDir/recall.json")
     spark.stop()
   }

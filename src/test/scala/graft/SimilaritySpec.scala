@@ -77,6 +77,24 @@ class SimilaritySpec extends SparkSpecBase {
       s"expected full top-k per query, got ${served.length} rows")
   }
 
+  test("searchTopk serves arbitrary out-of-corpus query vectors from every index kind") {
+    import org.apache.spark.sql.functions.col
+    val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    val q = Seq((-42L, v)) // an "online" query: byte-equal to corpus vec 7, foreign id
+    val exact = graft.operators.Similarity.exactTopkFor(spark, sfDir, q)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(exact.head == 7L, s"exact top-1 should be the identical corpus vector, got $exact")
+    for (kind <- Seq("prefix", "kmeans", "ivfpq")) {
+      val got = graft.operators.Similarity.searchTopk(spark, sfDir, kind, q)
+        .orderBy("rank").collect().map(_.getLong(2)).toSeq
+      assert(got.size == graft.operators.Similarity.TopK, s"$kind returned ${got.size} rows")
+      assert(got.head == 7L, s"$kind top-1 = ${got.head}, want 7")
+    }
+  }
+
   test("LSH and SimHash dedup find exactly the exhaustive-Jaccard pairs") {
     def pairs(name: String): Set[(Long, Long)] =
       SparkEntry.queries(name)(spark, sfDir)
