@@ -152,6 +152,7 @@ object IngestProbe {
         fileStream("embeddings").select(col("vec_id"), col("embedding")), store,
         maxBucket = maxBucket.getOrElse(Int.MaxValue)))
     }
+    locally { java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir)); () }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/ingest.json"),
       s"""{"src":"$src","max_bucket":${maxBucket.map(_.toString).getOrElse("\"default\"")},""" +
         s"""${parts.mkString(",")}}\n""")

@@ -113,6 +113,7 @@ object RecallProbe {
       f""""$k":{"recall":$r%.4f,"sec":$s%.2f}""" }.mkString(",")
     val oosJson = oosResults.map { case (k, (r, s)) =>
       f""""$k":{"recall":$r%.4f,"sec":$s%.2f}""" }.mkString(",")
+    locally { java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir)); () }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/recall.json"),
       f"""{"src":"$src","k1":$k1,"exact_sec":$exactSec%.1f,"curve":{$json},"oos_curve":{$oosJson}}%n""")
     println(s"RECALL artifact $outDir/recall.json")

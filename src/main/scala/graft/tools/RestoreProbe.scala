@@ -157,6 +157,7 @@ object RestoreProbe {
       parts += s""""parity":{"pairs":$gn,"reference_pairs":$wn,"symmetric_diff":$diff,"match":${diff == 0 && gn == wn}}"""
       rm(new java.io.File(refCkpt))
     }
+    locally { java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir)); () }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/restore.json"),
       s"""{"src":"$src","stop_after":$stopAfter,"max_bucket":$maxBucket,${parts.mkString(",")}}\n""")
     println(s"RESTORE artifact $outDir/restore.json")
