@@ -60,15 +60,20 @@ object Bench {
     val raw = results.map { case (k, _, p1, p2) => s"\"" + k + "\":[" + p1 + "," + p2 + "]" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // The effective replay profile goes into BOTH artifact lines
+    // (ADVICE r12): benched streaming twins run at this chunk count
+    // while CORRECTNESS grades the 4-chunk default — without the value
+    // recorded, runs at different chunk settings are indistinguishable.
+    val chunks = sys.props.getOrElse("graft.replay.chunks", "4")
     // Verbose line first (full names + raw passes) for local use / logs…
-    println(s"""{"metric":"total_verbose","value":$total,"unit":"sec","queries":$qs,"raw_passes":$raw,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_verbose","value":$total,"unit":"sec","replay_chunks":$chunks,"queries":$qs,"raw_passes":$raw,"sf":"$sfDir"}""")
     // …then the LAST line is the compact artifact: short keys, 3-decimal
     // seconds, ~1.2 KB — fits whole inside the driver's tail capture so
     // every round's BENCH artifact is self-contained.
     val short = shortNames(results.map(_._1))
     val sq = results.map { case (k, v, _, _) => f""""${short(k)}":$v%.3f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","short_names":true,"queries":$sq,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","short_names":true,"replay_chunks":$chunks,"queries":$sq,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -333,10 +333,13 @@ object Lakehouse {
   /** `df` (rows of `table`, carrying a bigint `seq` column) with
     * tombstoned rows masked out: a row is live iff its seq is >= every
     * tombstone seq recorded for its id. The tombstone set is bounded by
-    * deletes-since-last-compaction (pure inserts write none), so the
-    * broadcast stays small under any sane compaction cadence; the mask
-    * disappears entirely (df returned as-is) when no deletes are
-    * pending. */
+    * deletes + re-upserts of EXISTING ids since the last compaction —
+    * [[graft.streaming.IndexIngest.maintainPrefixIndex]] existence-
+    * filters its tombstones (ADVICE r12), so first-time inserts write
+    * none and the broadcast(tmax) cannot grow with total appended rows
+    * on an insert-heavy stream. It still grows with update/delete
+    * volume, so a compaction cadence bounds it; the mask disappears
+    * entirely (df returned as-is) when no tombstones are pending. */
   private[graft] def maskTombstones(
       s: SparkSession, table: String, df: DataFrame, idCol: String): DataFrame =
     tombstones(s, table) match {
@@ -351,18 +354,36 @@ object Lakehouse {
 
   /** Maintenance commit log: (last applied streaming batchId, max issued
     * seq). Lives as `_graft_commits` beside the landing marker, so a
-    * re-land resets it and [[compactSwap]] carries it across swaps. */
-  private[graft] def readCommits(s: SparkSession, table: String): (Long, Long) = {
+    * re-land resets it and [[compactSwap]] carries it across swaps.
+    *
+    * `identity` names the STREAM whose batchId counter the record
+    * belongs to (ADVICE r12: batchIds are checkpoint-scoped — a
+    * maintenance stream restarted with a NEW checkpoint dir restarts at
+    * batchId 0, and skipping its first `lastBatch+1` batches against a
+    * previous stream's counter is silent data loss, not idempotence).
+    * The returned lastBatch is −1 unless the stored identity matches,
+    * so a new stream identity never skips; maxSeq is identity-FREE —
+    * the version counter must stay monotone across stream restarts or
+    * old tombstones would un-mask newer rows. */
+  private[graft] def readCommits(
+      s: SparkSession, table: String, identity: String = ""): (Long, Long) = {
     val f = new java.io.File(warehouseLoc(s, table), "_graft_commits")
     if (!f.isFile) (-1L, 0L)
     else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      .split("\n") match { case Array(b, q, _*) => (b.toLong, q.toLong); case _ => (-1L, 0L) }
+      .split("\n") match {
+        case Array(b, q, id, _*) =>
+          (if (id == identity) b.toLong else -1L, q.toLong)
+        case Array(b, q) => (if (identity.isEmpty) b.toLong else -1L, q.toLong)
+        case _ => (-1L, 0L)
+      }
   }
 
-  private[graft] def writeCommits(s: SparkSession, table: String, batchId: Long, seq: Long): Unit = {
+  private[graft] def writeCommits(
+      s: SparkSession, table: String, batchId: Long, seq: Long,
+      identity: String = ""): Unit = {
     java.nio.file.Files.write(
       new java.io.File(warehouseLoc(s, table), "_graft_commits").toPath,
-      s"$batchId\n$seq".getBytes("UTF-8"))
+      s"$batchId\n$seq\n$identity".getBytes("UTF-8"))
     ()
   }
 

@@ -86,8 +86,11 @@ object IndexIngest {
     *
     * Idempotence (ADVICE r11): with `checkpointDir` set, each applied
     * micro-batch records its batchId in the table's `_graft_commits`
-    * log, and a replayed batch (restart re-runs the last uncommitted
-    * one) is SKIPPED instead of double-appended. The append and the
+    * log UNDER THIS STREAM'S IDENTITY (the checkpoint path hash —
+    * ADVICE r12), and a replayed batch (the SAME checkpoint re-runs
+    * the last uncommitted one) is SKIPPED instead of double-appended;
+    * a stream restarted under a different checkpoint restarts its
+    * batchId counter and is never skipped against the old one. The append and the
     * commit record are two writes, not one transaction — a crash
     * landing exactly between them re-appends one batch on restart;
     * served top-k is immune (topkDistinct dedups ids) and
@@ -110,9 +113,20 @@ object IndexIngest {
     val ci = EmbedDedupStream.collectCoarse(
       corpus.select(col("vec_id"), col("v").as("embedding")))
     val cells = EmbedDedupStream.fineCells(corpus, ci).cache()
+    // the commit log's batchId counter is scoped to THIS stream's
+    // checkpoint (ADVICE r12): a restart under a new checkpoint dir
+    // restarts batchIds at 0, and skipping those against a previous
+    // stream's counter would silently drop its first batches. The
+    // checkpoint path IS the stream identity — same path ⇒ same
+    // batchId sequence ⇒ skip is a true replay; any other identity
+    // reads lastBatch = −1 and never skips.
+    val identity = checkpointDir.fold("") { cp =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(cp.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    }
     val w = vecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (lastBatch, maxSeq) = graft.sources.Lakehouse.readCommits(s, table)
+        val (lastBatch, maxSeq) = graft.sources.Lakehouse.readCommits(s, table, identity)
         if (checkpointDir.isDefined && batchId <= lastBatch) {
           // replayed after restart: already applied — skip (idempotence)
         } else {
@@ -121,14 +135,24 @@ object IndexIngest {
           val ups = batch.filter(col("embedding").isNotNull)
           // tombstone first, then append with the same seq: if the batch
           // re-runs after a crash here, the replayed tombstones are
-          // byte-equal (same seq) and mask nothing extra
-          if (upserts || !dels.isEmpty) {
-            val ids = if (upserts) batch.select(col("vec_id")) else dels
+          // byte-equal (same seq) and mask nothing extra.
+          // Only ids ALREADY IN the table need a tombstone (ADVICE r12:
+          // tombstoning every upsert id made the sidecar — and the
+          // read-side broadcast(tmax) — grow with TOTAL appended rows on
+          // insert-heavy streams; a first-time insert has no older
+          // version to mask). The existence probe is a broadcast
+          // semi-join of the micro-batch's ids against one id column of
+          // the table — batch side broadcasts, table side scans ids
+          // only.
+          val batchIds = (if (upserts) batch.select(col("vec_id")) else dels).distinct()
+          val existing = s.table(table).select(col("vec_id"))
+            .join(broadcast(batchIds), Seq("vec_id"), "left_semi").distinct()
+          if (!existing.isEmpty) {
             graft.sources.Lakehouse.appendTombstones(s, table,
-              ids.select(col("vec_id").as("id"), lit(seq).as("seq")))
+              existing.select(col("vec_id").as("id"), lit(seq).as("seq")))
           }
           graft.sources.Lakehouse.appendBucketed(assignBatch(ups, ci, cells, seq), table)
-          graft.sources.Lakehouse.writeCommits(s, table, batchId, seq)
+          graft.sources.Lakehouse.writeCommits(s, table, batchId, seq, identity)
         }
         // the insert runs in the micro-batch's CLONED session; its
         // refresh does not touch the serving session's relation cache,

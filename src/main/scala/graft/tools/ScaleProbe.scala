@@ -144,8 +144,19 @@ object ScaleProbe {
       // boundaries, so served recall genuinely degrades as nprobe drops
       // and the recall/nprobe curve carries information.
       // SPARK_GRAFT_PROBE_HARD (default 0.02) is the hard fraction.
+      // The hard band sits ABOVE the dup band; when dup+hard would
+      // overflow the hash range the DUP band yields (ADVICE r12: the
+      // old `dupCut + hard` layout silently truncated the hard band —
+      // at the dupFrac=1.0 default sel<dupCut always won and
+      // SPARK_GRAFT_PROBE_HARD was ignored entirely). Effective plant
+      // fractions are logged so an artifact's provenance is explicit.
       val hardFrac = sys.env.get("SPARK_GRAFT_PROBE_HARD").map(_.toDouble).getOrElse(0.02)
-      val hardCut = dupCut + math.round(hardFrac * 1000)
+      require(hardFrac >= 0.0 && hardFrac <= 1.0, s"SPARK_GRAFT_PROBE_HARD=$hardFrac out of [0,1]")
+      val hardCnt = math.round(hardFrac * 1000)
+      val dupCutEmb = math.min(dupCut, 1000L - hardCnt)
+      val hardCut = dupCutEmb + hardCnt
+      println(s"PROBE plant (per-1000, embeddings): dup=$dupCutEmb hard=$hardCnt " +
+        s"novel=${1000 - hardCut}")
       val emb = graft.Tables.embeddings(spark, src)
       val vStride = stride(emb, "vec_id")
       copies(emb)((d, i) =>
@@ -165,7 +176,7 @@ object ScaleProbe {
                 array(lit(0.75), lit(0.85), lit(0.95)),
                 (pmod(xxhash64(col("vec_id"), lit(i), lit(7)), lit(3)) + 1).cast("int")))
               .withColumn("embedding",
-                when(sel < lit(dupCut), col("embedding"))
+                when(sel < lit(dupCutEmb), col("embedding"))
                   .when(sel < lit(hardCut), expr(
                     "transform(zip_with(__vd, __w, (vj, wj) ->" +
                       " __t * vj + sqrt(1.0D - __t * __t) * sqrt(__vv / __ww) * wj)," +

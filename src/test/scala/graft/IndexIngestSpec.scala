@@ -169,15 +169,22 @@ class IndexIngestSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(servedAfter == servedBefore)
   }
 
+  /** The stream identity maintainPrefixIndex derives for a checkpoint
+    * path — kept in lockstep with the implementation (MD5/8). */
+  private def streamIdentity(ckpt: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(ckpt.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   test("checkpointed maintenance skips replayed batchIds (idempotent appends)") {
     import spark.implicits._
     val tbl = Similarity.prefixIndexTable(spark, corpusDir)
     val before = spark.table(tbl).count()
     val (lastBatch, maxSeq) = graft.sources.Lakehouse.readCommits(spark, tbl)
-    // pretend batches up to 10 were already applied: a checkpointed
-    // stream re-delivering batchIds 0..N≤10 must append NOTHING
-    graft.sources.Lakehouse.writeCommits(spark, tbl, 10L, maxSeq)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-idx-ckpt").toString
+    // pretend THIS stream (same checkpoint ⇒ same identity) already
+    // applied batches up to 10: re-delivered batchIds 0..N≤10 must
+    // append NOTHING
+    graft.sources.Lakehouse.writeCommits(spark, tbl, 10L, maxSeq, streamIdentity(ckpt))
     val emb2 = spark.read.parquet(s"$corpusDir/embeddings.parquet")
       .filter(col("vec_id") === 2)
       .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
@@ -192,5 +199,62 @@ class IndexIngestSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(spark.table(tbl).count() == before, "replayed batch must not double-append")
     // restore the real commit record so later tests see a sane counter
     graft.sources.Lakehouse.writeCommits(spark, tbl, lastBatch, maxSeq)
+  }
+
+  test("a NEW checkpoint's batch 0 is NOT treated as a replay (ADVICE r12: no silent skip)") {
+    import spark.implicits._
+    val tbl = Similarity.prefixIndexTable(spark, corpusDir)
+    val before = spark.table(tbl).count()
+    val (lastBatch, maxSeq) = graft.sources.Lakehouse.readCommits(spark, tbl)
+    // a PREVIOUS stream's counter sits at batchId 10; a restart under a
+    // FRESH checkpoint dir restarts batchIds at 0 — those are new
+    // batches, and skipping them against the old counter is data loss
+    graft.sources.Lakehouse.writeCommits(spark, tbl, 10L, maxSeq, streamIdentity("/some/old/ckpt"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-idx-ckpt2").toString
+    val emb2 = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .filter(col("vec_id") === 2)
+      .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.IndexIngest.maintainPrefixIndex(
+      src.toDF().toDF("vec_id", "embedding"), corpusDir, checkpointDir = Some(ckpt))
+    try {
+      src.addData(Seq((920000L, emb2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table(tbl).filter(col("vec_id") === 920000L).count() > 0,
+      "a fresh stream's first batch must be applied, not skipped as a replay")
+    assert(spark.table(tbl).count() > before)
+    graft.sources.Lakehouse.writeCommits(spark, tbl, lastBatch, maxSeq)
+  }
+
+  test("insert-only maintenance writes NO tombstones (bounded sidecar — ADVICE r12)") {
+    import spark.implicits._
+    val tbl = Similarity.prefixIndexTable(spark, corpusDir)
+    assert(graft.sources.Lakehouse.tombstones(spark, tbl).isEmpty,
+      "precondition: no tombstones pending before the insert-only stream")
+    val emb2 = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .filter(col("vec_id") === 2)
+      .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.IndexIngest.maintainPrefixIndex(
+      src.toDF().toDF("vec_id", "embedding"), corpusDir)
+    try {
+      // brand-new ids with upserts=true (the default): none exist in the
+      // table, so no version needs masking and no tombstone may be
+      // written — the sidecar must not grow with insert volume
+      src.addData(Seq((930000L, emb2), (930001L, emb2)))
+      q.processAllAvailable()
+      assert(graft.sources.Lakehouse.tombstones(spark, tbl).isEmpty,
+        "first-time inserts must not tombstone")
+      // a RE-upsert of one of them IS an update: exactly that id gets a
+      // tombstone, masking its older rows
+      src.addData(Seq((930000L, emb2)))
+      q.processAllAvailable()
+      val t = graft.sources.Lakehouse.tombstones(spark, tbl)
+      assert(t.isDefined && t.get.select("id").distinct().collect().map(_.getLong(0)).toSet
+        == Set(930000L), "re-upsert must tombstone exactly the existing id")
+    } finally q.stop()
   }
 }
