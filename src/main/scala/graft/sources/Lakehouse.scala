@@ -307,6 +307,13 @@ object Lakehouse {
   // physically dropped at compaction — the LSM delete marker pattern.
   // ------------------------------------------------------------------
 
+  /** Whether `table` has been LANDED in this warehouse (marker file on
+    * disk), independent of whether this session has registered it yet.
+    * The cheap existence probe maintenance uses to decide which index
+    * landings to extend — it must never trigger a landing itself. */
+  private[graft] def isLanded(s: SparkSession, table: String): Boolean =
+    new java.io.File(warehouseLoc(s, table), "_graft_meta").isFile
+
   /** Tombstone sidecar location for a maintained table (plain parquet
     * dir — no catalog entry, so it needs no cross-JVM re-registration). */
   private def tombsDir(s: SparkSession, table: String): java.io.File =

@@ -79,8 +79,13 @@ object IndexIngest {
   /** Start the maintenance stream: `vecs` (a streaming DataFrame of
     * (vec_id, embedding); embedding NULL ⇒ delete) → frozen-quantizer
     * assignment → bucketed append into `corpusDir`'s landed prefix
-    * index (landed first if absent). Returns the running query; each
-    * committed micro-batch is immediately visible to
+    * index (landed first if absent). Sibling index kinds that are
+    * ALREADY LANDED (kmeans cells, composed IVF+PQ codes) receive the
+    * same appends — frozen trained-quantizer assignment / frozen-
+    * codebook encode — and the same tombstones, so every serving kind
+    * stays fresh (ADVICE r12); a kind landed later catches up at
+    * landing time instead. Returns the running query; each committed
+    * micro-batch is immediately visible to
     * [[graft.operators.Similarity]]'s served queries (`insertInto`
     * refreshes the catalog relation).
     *
@@ -144,15 +149,54 @@ object IndexIngest {
           // semi-join of the micro-batch's ids against one id column of
           // the table — batch side broadcasts, table side scans ids
           // only.
+          // sibling index kinds already landed for this corpus receive
+          // the SAME maintenance (ADVICE r12: kmeans/ivfpq used to
+          // serve stale corpus-only snapshots): frozen-quantizer
+          // assignment for km, frozen-codebook encode for ivfpq, and
+          // the same tombstones. A kind landed LATER instead catches up
+          // at landing time from the prefix table.
+          val kmT = graft.operators.Similarity.kmIndexTableIfLanded(s, corpusDir)
+          val pqT = graft.operators.Similarity.ivfPqTableIfLanded(s, corpusDir)
           val batchIds = (if (upserts) batch.select(col("vec_id")) else dels).distinct()
+          // cached: the existence semi-join scans the table once, not
+          // once per sidecar write
           val existing = s.table(table).select(col("vec_id"))
             .join(broadcast(batchIds), Seq("vec_id"), "left_semi").distinct()
-          if (!existing.isEmpty) {
-            graft.sources.Lakehouse.appendTombstones(s, table,
-              existing.select(col("vec_id").as("id"), lit(seq).as("seq")))
+            .persist()
+          try {
+            if (!existing.isEmpty) {
+              val trows = existing.select(col("vec_id").as("id"), lit(seq).as("seq"))
+              graft.sources.Lakehouse.appendTombstones(s, table, trows)
+              kmT.foreach(graft.sources.Lakehouse.appendTombstones(s, _, trows))
+              pqT.foreach(graft.sources.Lakehouse.appendTombstones(s, _, trows))
+            }
+          } finally { existing.unpersist(); () }
+          val assigned = assignBatch(ups, ci, cells, seq)
+          graft.sources.Lakehouse.appendBucketed(assigned, table)
+          if (kmT.isDefined || pqT.isDefined) {
+            // the batch's normalized vectors, same expressions as
+            // assignBatch — identical doubles everywhere
+            val e = ups
+              .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+              .withColumn("nrm", sqrt(graft.functions.VectorExprs.dot(col("v"), col("v"))))
+            kmT.foreach { t =>
+              graft.sources.Lakehouse.appendBucketed(
+                graft.operators.Similarity.kmAssignFrame(s, corpusDir, e)
+                  .join(e, Seq("vec_id"))
+                  .select(col("cell"), col("vec_id"), col("v"), col("nrm"), lit(seq).as("seq")),
+                t)
+            }
+            pqT.foreach { t =>
+              graft.sources.Lakehouse.appendBucketed(
+                assigned.select(col("cell"), col("vec_id"), col("seq"))
+                  .join(graft.operators.Similarity.pqCodeArrays(s, corpusDir, e), Seq("vec_id"))
+                  .select(col("cell"), col("vec_id"), col("codes"), col("seq")),
+                t)
+            }
           }
-          graft.sources.Lakehouse.appendBucketed(assignBatch(ups, ci, cells, seq), table)
           graft.sources.Lakehouse.writeCommits(s, table, batchId, seq, identity)
+          kmT.foreach(s.catalog.refreshTable)
+          pqT.foreach(s.catalog.refreshTable)
         }
         // the insert runs in the micro-batch's CLONED session; its
         // refresh does not touch the serving session's relation cache,

@@ -20,7 +20,12 @@ class IndexIngestSpec extends SparkSpecBase with BeforeAndAfterAll {
 
   override protected def afterAll(): Unit =
     try {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(corpusDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
       spark.sql(s"DROP TABLE IF EXISTS `${Similarity.prefixIndexTable(spark, corpusDir)}`")
+      spark.sql(s"DROP TABLE IF EXISTS `graft_ann_km_index_$sfx`")
+      spark.sql(s"DROP TABLE IF EXISTS `graft_ann_ivfpq_$sfx`")
+      spark.sql(s"DROP TABLE IF EXISTS `graft_ann_fine_$sfx`")
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete()
@@ -255,6 +260,55 @@ class IndexIngestSpec extends SparkSpecBase with BeforeAndAfterAll {
       val t = graft.sources.Lakehouse.tombstones(spark, tbl)
       assert(t.isDefined && t.get.select("id").distinct().collect().map(_.getLong(0)).toSet
         == Set(930000L), "re-upsert must tombstone exactly the existing id")
+    } finally q.stop()
+  }
+
+  test("kmeans/ivfpq landings catch up with prior maintenance; new appends and deletes reach every kind") {
+    import spark.implicits._
+    val np = Similarity.defaultNprobe(spark, corpusDir)
+    def servedIds(kind: String, q: Array[Float]): Set[Long] =
+      Similarity.searchTopk(spark, corpusDir, kind,
+          Seq((-42L, q.map(_.toDouble))), np)
+        .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    def emb(id: Long): Array[Float] =
+      spark.read.parquet(s"$corpusDir/embeddings.parquet")
+        .filter(col("vec_id") === id)
+        .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+
+    // the suite so far maintained ONLY the prefix index (km/ivfpq were
+    // never landed for this corpus): serving them NOW must land with
+    // the catch-up body — live-at-seq-0 corpus rows + appended
+    // versions. Exact copies of vec 2's embedding appended across the
+    // earlier tests: 900002, 920000, 930000, 930001 (910000 was the
+    // replay-skip test's payload — deliberately never applied). All at
+    // cos=1 with vec 2, so the 5-member cos-1 family IS the top-5 for
+    // an out-of-sample emb2 query.
+    val emb2 = emb(2L)
+    val wantTop = Set(2L, 900002L, 920000L, 930000L, 930001L)
+    for (kind <- Seq("kmeans", "ivfpq"))
+      assert(servedIds(kind, emb2) == wantTop,
+        s"$kind catch-up landing must include prior maintenance (got ${servedIds(kind, emb2)})")
+
+    // NEW maintenance with all three kinds landed: an append and then a
+    // delete must be visible in kmeans and ivfpq serving, not just prefix
+    val emb7 = emb(7L)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.IndexIngest.maintainPrefixIndex(
+      src.toDF().toDF("vec_id", "embedding"), corpusDir)
+    try {
+      src.addData(Seq((940000L, emb7)))
+      q.processAllAvailable()
+      for (kind <- Seq("prefix", "kmeans", "ivfpq"))
+        assert(servedIds(kind, emb7).contains(940000L),
+          s"$kind must serve the freshly appended vector")
+      src.addData(Seq((940000L, null: Array[Float])))
+      q.processAllAvailable()
+      for (kind <- Seq("prefix", "kmeans", "ivfpq")) {
+        val got = servedIds(kind, emb7)
+        assert(!got.contains(940000L), s"$kind must stop serving the deleted vector")
+        assert(got.contains(7L), s"$kind must still serve the original corpus vector")
+      }
     } finally q.stop()
   }
 }
