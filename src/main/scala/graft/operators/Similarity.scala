@@ -805,18 +805,35 @@ object Similarity {
     * (cell-pruned ADC). The shortlist broadcasts (ReRankFactor·k rows
     * per query), so the corpus never shuffles for the vector fetch. */
   private def pqRerank(
-      s: SparkSession, d: String, cands: DataFrame, qs: Array[Anchor]): DataFrame = {
-    // normedLazy: the fetch is one broadcast-joined corpus scan either
-    // way; on a cold serving session the lazy frame avoids paying the
-    // full Memo.mat materialization for a single shortlist fetch.
-    // Maintained corpora (ADVICE r12): appended ids are not in the
-    // corpus parquet, so their vectors come from the prefix table's
-    // appended slivers, and a candidate with several versions re-ranks
-    // against its HIGHEST-seq vector only (the bounded per-candidate
-    // max_by — corpus rows carry seq 0).
-    val corpusE = normedLazy(s, d)
-      .select(col("vec_id"), col("v"), col("nrm"), lit(0L).as("seq"))
-    val e = appendedFromPrefix(s, d).fold(corpusE)(app => corpusE.unionByName(app))
+      s: SparkSession, d: String, cands: DataFrame, qs: Array[Anchor],
+      probedCells: Option[Seq[Long]] = None): DataFrame = {
+    // Vector fetch for the exact re-rank. Two shapes:
+    //  - `probedCells` set (sim4c / the ivfpq serving path) AND the
+    //    prefix index landed: every candidate was FOUND in a probed
+    //    cell, and the prefix index stores vectors co-located with
+    //    their cells — so the fetch scans ONLY the probed cells
+    //    (In-filter → bucket pruning + row-group skip), the same
+    //    bounded read serveTopk does. Measured at 2M vectors this cut
+    //    the ivfpq serve from ~9 s to probed-cells cost (CONC_r13: the
+    //    corpus-scan fetch was the whole gap to the prefix kind).
+    //    Appended rows live in the same table, tombstones are already
+    //    masked, and multi-cell duplicates collapse in the max_by.
+    //  - otherwise (flat sim4/sim4b, or no landed prefix index): one
+    //    broadcast-joined lazy corpus scan (normedLazy: a cold session
+    //    avoids the full Memo.mat materialization), unioned with the
+    //    prefix table's appended slivers on maintained corpora
+    //    (appended ids are not in the corpus parquet).
+    // Either way a candidate with several versions re-ranks against
+    // its HIGHEST-seq vector only (corpus rows carry seq 0).
+    val cellFetch = probedCells
+      .filter(_ => graft.sources.Lakehouse.isLanded(s, s"graft_ann_index_${dirSuffix(d)}"))
+      .map(cells => servedIndex(s, d).filter(col("cell").isin(cells: _*))
+        .select(col("vec_id"), col("v"), col("nrm"), col("seq")))
+    val e = cellFetch.getOrElse {
+      val corpusE = normedLazy(s, d)
+        .select(col("vec_id"), col("v"), col("nrm"), lit(0L).as("seq"))
+      appendedFromPrefix(s, d).fold(corpusE)(app => corpusE.unionByName(app))
+    }
     import s.implicits._
     val q = qs.toSeq.map(a => (a.id, a.v, a.nrm)).toDF("qid", "qv", "qn")
     val fetched = broadcast(cands)
@@ -977,8 +994,10 @@ object Similarity {
     * sketch (id-deduped — a multi-assigned vector scores identically in
     * every shared cell). ONE scan of probed cells + ONE k-pair-per-
     * partition exchange per query batch. */
+  /** Returns (shortlist, probed cell ids) — the cells feed the
+    * re-rank's cell-pruned vector fetch. */
   private def ivfPqCands(
-      s: SparkSession, d: String, nprobe: Int, qs: Array[Anchor]): DataFrame = {
+      s: SparkSession, d: String, nprobe: Int, qs: Array[Anchor]): (DataFrame, Seq[Long]) = {
     val probes = localProbes(s, d, coarsePrefixLocal(s, d), prefixFineFetch(s, d), nprobe, qs)
     val cellIds = probes.map(_._2).distinct.toSeq
     import s.implicits._
@@ -986,21 +1005,31 @@ object Similarity {
     val tabs = adcTables(s, d, qs).toDF("qid", "tab")
     // Shortlist ∝ probed depth (VERDICT r12 #4): ADC is approximate, so
     // the impostor count above a true neighbor grows with the scored
-    // candidate set (∝ nprobe cells). A FIXED shortlist made recall
-    // DECREASE with nprobe (RECALL_r12_100x: ivfpq 0.98@1 → 0.94@56);
-    // scaling it keeps the shortlist a superset as probes widen, making
-    // recall monotone. Capped: the re-rank fetch broadcasts the
-    // shortlist, and the top-k sketch holds candK pairs per (qid,
-    // partition) — 16Ki·16B·|q| per partition stays driver/exec-safe.
-    val candK = math.min(ReRankFactor * TopK * math.max(1, nprobe), 16384)
+    // candidate set — which grows ∝ nprobe, since the n-scaled quantizer
+    // holds cell occupancy ~constant (≈ Dd7CellDiv·Dd7Probes rows per
+    // probe at every corpus size). A FIXED shortlist made recall
+    // DECREASE with nprobe (RECALL_r12_100x: ivfpq 0.98@1 → 0.94@56,
+    // degradation beginning once scored/candK ≳ 20); keeping the
+    // shortlist a FIXED FRACTION of the scored set restores
+    // monotonicity. Coefficient measured at the 100× probe: 20·nprobe
+    // (scored/10) holds recall FLAT at the nprobe=1 level (0.98 —
+    // monotone but depth buys nothing); 250·nprobe reaches 1.0 from
+    // depth 14 at 3× serve cost; 60·nprobe (re-rank ~⅓ of scored —
+    // cell occupancy is ~192 rows/probe by the n-scaled quantizer's
+    // design) captures the rise to 1.0 at moderate cost. Floored at
+    // the flat-PQ shortlist and capped: the re-rank fetch broadcasts
+    // the shortlist, and the top-k sketch holds candK pairs per (qid,
+    // partition).
+    val candK = math.min(math.max(ReRankFactor * TopK, 60 * nprobe), 16384)
     val scored = ivfPqIndex(s, d).filter(col("cell").isin(cellIds: _*))
       .join(broadcast(probesDf), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(tabs), Seq("qid"))
       .withColumn("apx", VectorExprs.adcScore(col("codes"), col("tab"), PqK))
-    scored.groupBy(col("qid"))
+    (scored.groupBy(col("qid"))
       .agg(graft.functions.SketchAggs.topkDistinct(col("apx"), col("vec_id"), candK).as("top"))
-      .select(col("qid"), explode(col("top.id")).as("vec_id"))
+      .select(col("qid"), explode(col("top.id")).as("vec_id")),
+      cellIds)
   }
 
   /** sim4c — the composed IVF+PQ serving path (FAISS IndexIVFPQ): PQ
@@ -1013,9 +1042,9 @@ object Similarity {
     "sim4c_ann_ivfpq_served",
     (s, d) => {
       val k1 = Dedup.dd7CoarseCount(Dedup.dd7AnchorCount(corpusN(s, d)))
-      recallGate(s, d, pqRerank(s, d,
-        ivfPqCands(s, d, math.max(NProbe.toLong, k1).toInt, queryVecs(s, d)),
-        queryVecs(s, d)))
+      val (cands, cells) =
+        ivfPqCands(s, d, math.max(NProbe.toLong, k1).toInt, queryVecs(s, d))
+      recallGate(s, d, pqRerank(s, d, cands, queryVecs(s, d), Some(cells)))
     },
     sim4.oracle,
     doc = "composed IVF+PQ: probed-cells-only ADC over the landed cell-bucketed code table; recall-gated vs sim1"
@@ -1047,7 +1076,8 @@ object Similarity {
         cids => { val want = cids.toSet; fineTagged.filter(t => want(t._1)) }, nprobe, qs)
       serveTopk(s, d, kmServedIndex(s, d), probes, qs)
     case "ivfpq" =>
-      pqRerank(s, d, ivfPqCands(s, d, nprobe, qs), qs)
+      val (cands, cells) = ivfPqCands(s, d, nprobe, qs)
+      pqRerank(s, d, cands, qs, Some(cells))
     case other => throw new IllegalArgumentException(s"unknown index kind: $other")
   }
 
