@@ -102,11 +102,24 @@ object IndexIngest {
     * [[graft.sources.Lakehouse.compactMaintained]] drops the
     * byte-identical duplicate rows. Without a checkpoint the source
     * itself replays arbitrarily on restart, so no batch-skip is
-    * attempted (test-only mode; production callers should set one). */
+    * attempted (test-only mode; production callers should set one).
+    *
+    * `compactEvery = Some(n)`: every n-th committed batch runs
+    * [[graft.sources.Lakehouse.compactMaintained]] on every maintained
+    * table — the operational answer to per-batch sliver files and
+    * update-heavy tombstone growth (the sidecar broadcast is bounded by
+    * changes-since-last-compaction; an unbounded cadence on an
+    * update-heavy stream would grow it without limit). Safe HERE and
+    * only here: compaction's mutual-exclusion contract (no concurrent
+    * appends) holds inside the stream's own foreachBatch, and serving
+    * sessions re-resolve the table per serve, so the swap is invisible
+    * to readers. Runs AFTER the batch's commit record — a crash between
+    * them costs only a deferred compaction, never a lost batch. */
   def maintainPrefixIndex(
       vecs: DataFrame, corpusDir: String,
       checkpointDir: Option[String] = None,
-      upserts: Boolean = true): StreamingQuery = {
+      upserts: Boolean = true,
+      compactEvery: Option[Int] = None): StreamingQuery = {
     val s = vecs.sparkSession
     val table = graft.operators.Similarity.prefixIndexTable(s, corpusDir)
     // the frozen quantizer: √K coarse anchors driver-resident, K-row
@@ -197,6 +210,15 @@ object IndexIngest {
           graft.sources.Lakehouse.writeCommits(s, table, batchId, seq, identity)
           kmT.foreach(s.catalog.refreshTable)
           pqT.foreach(s.catalog.refreshTable)
+          if (compactEvery.exists(n => n > 0 && batchId > 0 && batchId % n == 0)) {
+            // refresh first: compaction's growth guard compares row
+            // counts around the rewrite, and a relation cached from
+            // before this batch's append under-counts the snapshot
+            s.catalog.refreshTable(table)
+            graft.sources.Lakehouse.compactMaintained(s, table, "vec_id")
+            kmT.foreach(graft.sources.Lakehouse.compactMaintained(s, _, "vec_id"))
+            pqT.foreach(graft.sources.Lakehouse.compactMaintained(s, _, "vec_id"))
+          }
         }
         // the insert runs in the micro-batch's CLONED session; its
         // refresh does not touch the serving session's relation cache,

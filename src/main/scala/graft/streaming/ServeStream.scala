@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Online ANN serving as a Structured Streaming job — the deployment
+  * shape of [[graft.operators.Similarity.searchTopk]]: queries arrive
+  * on a stream (a topic of (qid, embedding) lookup requests), each
+  * micro-batch is served from the landed index, and the answers flow
+  * to a sink the requesting pipeline reads. This is the reference's
+  * interactive-query surface driven at stream cadence
+  * (kafka-client/src/main/java/dev/responsive/kafka/internal/db/rs3/RS3RangeQuery.java
+  * is the store-side analog; here the "store" is the landed
+  * cell-bucketed index).
+  *
+  * Per micro-batch: the query batch COLLECTS to the driver (bounded —
+  * a serving topic is rate-limited by construction; the probe ranking
+  * is |batch|·√K driver cosines against the resident quantizer, the
+  * same bounded pattern every serve call uses), then one
+  * probed-cells-only Spark job scores and the top-k rows append to
+  * `sink` tagged with the micro-batch id. Restart semantics: with a
+  * checkpoint the source replays the last uncommitted batch; the sink
+  * append then duplicates that batch's rows, which downstream readers
+  * drop by (qid, batch_id) — at-least-once with idempotent-read, the
+  * standard serving-log contract.
+  */
+object ServeStream {
+
+  /** Serve `queries` — streaming (qid: bigint, embedding: numeric
+    * array) — from `corpusDir`'s landed index of `kind` ("prefix" |
+    * "kmeans" | "ivfpq"), appending (qid, rank, neighbor_id, batch_id)
+    * parquet to `sink`. `nprobe` 0 = the kind's default (≈ √K). */
+  def serveTopk(
+      queries: DataFrame, corpusDir: String, kind: String, sink: String,
+      checkpointDir: Option[String] = None,
+      nprobe: Int = 0): StreamingQuery = {
+    val s = queries.sparkSession
+    val w = queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qs = batch
+          .select(col("qid").cast("long"),
+            col("embedding").cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        if (qs.nonEmpty) {
+          graft.operators.Similarity.searchTopk(s, corpusDir, kind, qs, nprobe)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(sink)
+        }
+      }
+      .outputMode("update")
+    checkpointDir.foreach(cp => w.option("checkpointLocation", cp))
+    w.start()
+  }
+}

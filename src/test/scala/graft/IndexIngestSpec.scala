@@ -311,4 +311,42 @@ class IndexIngestSpec extends SparkSpecBase with BeforeAndAfterAll {
       }
     } finally q.stop()
   }
+
+  test("compactEvery cadence compacts all maintained kinds in-stream (slivers bounded, sidecars cleared)") {
+    import spark.implicits._
+    val tbl = Similarity.prefixIndexTable(spark, corpusDir)
+    val sfx = java.security.MessageDigest.getInstance("MD5")
+      .digest(corpusDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val allTables = Seq(tbl, s"graft_ann_km_index_$sfx", s"graft_ann_ivfpq_$sfx")
+    val emb9 = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .filter(col("vec_id") === 9)
+      .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    // every batch compacts (n=1): batch 1 carries an UPSERT of an id
+    // inserted in batch 0 — tombstones + duplicate slivers exist right
+    // before the cadence fires, and must be gone right after
+    val q = graft.streaming.IndexIngest.maintainPrefixIndex(
+      src.toDF().toDF("vec_id", "embedding"), corpusDir, compactEvery = Some(1))
+    try {
+      src.addData(Seq((950000L, emb9)))
+      q.processAllAvailable() // batch 0: insert (no compaction at batchId 0)
+      src.addData(Seq((950000L, emb9)))
+      q.processAllAvailable() // batch 1: re-upsert -> tombstones, then compaction
+    } finally q.stop()
+    for (t <- allTables) {
+      assert(graft.sources.Lakehouse.tombstones(spark, t).isEmpty,
+        s"$t: compaction must clear the tombstone sidecar")
+      assert(indexFiles(t).size <= 16, s"$t: slivers must fold back into <= bucket-count files")
+      // superseded version physically dropped: exactly one live version
+      assert(spark.table(t).filter(col("vec_id") === 950000L)
+        .select(col("seq")).distinct().count() == 1,
+        s"$t: exactly one surviving version after compaction")
+    }
+    // serving unaffected by the swaps
+    val got = Similarity.searchTopk(spark, corpusDir, "prefix",
+      Seq((-99L, emb9.map(_.toDouble))), Similarity.defaultNprobe(spark, corpusDir))
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(got.contains(950000L) && got.contains(9L))
+  }
 }
