@@ -183,6 +183,40 @@ object StreamTwins {
     scalePath = false
   )
 
+  /** sim2b replayed through the ONLINE serving stream: the in-sample
+    * query vectors arrive as micro-batches of lookup requests and are
+    * answered from the landed prefix index via
+    * [[ServeStream.serveTopk]] — the deployment path (request topic →
+    * per-batch probed-cells serve → answer sink), not the batch API.
+    * Served at the default nprobe (= sim2b's max(NProbe, K1) depth)
+    * with the caller qids equal to the corpus vec_ids, the answers are
+    * bit-identical to sim2b's, so sim2's DuckDB oracle grades streamed
+    * serving end to end (answer completeness across batches, batch
+    * provenance, sink append semantics). */
+  private def replayServe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qs = s.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") < graft.operators.Similarity.NumQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1).toVector
+    val sink = java.nio.file.Files.createTempDirectory("graft-sim2s").toString + "/answers"
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
+    val q = ServeStream.serveTopk(src.toDF().toDF("qid", "embedding"), d, "prefix", sink)
+    val chunkSize = math.max(1, (qs.size + ReplayChunks - 1) / ReplayChunks)
+    try qs.grouped(chunkSize).foreach { c => src.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    s.read.parquet(sink).select(col("qid"), col("rank"), col("neighbor_id"))
+  }
+
+  val sim2s = QueryDef(
+    "sim2s_ann_serve_stream",
+    (s, d) => replayServe(s, d),
+    graft.operators.Similarity.sim2.oracle,
+    doc = "sim2b through the online serving stream: lookup-request micro-batches answered from the landed index",
+    scalePath = false
+  )
+
   val dd3s = QueryDef(
     "dd3s_dedup_stream",
     (s, d) => replayDocs(s, d,
@@ -192,5 +226,5 @@ object StreamTwins {
     scalePath = false
   )
 
-  val all: Seq[QueryDef] = Seq(q07s, q09s, q24s, dd3s)
+  val all: Seq[QueryDef] = Seq(q07s, q09s, q24s, dd3s, sim2s)
 }

@@ -42,4 +42,50 @@ class ServeStreamSpec extends SparkSpecBase {
     // batch provenance recorded: both micro-batches present
     assert(spark.read.parquet(sink).select("batch_id").distinct().count() == 2)
   }
+
+  test("restart replays the uncommitted batch; readers dedupe by (qid, batch_id)") {
+    import spark.implicits._
+    val d = sfDir
+    def qsOf(ids: Range): Seq[(Long, Array[Double])] =
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .filter(col("vec_id").isin(ids.map(i => Long.box(i.toLong)): _*))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (-(r.getLong(0) + 1), r.getSeq[Double](1).toArray)).toSeq
+    val (b1, b2) = (qsOf(3 to 5), qsOf(6 to 8))
+
+    val root = Files.createTempDirectory("graft-serve-restart").toString
+    val (sink, ckpt) = (s"$root/out", s"$root/ckpt")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, Array[Double])]
+    def start() = graft.streaming.ServeStream.serveTopk(
+      src.toDF().toDF("qid", "embedding"), d, "prefix", sink, Some(ckpt))
+
+    val q1 = start()
+    try {
+      src.addData(b1); q1.processAllAvailable()
+      src.addData(b2); q1.processAllAvailable()
+    } finally q1.stop()
+    // simulate a crash between the sink append and the checkpoint
+    // commit: batch 1's answers are on disk but its commit record is
+    // gone, so the restart MUST re-serve it (at-least-once)
+    assert(new java.io.File(s"$ckpt/commits/1").delete())
+    new java.io.File(s"$ckpt/commits/.1.crc").delete() // local-FS checksum sidecar
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val raw = spark.read.parquet(sink)
+      .select(col("qid"), col("rank"), col("neighbor_id"), col("batch_id"))
+    val rawN = raw.count()
+    val dedupN = raw.distinct().count()
+    assert(rawN > dedupN, "the replayed batch must duplicate its sink rows (at-least-once)")
+    // the documented reader contract: drop duplicates by (qid, batch_id)
+    // — the replayed serve is deterministic, so the deduped answer set
+    // equals the batch API's
+    val deduped = raw.distinct()
+      .select(col("qid"), col("rank"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = Similarity.searchTopk(spark, d, "prefix", b1 ++ b2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(deduped == batch, "post-dedupe streamed answers must equal the batch API across the restart")
+  }
 }
