@@ -70,6 +70,18 @@ object StreamTwins {
     scalePath = false
   )
 
+  /** q08's hopping windows through the streaming runtime: each event
+    * updates FOUR live windows (size/advance = 4), so cross-batch state
+    * merge runs per hop — a denser state shape than q07s' one-window-
+    * per-key tumbling. Same DuckDB oracle as batch q08. */
+  val q08s = QueryDef(
+    "q08s_hopping_stream",
+    (s, d) => replayEvents(s, d, StreamOps.hoppingAgg(_)),
+    graft.operators.WindowedAgg.q08.oracle,
+    doc = "q08 hopping windows replayed through the streaming runtime: oracle-grades multi-window-per-event state",
+    scalePath = false
+  )
+
   /** q09's session windows through the streaming runtime: exercises
     * the session-merge state machinery (gap-based window growth,
     * cross-batch session extension, watermark finalization) against
@@ -217,6 +229,102 @@ object StreamTwins {
     scalePath = false
   )
 
+  /** sim2m delta constants: inserted copies of the query vectors land
+    * under `InsOff` (kept live; re-upserted once to exercise the
+    * tombstone-supersede path) and `Ins2Off` (deleted in the second
+    * batch); `DelN` ORIGINAL corpus rows starting at NumQueries are
+    * deleted. Copies of QUERY vectors make the maintenance decisive:
+    * each query's inserted copy scores cos = 1.0 exactly, so a lost
+    * append, an unmasked delete, or a double-served upsert corrupts
+    * the graded top-k deterministically instead of hiding below it. */
+  private val InsOff = 1000000L
+  private val Ins2Off = 2000000L
+  private val DelN = 50L
+
+  /** The full index-maintenance CRUD surface replayed through the REAL
+    * maintenance stream ([[IndexIngest.maintainPrefixIndex]] with a
+    * checkpoint + commit log) against a COPY of the corpus (index
+    * tables are dir-keyed, so the graded landings are untouched), then
+    * served through [[graft.operators.Similarity.searchTopk]]:
+    *
+    *  - batch 1 INSERTS two exact copies of every query vector
+    *    (frozen-quantizer assignment: a copy of v lands in exactly v's
+    *    cells — the FAISS `IndexIVF.add` contract);
+    *  - batch 2 DELETES one copy per query (put-null ⇒ tombstone),
+    *    DELETES DelN original corpus rows, and RE-UPSERTS the
+    *    surviving copy (tombstone + same-seq re-add; served once).
+    *
+    * The DuckDB oracle replays the same algebra over the ORIGINAL
+    * table: the live set is (corpus minus the deleted range) ∪ (query
+    * rows re-keyed +InsOff), with cells and vectors taken from the
+    * frozen quantizer's ranking of the source rows — exact because the
+    * copies are bit-identical to their sources. CORRECTNESS therefore
+    * fails if append visibility, delete masking, upsert supersede, or
+    * the frozen-assignment invariant ever diverges. */
+  private def replayMaintain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val S = graft.operators.Similarity
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-sim2m").toString
+    s.read.parquet(s"$d/embeddings.parquet")
+      .write.parquet(s"$tmpRoot/embeddings.parquet")
+    val qs = s.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") < S.NumQueries)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toVector
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = IndexIngest.maintainPrefixIndex(
+      src.toDF().toDF("vec_id", "embedding"), tmpRoot,
+      checkpointDir = Some(s"$tmpRoot/ckpt"))
+    try {
+      src.addData(qs.map { case (id, v) => (id + InsOff, v) } ++
+        qs.map { case (id, v) => (id + Ins2Off, v) })
+      q.processAllAvailable()
+      src.addData(qs.map { case (id, _) => (id + Ins2Off, null: Array[Float]) } ++
+        (S.NumQueries until (S.NumQueries + DelN).toInt)
+          .map(i => (i.toLong, null: Array[Float])) ++
+        qs.map { case (id, v) => (id + InsOff, v) })
+      q.processAllAvailable()
+    } finally q.stop()
+    S.searchTopk(s, tmpRoot, "prefix",
+        qs.map { case (id, v) => (id, v.map(_.toDouble)) })
+      .select(col("qid"), col("rank"), col("neighbor_id"))
+  }
+
+  val sim2m = QueryDef(
+    "sim2m_ann_maintained_stream",
+    (s, d) => replayMaintain(s, d),
+    {
+      val S = graft.operators.Similarity
+      val D = graft.operators.Dedup
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |${D.twoLevelRankedSql(s"greatest(${S.NProbe}, ${D.Dd7CoarseSql})")},
+              |assigned AS (SELECT vec_id, cell FROM ranked WHERE r <= ${D.Dd7Probes}),
+              |live AS (
+              |  SELECT vec_id, cell FROM assigned
+              |  WHERE vec_id NOT BETWEEN ${S.NumQueries} AND ${S.NumQueries + DelN - 1}
+              |  UNION ALL
+              |  SELECT vec_id + $InsOff, cell FROM assigned WHERE vec_id < ${S.NumQueries}),
+              |ev AS (
+              |  SELECT vec_id, v FROM e
+              |  WHERE vec_id NOT BETWEEN ${S.NumQueries} AND ${S.NumQueries + DelN - 1}
+              |  UNION ALL
+              |  SELECT vec_id + $InsOff, v FROM e WHERE vec_id < ${S.NumQueries}),
+              |probes AS (SELECT vec_id AS qid, cell FROM ranked WHERE vec_id < ${S.NumQueries}),
+              |cand AS (
+              |  SELECT DISTINCT p.qid, a.vec_id
+              |  FROM live a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid),
+              |scored AS (
+              |  SELECT c.qid, c.vec_id AS neighbor_id,
+              |    row_number() OVER (PARTITION BY c.qid
+              |      ORDER BY list_cosine_similarity(s.v, q.v) DESC, c.vec_id) AS rank
+              |  FROM cand c JOIN ev s ON c.vec_id = s.vec_id JOIN e q ON c.qid = q.vec_id)
+              |SELECT qid, rank, neighbor_id FROM scored WHERE rank <= ${S.TopK}""".stripMargin)
+    },
+    doc = "insert/delete/upsert streamed through index maintenance, then served: oracle-grades the maintained-index contract",
+    scalePath = false
+  )
+
   val dd3s = QueryDef(
     "dd3s_dedup_stream",
     (s, d) => replayDocs(s, d,
@@ -226,5 +334,5 @@ object StreamTwins {
     scalePath = false
   )
 
-  val all: Seq[QueryDef] = Seq(q07s, q09s, q24s, dd3s, sim2s)
+  val all: Seq[QueryDef] = Seq(q07s, q08s, q09s, q24s, dd3s, sim2s, sim2m)
 }

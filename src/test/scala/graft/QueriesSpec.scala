@@ -23,6 +23,8 @@ class QueriesSpec extends SparkSpecBase {
     "q09s_session_stream" -> 946, "dd3s_dedup_stream" -> 28,
     "q24s_fk_join_stream" -> 25, "sim4c_ann_ivfpq_served" -> 10,
     "sim2s_ann_serve_stream" -> 50,
+    "sim2m_ann_maintained_stream" -> 50,
+    "q08s_hopping_stream" -> 3800,
     "q08_hopping_window" -> 3800,
     "q08b_hopping_sliced" -> 11379,
     "q09_session_window" -> 946, "q09b_session_grace" -> 946,
