@@ -40,6 +40,24 @@ object Lakehouse {
   /** The staging table name a [[compactBucketed]] run writes into. */
   private def stageName(table: String): String = table + "__compacting"
 
+  /** Per-table monitors serializing every catalog-mutating section —
+    * the compaction swap's DROP→RENAME window, orphan-stage adoption,
+    * and [[landBucketed]]'s check/register/land — against concurrent
+    * callers IN THIS JVM. Without it, a reader resolving the table
+    * inside a swap window sees (stage marked, live missing) and either
+    * adopts the stage out from under the writer (the writer's own
+    * RENAME then dies — observed live in the MAINT_r13 concurrent-serve
+    * probe) or, worse, takes the markerless-location re-land path and
+    * silently discards every maintained row. With it, a reader blocks
+    * for the metadata half of the swap (the bulk rewrite happens before
+    * the lock is taken) and then sees the completed table. Cross-JVM
+    * writers remain governed by the documented stop-ingest contract; a
+    * reader's already-planned SCAN can still lose files to the swap's
+    * delete and should retry (see [[graft.streaming.ServeStream]]). */
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(table: String): Object =
+    tableLocks.computeIfAbsent(table.toLowerCase(java.util.Locale.ROOT), _ => new Object)
+
   /** Complete a compaction swap a previous run crashed in the middle of
     * (ADVICE r11): [[compactBucketed]] stamps the `_graft_meta` marker
     * into its stage BEFORE dropping the live table, so at every instant
@@ -52,23 +70,24 @@ object Lakehouse {
     * never loses data; without it the next [[landBucketed]] would
     * silently RE-LAND the corpus-only index, discarding every streamed
     * append. */
-  private def adoptOrphanStage(s: SparkSession, table: String): Unit = {
-    val loc = warehouseLoc(s, table)
-    val stage = stageName(table)
-    val stageLoc = warehouseLoc(s, stage)
-    val liveMarker = new java.io.File(loc, "_graft_meta")
-    val stageMarker = new java.io.File(stageLoc, "_graft_meta")
-    if (!liveMarker.isFile && stageMarker.isFile) {
-      if (s.catalog.tableExists(stage) && !s.catalog.tableExists(table)) {
-        s.sql(s"ALTER TABLE `$stage` RENAME TO `$table`") // same-JVM crash: finish the swap
-        s.catalog.refreshTable(table)
-      } else if (!s.catalog.tableExists(table)) {
-        if (loc.exists()) rmTree(loc) // markerless leftovers
-        java.nio.file.Files.move(stageLoc.toPath, loc.toPath) // cross-JVM: files only; landBucketed re-registers
-        ()
+  private def adoptOrphanStage(s: SparkSession, table: String): Unit =
+    lockFor(table).synchronized {
+      val loc = warehouseLoc(s, table)
+      val stage = stageName(table)
+      val stageLoc = warehouseLoc(s, stage)
+      val liveMarker = new java.io.File(loc, "_graft_meta")
+      val stageMarker = new java.io.File(stageLoc, "_graft_meta")
+      if (!liveMarker.isFile && stageMarker.isFile) {
+        if (s.catalog.tableExists(stage) && !s.catalog.tableExists(table)) {
+          s.sql(s"ALTER TABLE `$stage` RENAME TO `$table`") // same-JVM crash: finish the swap
+          s.catalog.refreshTable(table)
+        } else if (!s.catalog.tableExists(table)) {
+          if (loc.exists()) rmTree(loc) // markerless leftovers
+          java.nio.file.Files.move(stageLoc.toPath, loc.toPath) // cross-JVM: files only; landBucketed re-registers
+          ()
+        }
       }
     }
-  }
 
   /** Write `df` hive-partitioned by `partitionCols`. `maxRecordsPerFile`
     * bounds file size (Spark splits writer output at the bound);
@@ -144,34 +163,36 @@ object Lakehouse {
       bucketCols: Seq[String], numBuckets: Int,
       fingerprint: String)(df: => DataFrame): DataFrame = {
     require(!fingerprint.contains('\n'), "fingerprint must be single-line")
-    adoptOrphanStage(s, table) // recover a crashed compaction swap first
-    val loc = warehouseLoc(s, table)
-    val marker = new java.io.File(loc, "_graft_meta")
-    val spec = s"buckets=$numBuckets cols=${bucketCols.mkString(",")}"
-    val recorded: Option[Array[String]] =
-      if (marker.isFile)
-        Some(new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").split("\n", -1))
-      else None
-    recorded match {
-      case Some(Array(fp, spc, ddl, _*)) if fp == fingerprint && spc == spec =>
-        if (!s.catalog.tableExists(table)) {
-          val bk = bucketCols.map(c => s"`$c`").mkString(", ")
-          s.sql(
-            s"""CREATE TABLE `$table` ($ddl) USING parquet
-               |CLUSTERED BY ($bk) SORTED BY ($bk) INTO $numBuckets BUCKETS
-               |LOCATION '${loc.toURI}'""".stripMargin)
-        }
-        s.table(table)
-      case _ =>
-        val data = df
-        writeBucketed(data, table, bucketCols, numBuckets)
-        // a clean re-land invalidates any maintenance sidecar from the
-        // previous landing: the commit log died with the location rm in
-        // writeBucketed; the tombstone dir lives beside it — clear too
-        locally { val td = tombsDir(s, table); if (td.exists()) rmTree(td) }
-        java.nio.file.Files.write(marker.toPath,
-          s"$fingerprint\n$spec\n${data.schema.toDDL}".getBytes("UTF-8"))
-        s.table(table)
+    lockFor(table).synchronized {
+      adoptOrphanStage(s, table) // recover a crashed compaction swap first
+      val loc = warehouseLoc(s, table)
+      val marker = new java.io.File(loc, "_graft_meta")
+      val spec = s"buckets=$numBuckets cols=${bucketCols.mkString(",")}"
+      val recorded: Option[Array[String]] =
+        if (marker.isFile)
+          Some(new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").split("\n", -1))
+        else None
+      recorded match {
+        case Some(Array(fp, spc, ddl, _*)) if fp == fingerprint && spc == spec =>
+          if (!s.catalog.tableExists(table)) {
+            val bk = bucketCols.map(c => s"`$c`").mkString(", ")
+            s.sql(
+              s"""CREATE TABLE `$table` ($ddl) USING parquet
+                 |CLUSTERED BY ($bk) SORTED BY ($bk) INTO $numBuckets BUCKETS
+                 |LOCATION '${loc.toURI}'""".stripMargin)
+          }
+          s.table(table)
+        case _ =>
+          val data = df
+          writeBucketed(data, table, bucketCols, numBuckets)
+          // a clean re-land invalidates any maintenance sidecar from the
+          // previous landing: the commit log died with the location rm in
+          // writeBucketed; the tombstone dir lives beside it — clear too
+          locally { val td = tombsDir(s, table); if (td.exists()) rmTree(td) }
+          java.nio.file.Files.write(marker.toPath,
+            s"$fingerprint\n$spec\n${data.schema.toDDL}".getBytes("UTF-8"))
+          s.table(table)
+      }
     }
   }
 
@@ -261,40 +282,47 @@ object Lakehouse {
       arranged.count() // materialize BEFORE touching the original
       writeBucketed(arranged, stage, spec.bucketColumnNames, spec.numBuckets)
     } finally { arranged.unpersist(); () }
-    // Concurrent-append guard (ADVICE r11): a live ingest stream that
-    // appended after the snapshot would lose those rows to the swap.
-    // Re-count the live table and abort (discarding the stage) on drift —
-    // the caller must stop the ingest stream around compaction.
-    s.catalog.refreshTable(table)
-    val nowRows = s.table(table).count()
-    if (nowRows != snapshot) {
-      s.sql(s"DROP TABLE IF EXISTS `$stage`")
-      val stageLoc = warehouseLoc(s, stage)
-      if (stageLoc.exists()) rmTree(stageLoc)
-      throw new IllegalStateException(
-        s"compactBucketed(`$table`): table grew $snapshot -> $nowRows rows during the rewrite " +
-          "(concurrent append?). Stage discarded; stop ingest streams during compaction and retry.")
-    }
-    val loc = warehouseLoc(s, table)
-    // marker + commit log into the STAGE before the swap (ADVICE r11): at
-    // every instant at least one of (live marker, stage marker) exists,
-    // so a crash anywhere in the swap is recoverable by
-    // [[adoptOrphanStage]] instead of silently re-landing a corpus-only
-    // index; the commit log keeps the maintenance seq counter monotonic
-    // across compactions (a reset counter could un-mask tombstoned rows).
-    for (f <- Seq("_graft_meta", "_graft_commits")) {
-      val src = new java.io.File(loc, f)
-      if (src.isFile) {
-        java.nio.file.Files.copy(src.toPath,
-          new java.io.File(warehouseLoc(s, stage), f).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        ()
+    // Metadata half of the swap under the table's monitor: a concurrent
+    // reader resolving the table mid-swap would otherwise adopt the
+    // stage itself (killing this RENAME) or re-land over the maintained
+    // rows — the bulk rewrite above stays outside the lock, so readers
+    // only ever block for this metadata window.
+    lockFor(table).synchronized {
+      // Concurrent-append guard (ADVICE r11): a live ingest stream that
+      // appended after the snapshot would lose those rows to the swap.
+      // Re-count the live table and abort (discarding the stage) on drift —
+      // the caller must stop the ingest stream around compaction.
+      s.catalog.refreshTable(table)
+      val nowRows = s.table(table).count()
+      if (nowRows != snapshot) {
+        s.sql(s"DROP TABLE IF EXISTS `$stage`")
+        val stageLoc = warehouseLoc(s, stage)
+        if (stageLoc.exists()) rmTree(stageLoc)
+        throw new IllegalStateException(
+          s"compactBucketed(`$table`): table grew $snapshot -> $nowRows rows during the rewrite " +
+            "(concurrent append?). Stage discarded; stop ingest streams during compaction and retry.")
       }
+      val loc = warehouseLoc(s, table)
+      // marker + commit log into the STAGE before the swap (ADVICE r11): at
+      // every instant at least one of (live marker, stage marker) exists,
+      // so a crash anywhere in the swap is recoverable by
+      // [[adoptOrphanStage]] instead of silently re-landing a corpus-only
+      // index; the commit log keeps the maintenance seq counter monotonic
+      // across compactions (a reset counter could un-mask tombstoned rows).
+      for (f <- Seq("_graft_meta", "_graft_commits")) {
+        val src = new java.io.File(loc, f)
+        if (src.isFile) {
+          java.nio.file.Files.copy(src.toPath,
+            new java.io.File(warehouseLoc(s, stage), f).toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+      }
+      s.sql(s"DROP TABLE `$table`") // managed: deletes the sliver files
+      if (loc.exists()) rmTree(loc) // reuse-path tables are EXTERNAL — drop leaves the files
+      s.sql(s"ALTER TABLE `$stage` RENAME TO `$table`") // moves the compacted dir (incl. marker) into place
+      s.catalog.refreshTable(table)
     }
-    s.sql(s"DROP TABLE `$table`") // managed: deletes the sliver files
-    if (loc.exists()) rmTree(loc) // reuse-path tables are EXTERNAL — drop leaves the files
-    s.sql(s"ALTER TABLE `$stage` RENAME TO `$table`") // moves the compacted dir (incl. marker) into place
-    s.catalog.refreshTable(table)
   }
 
   // ------------------------------------------------------------------

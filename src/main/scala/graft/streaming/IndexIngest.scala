@@ -111,10 +111,16 @@ object IndexIngest {
     * changes-since-last-compaction; an unbounded cadence on an
     * update-heavy stream would grow it without limit). Safe HERE and
     * only here: compaction's mutual-exclusion contract (no concurrent
-    * appends) holds inside the stream's own foreachBatch, and serving
-    * sessions re-resolve the table per serve, so the swap is invisible
-    * to readers. Runs AFTER the batch's commit record — a crash between
-    * them costs only a deferred compaction, never a lost batch. */
+    * appends) holds inside the stream's own foreachBatch. Same-JVM
+    * concurrent READERS resolve through the table's monitor
+    * (Lakehouse.lockFor — the MAINT_r13 concurrent-serve probe caught
+    * a reader adopting the half-swapped stage out from under the
+    * writer), so they block for the metadata half of the swap and then
+    * see the compacted table; a reader's already-PLANNED scan can
+    * still lose files to the swap's delete and should retry once
+    * ([[ServeStream]] does). Runs AFTER the batch's commit record — a
+    * crash between them costs only a deferred compaction, never a lost
+    * batch. */
   def maintainPrefixIndex(
       vecs: DataFrame, corpusDir: String,
       checkpointDir: Option[String] = None,

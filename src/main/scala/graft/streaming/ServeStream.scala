@@ -44,9 +44,18 @@ object ServeStream {
           .collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
         if (qs.nonEmpty) {
-          graft.operators.Similarity.searchTopk(s, corpusDir, kind, qs, nprobe)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(sink)
+          def serveOnce(): Unit =
+            graft.operators.Similarity.searchTopk(s, corpusDir, kind, qs, nprobe)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(sink)
+          // A maintained index compacting underneath a serve can delete
+          // files between this scan's planning and execution (the swap's
+          // catalog window is lock-serialized in Lakehouse, but an
+          // already-planned scan still races the file delete). A failed
+          // parquet job commits nothing, so one re-resolve + retry is
+          // the whole recovery.
+          try serveOnce()
+          catch { case _: Throwable => Thread.sleep(200); serveOnce() }
         }
       }
       .outputMode("update")

@@ -25,6 +25,7 @@ class QueriesSpec extends SparkSpecBase {
     "sim2s_ann_serve_stream" -> 50,
     "sim2m_ann_maintained_stream" -> 50,
     "q08s_hopping_stream" -> 3800,
+    "q07r_tumbling_restart" -> 951,
     "q08_hopping_window" -> 3800,
     "q08b_hopping_sliced" -> 11379,
     "q09_session_window" -> 946, "q09b_session_grace" -> 946,
