@@ -55,7 +55,7 @@ object ServeStream {
           // parquet job commits nothing, so one re-resolve + retry is
           // the whole recovery.
           try serveOnce()
-          catch { case _: Throwable => Thread.sleep(200); serveOnce() }
+          catch { case scala.util.control.NonFatal(_) => Thread.sleep(200); serveOnce() }
         }
       }
       .outputMode("update")

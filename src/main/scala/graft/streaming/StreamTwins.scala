@@ -146,6 +146,28 @@ object StreamTwins {
     scalePath = false
   )
 
+  /** q10's stream–stream interval join through the streaming runtime —
+    * the last stateful engine without a registry-graded streamed twin.
+    * Both sides buffer in the join state store across micro-batch
+    * boundaries (a purchase in chunk i matches errors arriving in
+    * chunk i+1 within the ±10 min window), so the replay exercises
+    * two-sided state buffering + cross-batch matching; inner-join
+    * results emit eagerly, so no flush sentinel is needed (the
+    * sentinel's "view" row is filtered before either side and merely
+    * keeps the shared replay driver uniform). Same DuckDB oracle as
+    * batch q10 — a dropped buffered row or double-emitted match breaks
+    * the hash. Reference:
+    * kafka-client/src/test/java/dev/responsive/kafka/integration/ResponsiveWindowStoreIntegrationTest.java:309-326
+    * (JoinWindows stream-stream join over the STREAM window schema). */
+  val q10s = QueryDef(
+    "q10s_interval_join_stream",
+    (s, d) => replayEvents(s, d, StreamOps.intervalJoin(_))
+      .select(col("purchase_id"), col("error_id"), col("user_id")),
+    graft.operators.StatefulOps.q10.oracle,
+    doc = "q10 replayed through the streaming runtime: oracle-grades two-sided join state buffering",
+    scalePath = false
+  )
+
   /** q09's session windows through the streaming runtime: exercises
     * the session-merge state machinery (gap-based window growth,
     * cross-batch session extension, watermark finalization) against
@@ -398,5 +420,5 @@ object StreamTwins {
     scalePath = false
   )
 
-  val all: Seq[QueryDef] = Seq(q07s, q07r, q08s, q09s, q24s, dd3s, sim2s, sim2m)
+  val all: Seq[QueryDef] = Seq(q07s, q07r, q08s, q09s, q10s, q24s, dd3s, sim2s, sim2m)
 }

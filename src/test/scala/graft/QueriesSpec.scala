@@ -29,7 +29,8 @@ class QueriesSpec extends SparkSpecBase {
     "q08_hopping_window" -> 3800,
     "q08b_hopping_sliced" -> 11379,
     "q09_session_window" -> 946, "q09b_session_grace" -> 946,
-    "q10_interval_join" -> 1, "q37_window_backward_fetch" -> 45,
+    "q10_interval_join" -> 1, "q10s_interval_join_stream" -> 1,
+    "q37_window_backward_fetch" -> 45,
     "q38_stratified_sample" -> 5,
     "q11_late_data_grace" -> 951, "q12_ttl_default" -> 6,
     "q13_ttl_row_level" -> 11, "q13b_ttl_from_key" -> 12, "q14_dedup_first" -> 75,
