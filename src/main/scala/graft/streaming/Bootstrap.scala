@@ -66,7 +66,8 @@ class BootstrapKvProcessor
     else {
       state.update(latest)
       Iterator.single(KvRow(latest.user_id, latest.event_id, latest.event_type,
-        latest.value, latest.ts.getTime / 1000L))
+        latest.value, latest.ts.getTime / 1000L,
+        ts_us = KvStoreProcessor.micros(latest.ts)))
     }
   }
 }

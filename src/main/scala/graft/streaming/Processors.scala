@@ -12,13 +12,21 @@ final case class KvRow(
     event_type: String,
     value: Double,
     ts_sec: Long,
-    deleted: Boolean = false)
+    deleted: Boolean = false,
+    ts_us: Long = 0L)
 
 object KvStoreProcessor {
   /** Sentinel event_type standing in for a Kafka null-value record —
     * the engine's tables are typed rows, so "null value" needs an
     * in-band marker. */
   val Tombstone = "__tombstone"
+
+  /** Event time at the store's full µs fidelity (Timestamp.getTime is
+    * ms-truncated; the sub-ms part lives in getNanos). Read-time TTL
+    * must compare at this precision — second-truncated `ts_sec` is
+    * ambiguous within 1 s of the expiry boundary. */
+  def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
 }
 
 /** Per-key last-write-wins KV store — the ResponsiveKeyValueStore analog
@@ -94,11 +102,13 @@ class KvStoreProcessor(putIfAbsent: Boolean = false)
     else if (latest == null) {
       state.clear()
       Iterator.single(KvRow(key, lastTomb.event_id, KvStoreProcessor.Tombstone,
-        0.0, lastTomb.ts.getTime / 1000L, deleted = true))
+        0.0, lastTomb.ts.getTime / 1000L, deleted = true,
+        ts_us = KvStoreProcessor.micros(lastTomb.ts)))
     } else {
       state.update(latest)
       Iterator.single(KvRow(latest.user_id, latest.event_id, latest.event_type,
-        latest.value, latest.ts.getTime / 1000L))
+        latest.value, latest.ts.getTime / 1000L,
+        ts_us = KvStoreProcessor.micros(latest.ts)))
     }
   }
 }

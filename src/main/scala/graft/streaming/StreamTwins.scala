@@ -180,6 +180,64 @@ object StreamTwins {
     scalePath = false
   )
 
+  /** q12's KV upsert + default TTL through the REAL transformWithState
+    * runtime: the reference's core primitive (builder.table upsert-by-
+    * key + store-default TTL,
+    * kafka-client/src/main/java/dev/responsive/kafka/internal/stores/ResponsiveKeyValueStore.java:148-226,
+    * api/stores/TtlProvider.java:32-38) was driver-graded only through
+    * the batch window-function plan; this replays the events chunked
+    * through [[KvStoreProcessor]] (update-mode changelog), folds the
+    * changelog to final state, and applies the read-time TTL at final
+    * stream time — graded by batch q12's DuckDB oracle, so a lost
+    * cross-batch upsert, wrong LWW order, or mis-folded changelog row
+    * breaks the hash.
+    *
+    * The fold takes each key's max-(ts_us, event_id) changelog row:
+    * emissions per key are monotone in that order under the ts-ordered
+    * feed (the processor only emits on a newer winner), and the TTL
+    * compares at the store's full µs fidelity (KvRow.ts_us) — the
+    * second-truncated ts_sec is ambiguous within 1 s of the expiry
+    * boundary, exactly the read-path `get(key, streamTimeMs)` contract
+    * (PartitionedOperations.java:355-390). */
+  private def replayKv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val evs = Tables.events(s, d).as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id)).toVector
+    val chunkSize = math.max(1, (evs.size + ReplayChunks - 1) / ReplayChunks)
+    val h = TopologyTestHarness[Event](s, df =>
+      df.as[Event].groupByKey(_.user_id)
+        .transformWithState(new KvStoreProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[KvRow])
+        .toDF(),
+      "update", statePartitions = Some(4))
+    try evs.grouped(chunkSize).foreach(h.pipe)
+    finally h.close()
+    val folded = h.results()
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("value"), col("ts_sec"), col("ts_us"), col("deleted")),
+        struct(col("ts_us"), col("event_id"))).as("r"))
+      .select(col("user_id"), col("r.event_id").as("event_id"),
+        col("r.value").as("value"), col("r.ts_sec").as("ts_sec"),
+        col("r.ts_us").as("ts_us"), col("r.deleted").as("deleted"))
+      .filter(!col("deleted"))
+    val maxUs = evs.map(e => KvStoreProcessor.micros(e.ts)).max
+    folded
+      .filter(col("ts_us") >= lit(maxUs - 6L * 3600 * 1000000L))
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"), col("ts_sec"))
+  }
+
+  val q12s = QueryDef(
+    "q12s_kv_ttl_stream",
+    (s, d) => replayKv(s, d),
+    graft.operators.StatefulOps.q12.oracle,
+    doc = "q12 KV upsert + default TTL replayed through transformWithState: oracle-grades the core KV store",
+    scalePath = false
+  )
+
   /** The documents fixture replayed id-ordered through the dedup-at-
     * ingest engine ([[DedupStream.verifiedPairs]]: per-row MinHash
     * signatures, LSH bucket state, stream-static Jaccard verify),
@@ -420,5 +478,6 @@ object StreamTwins {
     scalePath = false
   )
 
-  val all: Seq[QueryDef] = Seq(q07s, q07r, q08s, q09s, q10s, q24s, dd3s, sim2s, sim2m)
+  val all: Seq[QueryDef] =
+    Seq(q07s, q07r, q08s, q09s, q10s, q12s, q24s, dd3s, sim2s, sim2m)
 }

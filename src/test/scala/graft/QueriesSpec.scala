@@ -33,6 +33,7 @@ class QueriesSpec extends SparkSpecBase {
     "q37_window_backward_fetch" -> 45,
     "q38_stratified_sample" -> 5,
     "q11_late_data_grace" -> 951, "q12_ttl_default" -> 6,
+    "q12s_kv_ttl_stream" -> 6,
     "q13_ttl_row_level" -> 11, "q13b_ttl_from_key" -> 12, "q14_dedup_first" -> 75,
     "q15_range_prefix" -> 8, "q16_reverse_range" -> 20, "q17_topk" -> 10,
     "q18_setops" -> 253, "q19_window_functions" -> 1500,
