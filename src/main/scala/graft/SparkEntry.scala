@@ -22,7 +22,8 @@ object SparkEntry {
   val registry: Seq[QueryDef] =
     Relational.all ++ WindowedAgg.all ++ StatefulOps.all ++ StatelessOps.all ++
       Dedup.all ++ Simhash.all ++ Similarity.all ++ TextOps.all ++ Multimodal.all ++
-      Pipeline.all ++ SkewOps.all ++ graft.streaming.StreamTwins.all
+      Pipeline.all ++ SkewOps.all ++ AsyncOps.all ++
+      graft.streaming.StreamTwins.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

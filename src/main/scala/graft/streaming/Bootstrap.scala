@@ -56,9 +56,7 @@ class BootstrapKvProcessor
       timerValues: TimerValues): Iterator[KvRow] = {
     var latest = if (state.exists()) state.get() else null
     rows.foreach { e =>
-      if (latest == null ||
-          e.ts.getTime > latest.ts.getTime ||
-          (e.ts.getTime == latest.ts.getTime && e.event_id > latest.event_id)) {
+      if (latest == null || KvStoreProcessor.newer(e, latest)) {
         latest = e
       }
     }

@@ -27,6 +27,15 @@ object KvStoreProcessor {
     * ambiguous within 1 s of the expiry boundary. */
   def micros(t: java.sql.Timestamp): Long =
     t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
+  /** LWW recency at full µs fidelity — `Timestamp.getTime` is
+    * ms-truncated, so comparing at ms could order a same-millisecond
+    * pair by event_id where the batch plans (and the DuckDB oracle)
+    * order by the µs timestamp first. */
+  def newer(a: Event, b: Event): Boolean = {
+    val am = micros(a.ts); val bm = micros(b.ts)
+    am > bm || (am == bm && a.event_id > b.event_id)
+  }
 }
 
 /** Per-key last-write-wins KV store — the ResponsiveKeyValueStore analog
@@ -81,19 +90,15 @@ class KvStoreProcessor(putIfAbsent: Boolean = false)
     var latest = if (state.exists()) state.get() else null
     var changed = false
     var lastTomb: Event = null
-    rows.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+    rows.toVector.sortBy(e => (KvStoreProcessor.micros(e.ts), e.event_id)).foreach { e =>
       if (e.event_type == KvStoreProcessor.Tombstone) {
         // consistent LWW: a tombstone deletes only data it is newer than
-        if (latest != null &&
-            (e.ts.getTime > latest.ts.getTime ||
-             (e.ts.getTime == latest.ts.getTime && e.event_id > latest.event_id))) {
+        if (latest != null && KvStoreProcessor.newer(e, latest)) {
           latest = null; changed = true; lastTomb = e
         }
       } else if (putIfAbsent) {
         if (latest == null) { latest = e; changed = true }
-      } else if (latest == null ||
-          e.ts.getTime > latest.ts.getTime ||
-          (e.ts.getTime == latest.ts.getTime && e.event_id > latest.event_id)) {
+      } else if (latest == null || KvStoreProcessor.newer(e, latest)) {
         latest = e
         changed = true
       }
@@ -157,9 +162,9 @@ class BatchByKeyProcessor(batchSize: Int) extends StatefulProcessor[Long, Event,
     var pending = if (buf.exists()) buf.get().toVector else Vector.empty[Event]
     val out = Vector.newBuilder[KeyBatch]
     // The shuffle into this operator does not preserve source order within
-    // a microbatch; normalize to (ts, event_id) — the per-partition offset
-    // order a Kafka-backed source would guarantee.
-    rows.toVector.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+    // a microbatch; normalize to (ts, event_id) at full µs fidelity — the
+    // per-partition offset order a Kafka-backed source would guarantee.
+    rows.toVector.sortBy(e => (KvStoreProcessor.micros(e.ts), e.event_id)).foreach { e =>
       if (e.event_type == "__flush") {
         if (pending.nonEmpty) { out += drain(key, pending); pending = Vector.empty }
       } else {

@@ -199,23 +199,32 @@ object StreamTwins {
     * second-truncated ts_sec is ambiguous within 1 s of the expiry
     * boundary, exactly the read-path `get(key, streamTimeMs)` contract
     * (PartitionedOperations.java:355-390). */
-  private def replayKv(s: SparkSession, d: String): DataFrame = {
+  /** Replay `feed` (must already be (ts, event_id)-ordered) chunked
+    * through [[KvStoreProcessor]] and return the accumulated
+    * update-mode changelog. */
+  private def kvChangelog(
+      s: SparkSession, feed: Vector[Event], putIfAbsent: Boolean = false): DataFrame = {
     import s.implicits._
-    val evs = Tables.events(s, d).as[Event].collect()
-      .sortBy(e => (e.ts.getTime, e.event_id)).toVector
-    val chunkSize = math.max(1, (evs.size + ReplayChunks - 1) / ReplayChunks)
+    val chunkSize = math.max(1, (feed.size + ReplayChunks - 1) / ReplayChunks)
     val h = TopologyTestHarness[Event](s, df =>
       df.as[Event].groupByKey(_.user_id)
-        .transformWithState(new KvStoreProcessor,
+        .transformWithState(new KvStoreProcessor(putIfAbsent),
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Update(),
           org.apache.spark.sql.Encoders.product[KvRow])
         .toDF(),
       "update", statePartitions = Some(4))
-    try evs.grouped(chunkSize).foreach(h.pipe)
+    try feed.grouped(chunkSize).foreach(h.pipe)
     finally h.close()
-    val folded = h.results()
-      .groupBy(col("user_id"))
+    h.results()
+  }
+
+  /** Fold an update-mode KV changelog to final state: per key the
+    * max-(ts_us, event_id) row (emissions are monotone in that order
+    * under a ts-ordered feed — the processor only emits on a newer
+    * winner), tombstone rows dropping the key. */
+  private def foldKv(chg: DataFrame): DataFrame =
+    chg.groupBy(col("user_id"))
       .agg(max_by(
         struct(col("event_id"), col("value"), col("ts_sec"), col("ts_us"), col("deleted")),
         struct(col("ts_us"), col("event_id"))).as("r"))
@@ -223,8 +232,17 @@ object StreamTwins {
         col("r.value").as("value"), col("r.ts_sec").as("ts_sec"),
         col("r.ts_us").as("ts_us"), col("r.deleted").as("deleted"))
       .filter(!col("deleted"))
+
+  private def orderedEvents(s: SparkSession, d: String): Vector[Event] = {
+    import s.implicits._
+    Tables.events(s, d).as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id)).toVector
+  }
+
+  private def replayKv(s: SparkSession, d: String): DataFrame = {
+    val evs = orderedEvents(s, d)
     val maxUs = evs.map(e => KvStoreProcessor.micros(e.ts)).max
-    folded
+    foldKv(kvChangelog(s, evs))
       .filter(col("ts_us") >= lit(maxUs - 6L * 3600 * 1000000L))
       .select(col("user_id"), col("event_id"),
         round(col("value"), 2).as("value"), col("ts_sec"))
@@ -235,6 +253,76 @@ object StreamTwins {
     (s, d) => replayKv(s, d),
     graft.operators.StatefulOps.q12.oracle,
     doc = "q12 KV upsert + default TTL replayed through transformWithState: oracle-grades the core KV store",
+    scalePath = false
+  )
+
+  /** putIfAbsent mode through the same runtime — the fact-table write
+    * discipline (first write wins, later upserts ignored;
+    * ResponsiveKeyValueStore.java:158-164 applied store-wide,
+    * api/stores/ResponsiveStores.java:73-96). The changelog must
+    * contain exactly each key's FIRST event: a later upsert that
+    * slips through (in-batch or cross-batch) emits a newer row and
+    * breaks the hash. */
+  val q12p = QueryDef(
+    "q12p_kv_put_if_absent_stream",
+    (s, d) => foldKv(kvChangelog(s, orderedEvents(s, d), putIfAbsent = true))
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"), col("ts_sec")),
+    Some("""SELECT user_id, event_id, round(value, 2) AS value,
+           |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+           |FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id
+           |                                     ORDER BY ts, event_id) AS rn
+           |      FROM events e) WHERE rn = 1""".stripMargin),
+    doc = "putIfAbsent (first-write-wins) replayed through transformWithState: oracle-grades the fact-store discipline",
+    scalePath = false
+  )
+
+  /** The KV delete → re-insert lifecycle through the same runtime: a
+    * synthetic tombstone (the Kafka null-value record) arrives for
+    * every user_id % 7 == 0 key AFTER all real events, and for
+    * user_id % 14 == 0 a re-insert follows the tombstone — so the
+    * final state drops tombstoned keys, keeps everyone else's LWW
+    * winner, and resurrects the re-inserted keys with the synthetic
+    * row (physical delete: the re-insert is a fresh first write, the
+    * Kafka-compaction behavior once delete.retention.ms lapses;
+    * ResponsiveKeyValueStore.java:148-155). The synthetic rows are
+    * pure functions of user_id and max(ts), so the whole lifecycle is
+    * SQL-expressible and driver-graded. */
+  private def replayKvTombstones(s: SparkSession, d: String): DataFrame = {
+    val evs = orderedEvents(s, d)
+    val maxMs = evs.map(_.ts.getTime).max
+    val users = evs.map(_.user_id).distinct.sorted
+    val tombs = users.filter(_ % 7 == 0).map(u => Event(
+      2000000000L + u, new java.sql.Timestamp(maxMs + 3600L * 1000), u,
+      KvStoreProcessor.Tombstone, 0.0, "{}"))
+    val reins = users.filter(_ % 14 == 0).map(u => Event(
+      3000000000L + u, new java.sql.Timestamp(maxMs + 2 * 3600L * 1000), u,
+      "reinsert", (u % 100) / 10.0, "{}"))
+    val feed = (evs ++ tombs ++ reins)
+      .sortBy(e => (e.ts.getTime, e.event_id)).toVector
+    foldKv(kvChangelog(s, feed))
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"), col("ts_sec"))
+  }
+
+  val q12d = QueryDef(
+    "q12d_kv_tombstone_stream",
+    (s, d) => replayKvTombstones(s, d),
+    Some("""WITH latest AS (
+           |  SELECT * FROM (
+           |    SELECT e.*, row_number() OVER (PARTITION BY user_id
+           |                                   ORDER BY ts DESC, event_id DESC) AS rn
+           |    FROM events e) WHERE rn = 1),
+           |mx AS (SELECT max(ts) AS m FROM events)
+           |SELECT user_id, event_id, round(value, 2) AS value,
+           |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+           |FROM latest WHERE user_id % 7 <> 0
+           |UNION ALL
+           |SELECT DISTINCT user_id, 3000000000 + user_id AS event_id,
+           |  round((user_id % 100) / 10.0, 2) AS value,
+           |  CAST(floor(epoch(m + INTERVAL 2 HOUR)) AS BIGINT) AS ts_sec
+           |FROM events, mx WHERE user_id % 14 = 0""".stripMargin),
+    doc = "KV tombstone + re-insert lifecycle replayed through transformWithState: oracle-grades physical delete",
     scalePath = false
   )
 
@@ -479,5 +567,5 @@ object StreamTwins {
   )
 
   val all: Seq[QueryDef] =
-    Seq(q07s, q07r, q08s, q09s, q10s, q12s, q24s, dd3s, sim2s, sim2m)
+    Seq(q07s, q07r, q08s, q09s, q10s, q12s, q12p, q12d, q24s, dd3s, sim2s, sim2m)
 }

@@ -30,10 +30,12 @@ class QueriesSpec extends SparkSpecBase {
     "q08b_hopping_sliced" -> 11379,
     "q09_session_window" -> 946, "q09b_session_grace" -> 946,
     "q10_interval_join" -> 1, "q10s_interval_join_stream" -> 1,
+    "q58_async_running_sum" -> 1000,
     "q37_window_backward_fetch" -> 45,
     "q38_stratified_sample" -> 5,
     "q11_late_data_grace" -> 951, "q12_ttl_default" -> 6,
     "q12s_kv_ttl_stream" -> 6,
+    "q12p_kv_put_if_absent_stream" -> 15, "q12d_kv_tombstone_stream" -> 14,
     "q13_ttl_row_level" -> 11, "q13b_ttl_from_key" -> 12, "q14_dedup_first" -> 75,
     "q15_range_prefix" -> 8, "q16_reverse_range" -> 20, "q17_topk" -> 10,
     "q18_setops" -> 253, "q19_window_functions" -> 1500,
