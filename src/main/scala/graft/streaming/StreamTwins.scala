@@ -305,6 +305,58 @@ object StreamTwins {
         round(col("value"), 2).as("value"), col("ts_sec"))
   }
 
+  /** Interactive queries driver-graded: the events replay through a
+    * CHECKPOINTED KvStoreProcessor query (foreachBatch discard sink —
+    * the sink is irrelevant; the state is the product), then the final
+    * answer is read NOT from any sink but directly from the operator's
+    * ValueState via the statestore reader — Spark's analog of the
+    * reference's interactive queries over the remote store
+    * (kafka-client/src/main/java/dev/responsive/kafka/internal/stores/PartitionedOperations.java:355-390
+    * read path; IQ position/staleness pinned by StateLifecycleSpec).
+    * The oracle is the batch latest-per-user materialization, so a
+    * state row the reader misses, duplicates, or reads with a stale
+    * value breaks the hash — this grades the STORE CONTENTS, where the
+    * other twins grade emitted changelogs. */
+  private def replayIq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = orderedEvents(s, d)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q59").toString
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+    val chunkSize = math.max(1, (evs.size + ReplayChunks - 1) / ReplayChunks)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    val q =
+      try ms.toDF().as[Event].groupByKey(_.user_id)
+        .transformWithState(new KvStoreProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          org.apache.spark.sql.Encoders.product[KvRow])
+        .toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) => b.count(); () }
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+      finally s.conf.set(key, prev)
+    try evs.grouped(chunkSize).foreach { c => ms.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    s.read.format("statestore").option("path", ckpt).option("stateVarName", "kv").load()
+      .select(col("value.*"))
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"), col("ts").cast("long").as("ts_sec"))
+  }
+
+  val q59 = QueryDef(
+    "q59_interactive_query",
+    (s, d) => replayIq(s, d),
+    Some("""SELECT user_id, event_id, round(value, 2) AS value,
+           |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+           |FROM (SELECT e.*, row_number() OVER (PARTITION BY user_id
+           |                                     ORDER BY ts DESC, event_id DESC) AS rn
+           |      FROM events e) WHERE rn = 1""".stripMargin),
+    doc = "checkpointed KV state read back via the statestore source: oracle-grades interactive queries",
+    scalePath = false
+  )
+
   val q12d = QueryDef(
     "q12d_kv_tombstone_stream",
     (s, d) => replayKvTombstones(s, d),
@@ -567,5 +619,5 @@ object StreamTwins {
   )
 
   val all: Seq[QueryDef] =
-    Seq(q07s, q07r, q08s, q09s, q10s, q12s, q12p, q12d, q24s, dd3s, sim2s, sim2m)
+    Seq(q07s, q07r, q08s, q09s, q10s, q12s, q12p, q12d, q24s, q59, dd3s, sim2s, sim2m)
 }

@@ -36,6 +36,7 @@ class QueriesSpec extends SparkSpecBase {
     "q11_late_data_grace" -> 951, "q12_ttl_default" -> 6,
     "q12s_kv_ttl_stream" -> 6,
     "q12p_kv_put_if_absent_stream" -> 15, "q12d_kv_tombstone_stream" -> 14,
+    "q59_interactive_query" -> 15,
     "q13_ttl_row_level" -> 11, "q13b_ttl_from_key" -> 12, "q14_dedup_first" -> 75,
     "q15_range_prefix" -> 8, "q16_reverse_range" -> 20, "q17_topk" -> 10,
     "q18_setops" -> 253, "q19_window_functions" -> 1500,
