@@ -47,6 +47,22 @@ object FkScaleProbe {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.numRecentProgressUpdates", "2000")
+      // Cap RocksDB's NATIVE allocation (write buffers + block cache
+      // shared across all store instances): a 1000× run holds ~300M
+      // state rows across 64 store partitions, and an uncapped native
+      // footprint next to a large JVM heap squeezed the box until a
+      // RocksDB JNI thread SEGV'd. Keep the driver heap moderate
+      // (SPARK_DRIVER_MEM≈48g) and let the state live here.
+      .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+      .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+        sys.env.getOrElse("SPARK_GRAFT_ROCKS_MB", "16384"))
+      // The default minBatchesToRetain=100 keeps ~100 full state
+      // versions in the checkpoint — at ~300M state rows that was 25 GB
+      // and filled the disk mid-run (the root cause behind both 1000×
+      // failures: RocksDB's background compaction hit ENOSPC and its
+      // error-logging JNI path SEGV'd). A probe needs no deep replay
+      // history; retain the minimum.
+      .config("spark.sql.streaming.minBatchesToRetain", "2")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -125,13 +141,25 @@ object FkScaleProbe {
     }
 
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Crash-durable artifact: RocksDB's JNI teardown SEGV'd a 1000×
+    // run AFTER pass 1's measurements were complete and lost them —
+    // flush the partial artifact (finished:false) after every pass so
+    // a native crash costs only the phases that never ran.
+    def flush(finished: Boolean): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/fk_scale.json"),
+        s"""{"src":"$src","files_per_trigger":$mft,"finished":$finished,${parts.mkString(",")}}\n""")
+      ()
+    }
     try {
       val n1 = copyPass(1)
       println(s"FKSCALE pass1: $n1 order files staged")
       parts += drain("pass1")._2
+      flush(finished = false)
       val n2 = copyPass(2)
       println(s"FKSCALE pass2 (recurring keys): $n2 files re-staged")
       parts += drain("pass2")._2
+      flush(finished = false)
     } finally q.stop()
 
     // parity: fold the changelog to final state, aggregate per nation,
@@ -160,9 +188,7 @@ object FkScaleProbe {
       (if (bad == 0 && fn == bn) "MATCH" else "MISMATCH"))
     parts += s""""parity":{"nations":$fn,"batch_nations":$bn,"mismatched":$bad,"match":${bad == 0 && fn == bn}}"""
 
-    locally { java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir)); () }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/fk_scale.json"),
-      s"""{"src":"$src","files_per_trigger":$mft,${parts.mkString(",")}}\n""")
+    flush(finished = true)
     println(s"FKSCALE artifact $outDir/fk_scale.json")
     Seq(staging, ckpt, sink).foreach(p => rm(new java.io.File(p)))
     spark.stop()
