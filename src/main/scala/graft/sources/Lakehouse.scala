@@ -431,6 +431,36 @@ object Lakehouse {
     * tombstone sidecar is cleared afterwards: its work is now baked into
     * the files. Same mutual-exclusion contract as [[compactBucketed]]:
     * stop ingest streams around the call. */
+  /** Is a maintained table's sliver population worth a compaction
+    * rewrite? The rewrite costs ∝ TABLE bytes while its benefit tracks
+    * the bytes APPENDED since the last rewrite — so a fixed
+    * batch-count cadence that pays off on a 200k-row table overpays
+    * ~10× on a 2M-row one (measured: MAINT_r13_1000x_nc 213 s beat
+    * _c8's 268 s over 16 batches, while nc's gauges grew monotonically
+    * — the cadence must amortize the rewrite over appended volume
+    * ∝ table size). `ratio` = sliver-bytes / base-bytes to tolerate
+    * before a rewrite is due, where the base generation is the
+    * `numBuckets` LARGEST files (a fully-compacted table holds exactly
+    * one file per bucket) and everything smaller is append sliver.
+    * Because the threshold scales with the table itself, the SAME
+    * ratio fires at the right time at every corpus decade — a
+    * file-count trigger would fire at the same batch count at 100×
+    * and 1000× even though the 1000× rewrite costs 10× more. The
+    * check is one directory listing (sizes are listing metadata — no
+    * data read). Delete-heavy streams should keep `ratio` modest:
+    * tombstoned rows occupy base bytes and the read-side sidecar
+    * until a rewrite bakes them out. */
+  def compactionDue(s: SparkSession, table: String, ratio: Double): Boolean = {
+    val spec = bucketSpecOf(s, table)
+    val loc = warehouseLoc(s, table)
+    val sizes = Option(loc.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.length()).sortBy(-_)
+    val base = sizes.take(spec.numBuckets).sum
+    val sliver = sizes.drop(spec.numBuckets).sum
+    base <= 0 || sliver >= ratio * base
+  }
+
   def compactMaintained(s: SparkSession, table: String, idCol: String): Unit = {
     compactSwap(s, table, bucketSpecOf(s, table),
       raw => maskTombstones(s, table, raw, idCol).dropDuplicates())

@@ -121,11 +121,23 @@ object IndexIngest {
     * ([[ServeStream]] does). Runs AFTER the batch's commit record — a
     * crash between them costs only a deferred compaction, never a lost
     * batch. */
+  /** `compactSliverRatio`: volume trigger layered on the cadence — at
+    * a cadence tick each maintained table compacts only if its
+    * appended sliver bytes have reached `ratio` × its base-generation
+    * bytes ([[graft.sources.Lakehouse.compactionDue]]). The rewrite
+    * costs ∝ table rows while its benefit tracks appended volume, so a
+    * pure batch-count cadence tuned on a small table overpays on a big
+    * one (MAINT_r13_1000x_nc vs _c8: every-8 rewrites of three
+    * 2M-row tables cost more than the slivers they cleared over a
+    * 16-batch run). Because the threshold scales with the table, the
+    * same ratio defers on a 10× corpus exactly when deferral wins.
+    * The default 0 keeps the unconditional cadence. */
   def maintainPrefixIndex(
       vecs: DataFrame, corpusDir: String,
       checkpointDir: Option[String] = None,
       upserts: Boolean = true,
-      compactEvery: Option[Int] = None): StreamingQuery = {
+      compactEvery: Option[Int] = None,
+      compactSliverRatio: Double = 0.0): StreamingQuery = {
     val s = vecs.sparkSession
     val table = graft.operators.Similarity.prefixIndexTable(s, corpusDir)
     // the frozen quantizer: √K coarse anchors driver-resident, K-row
@@ -221,9 +233,13 @@ object IndexIngest {
             // counts around the rewrite, and a relation cached from
             // before this batch's append under-counts the snapshot
             s.catalog.refreshTable(table)
-            graft.sources.Lakehouse.compactMaintained(s, table, "vec_id")
-            kmT.foreach(graft.sources.Lakehouse.compactMaintained(s, _, "vec_id"))
-            pqT.foreach(graft.sources.Lakehouse.compactMaintained(s, _, "vec_id"))
+            // per-table volume trigger: tables whose sliver population
+            // does not yet justify a full rewrite skip this tick
+            (Seq(table) ++ kmT ++ pqT).foreach { t =>
+              if (compactSliverRatio <= 0 ||
+                  graft.sources.Lakehouse.compactionDue(s, t, compactSliverRatio))
+                graft.sources.Lakehouse.compactMaintained(s, t, "vec_id")
+            }
           }
         }
         // the insert runs in the micro-batch's CLONED session; its

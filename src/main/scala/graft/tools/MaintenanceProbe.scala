@@ -28,6 +28,8 @@ import org.apache.spark.sql.functions._
   * dir, default /tmp), SPARK_GRAFT_MAINT_BATCHES (default 16),
   * SPARK_GRAFT_MAINT_ROWS (rows/batch, default 5000),
   * SPARK_GRAFT_MAINT_COMPACT (compactEvery; 0 = never, default 8),
+  * SPARK_GRAFT_MAINT_SLIVER (compactSliverRatio volume trigger at the
+  * cadence tick; 0 = unconditional, default 0),
   * SPARK_GRAFT_MAINT_TAG (artifact suffix, default the compact knob),
   * SPARK_GRAFT_MAINT_SERVE=1 (run a CONCURRENT serving thread: a
   * prefix-kind searchTopk loop against the maintained index while
@@ -42,8 +44,14 @@ object MaintenanceProbe {
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_MAINT_BATCHES", "16").toInt
     val rowsPer = sys.env.getOrElse("SPARK_GRAFT_MAINT_ROWS", "5000").toInt
     val compactN = sys.env.getOrElse("SPARK_GRAFT_MAINT_COMPACT", "8").toInt
+    // volume trigger layered on the cadence (Lakehouse.compactionDue):
+    // at a tick each table compacts only if sliver bytes >= ratio x
+    // base bytes. 0 = unconditional cadence (the pre-round-13 runs).
+    val sliverRatio =
+      sys.env.getOrElse("SPARK_GRAFT_MAINT_SLIVER", "0").toDouble
     val tag = sys.env.getOrElse("SPARK_GRAFT_MAINT_TAG",
-      if (compactN > 0) s"c$compactN" else "nc")
+      if (compactN > 0 && sliverRatio > 0) s"c${compactN}v"
+      else if (compactN > 0) s"c$compactN" else "nc")
 
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
@@ -139,7 +147,8 @@ object MaintenanceProbe {
     val q = graft.streaming.IndexIngest.maintainPrefixIndex(
       ms.toDF().toDF("vec_id", "embedding"), corpusDir,
       checkpointDir = Some(ckpt),
-      compactEvery = if (compactN > 0) Some(compactN) else None)
+      compactEvery = if (compactN > 0) Some(compactN) else None,
+      compactSliverRatio = sliverRatio)
     // optional concurrent server: one thread looping sentinel-query
     // serves against the maintained prefix index while the stream
     // appends and (at the cadence) compacts underneath it. Records
@@ -207,7 +216,7 @@ object MaintenanceProbe {
 
     val json =
       s"""{"src":"$src","corpus_rows":$corpusN,"batches":$nBatches,"rows_per_batch":$rowsPer,""" +
-        s""""compact_every":$compactN,"fed_rows":$fedRows,""" +
+        s""""compact_every":$compactN,"sliver_ratio":$sliverRatio,"fed_rows":$fedRows,""" +
         f""""total_sec":$totalSec%.1f,"rows_per_sec":${fedRows / totalSec}%.0f,""" +
         lands.map { case (k, s) => f""""land_${k}_sec":$s%.1f""" }.mkString(",") + "," +
         checks.map { case (k, (i, d)) =>

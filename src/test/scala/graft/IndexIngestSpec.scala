@@ -349,4 +349,47 @@ class IndexIngestSpec extends SparkSpecBase with BeforeAndAfterAll {
       .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
     assert(got.contains(950000L) && got.contains(9L))
   }
+
+  test("compactSliverRatio gates the cadence on appended volume (MAINT_r13_1000x break-even rule)") {
+    import spark.implicits._
+    val tbl = Similarity.prefixIndexTable(spark, corpusDir)
+    val emb3 = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // ensure the landing is resolved; prior suite tests left it compacted
+    Similarity.searchTopk(spark, corpusDir, "prefix",
+      Seq((-1L, emb3.map(_.toDouble)))).count()
+    val baseFiles = indexFiles(tbl).size
+    // ratio far above what two tiny appends can reach against the
+    // landed base generation: the cadence tick must SKIP (sliver
+    // files keep growing past base)
+    val src1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q1 = graft.streaming.IndexIngest.maintainPrefixIndex(
+      src1.toDF().toDF("vec_id", "embedding"), corpusDir,
+      compactEvery = Some(1), compactSliverRatio = 1000.0)
+    try {
+      src1.addData(Seq((960000L, emb3))); q1.processAllAvailable()
+      src1.addData(Seq((960001L, emb3))); q1.processAllAvailable() // tick fires, volume check skips
+    } finally q1.stop()
+    assert(indexFiles(tbl).size > baseFiles,
+      "high ratio: the cadence tick must leave the sliver files in place")
+    // ratio 0 restores the unconditional cadence: slivers fold away
+    val src2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q2 = graft.streaming.IndexIngest.maintainPrefixIndex(
+      src2.toDF().toDF("vec_id", "embedding"), corpusDir,
+      compactEvery = Some(1), compactSliverRatio = 0.0)
+    try {
+      src2.addData(Seq((960002L, emb3))); q2.processAllAvailable()
+      src2.addData(Seq((960003L, emb3))); q2.processAllAvailable() // tick compacts
+    } finally q2.stop()
+    assert(indexFiles(tbl).size <= 16,
+      "ratio 0: the cadence must fold slivers back to <= bucket-count files")
+    // nothing lost either way: all four maintained ids serve
+    val got = Similarity.searchTopk(spark, corpusDir, "prefix",
+      Seq((-98L, emb3.map(_.toDouble))), Similarity.defaultNprobe(spark, corpusDir))
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(Seq(960000L, 960001L, 960002L, 960003L).forall(got.contains),
+      s"maintained ids must all serve; got $got")
+  }
 }
