@@ -191,6 +191,7 @@ object Lakehouse {
           locally { val td = tombsDir(s, table); if (td.exists()) rmTree(td) }
           java.nio.file.Files.write(marker.toPath,
             s"$fingerprint\n$spec\n${data.schema.toDDL}".getBytes("UTF-8"))
+          stampGeneration(loc) // volume-trigger denominator ([[compactionDue]])
           s.table(table)
       }
     }
@@ -322,6 +323,10 @@ object Lakehouse {
       if (loc.exists()) rmTree(loc) // reuse-path tables are EXTERNAL — drop leaves the files
       s.sql(s"ALTER TABLE `$stage` RENAME TO `$table`") // moves the compacted dir (incl. marker) into place
       s.catalog.refreshTable(table)
+      // new generation: the rewrite is the volume-trigger's new baseline
+      // (the stage carried no _graft_gen, so a crash right here leaves a
+      // markless table that simply re-adopts at the next cadence tick)
+      stampGeneration(loc)
     }
   }
 
@@ -431,6 +436,31 @@ object Lakehouse {
     * tombstone sidecar is cleared afterwards: its work is now baked into
     * the files. Same mutual-exclusion contract as [[compactBucketed]]:
     * stop ingest streams around the call. */
+  /** Sum of a table location's DATA bytes (parquet files; `_`/`.`
+    * sidecars excluded) — one directory listing, sizes are metadata. */
+  private def dataBytes(loc: java.io.File): Long =
+    Option(loc.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.length()).sum
+
+  /** Record the current data-byte total as the table's GENERATION
+    * mark: the denominator [[compactionDue]] measures appended volume
+    * against. Stamped at every clean landing and after every
+    * compaction swap; dies with the location on a re-land. */
+  private def stampGeneration(loc: java.io.File): Unit = {
+    java.nio.file.Files.write(new java.io.File(loc, "_graft_gen").toPath,
+      dataBytes(loc).toString.getBytes("UTF-8"))
+    ()
+  }
+
+  /** Generation byte mark of `table`, if stamped. */
+  private[graft] def generationBytes(s: SparkSession, table: String): Option[Long] = {
+    val f = new java.io.File(warehouseLoc(s, table), "_graft_gen")
+    if (f.isFile)
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toLongOption
+    else None
+  }
+
   /** Is a maintained table's sliver population worth a compaction
     * rewrite? The rewrite costs ∝ TABLE bytes while its benefit tracks
     * the bytes APPENDED since the last rewrite — so a fixed
@@ -438,27 +468,28 @@ object Lakehouse {
     * ~10× on a 2M-row one (measured: MAINT_r13_1000x_nc 213 s beat
     * _c8's 268 s over 16 batches, while nc's gauges grew monotonically
     * — the cadence must amortize the rewrite over appended volume
-    * ∝ table size). `ratio` = sliver-bytes / base-bytes to tolerate
-    * before a rewrite is due, where the base generation is the
-    * `numBuckets` LARGEST files (a fully-compacted table holds exactly
-    * one file per bucket) and everything smaller is append sliver.
-    * Because the threshold scales with the table itself, the SAME
-    * ratio fires at the right time at every corpus decade — a
-    * file-count trigger would fire at the same batch count at 100×
-    * and 1000× even though the 1000× rewrite costs 10× more. The
-    * check is one directory listing (sizes are listing metadata — no
-    * data read). Delete-heavy streams should keep `ratio` modest:
-    * tombstoned rows occupy base bytes and the read-side sidecar
+    * ∝ table size). Due when `currentBytes - generationBytes >= ratio
+    * × generationBytes`, where the generation mark is the byte total
+    * stamped at the last landing/compaction (`_graft_gen`) — the exact
+    * appended-since-rewrite volume, immune to landing layout (a fresh
+    * land leaves partitions × buckets files, so any largest-N-files
+    * heuristic misreads most of the landing as sliver; the first
+    * implementation did and fired at every first tick). Because the
+    * threshold scales with the table itself, the SAME ratio fires at
+    * the right time at every corpus decade — a file-count trigger
+    * would fire at the same batch count at 100× and 1000× even though
+    * the 1000× rewrite costs 10× more. A table without a mark (landed
+    * before this feature) adopts NOW as its generation start and
+    * defers. Delete-heavy streams should keep `ratio` modest:
+    * tombstoned rows add no bytes but occupy the read-side sidecar
     * until a rewrite bakes them out. */
   def compactionDue(s: SparkSession, table: String, ratio: Double): Boolean = {
-    val spec = bucketSpecOf(s, table)
     val loc = warehouseLoc(s, table)
-    val sizes = Option(loc.listFiles()).toSeq.flatten
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .map(_.length()).sortBy(-_)
-    val base = sizes.take(spec.numBuckets).sum
-    val sliver = sizes.drop(spec.numBuckets).sum
-    base <= 0 || sliver >= ratio * base
+    generationBytes(s, table) match {
+      case Some(gen) if gen > 0 => dataBytes(loc) - gen >= ratio * gen
+      case Some(_) => true // empty generation: any append justifies a rewrite
+      case None => stampGeneration(loc); false
+    }
   }
 
   def compactMaintained(s: SparkSession, table: String, idCol: String): Unit = {

@@ -122,9 +122,10 @@ object IndexIngest {
     * crash between them costs only a deferred compaction, never a lost
     * batch. */
   /** `compactSliverRatio`: volume trigger layered on the cadence — at
-    * a cadence tick each maintained table compacts only if its
-    * appended sliver bytes have reached `ratio` × its base-generation
-    * bytes ([[graft.sources.Lakehouse.compactionDue]]). The rewrite
+    * a cadence tick each maintained table compacts only if the bytes
+    * appended since its last landing/compaction have reached `ratio` ×
+    * its generation byte mark
+    * ([[graft.sources.Lakehouse.compactionDue]]). The rewrite
     * costs ∝ table rows while its benefit tracks appended volume, so a
     * pure batch-count cadence tuned on a small table overpays on a big
     * one (MAINT_r13_1000x_nc vs _c8: every-8 rewrites of three

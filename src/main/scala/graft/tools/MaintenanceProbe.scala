@@ -130,15 +130,21 @@ object MaintenanceProbe {
     val sfx = java.security.MessageDigest.getInstance("MD5")
       .digest(corpusDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val allTables = Seq(tbl, s"graft_ann_km_index_$sfx", s"graft_ann_ivfpq_$sfx")
-    def gauges(): (Long, Int) = {
+    def gauges(): (Long, Int, Long, Long) = {
       val tombs = allTables.flatMap(t =>
         graft.sources.Lakehouse.tombstones(spark, t).map(_.count())).sum
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      val files = allTables.map { t =>
+      var files = 0; var bytes = 0L
+      allTables.foreach { t =>
         val d = new java.io.File(wh, t.toLowerCase(java.util.Locale.ROOT))
-        Option(d.listFiles()).toSeq.flatten.count(_.getName.endsWith(".parquet"))
-      }.sum
-      (tombs, files)
+        Option(d.listFiles()).toSeq.flatten.filter(_.getName.endsWith(".parquet"))
+          .foreach { f => files += 1; bytes += f.length() }
+      }
+      // the volume-trigger state: appended-since-generation bytes vs the
+      // generation mark summed across tables (per-table in compactionDue)
+      val gen = allTables.flatMap(t =>
+        graft.sources.Lakehouse.generationBytes(spark, t)).sum
+      (tombs, files, bytes - gen, gen)
     }
 
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -187,10 +193,10 @@ object MaintenanceProbe {
         ms.addData(rows)
         q.processAllAvailable()
         val sec = (System.nanoTime() - bt0) / 1e9
-        val (tombs, files) = gauges()
+        val (tombs, files, sliverB, genB) = gauges()
         perBatch +=
-          f"""{"batch":$b,"rows":${rows.size},"sec":$sec%.2f,"tomb_rows":$tombs,"index_files":$files}"""
-        println(f"PROBE maint batch $b ${rows.size} rows $sec%.2f s tombs=$tombs files=$files")
+          f"""{"batch":$b,"rows":${rows.size},"sec":$sec%.2f,"tomb_rows":$tombs,"index_files":$files,"sliver_bytes":$sliverB,"gen_bytes":$genB}"""
+        println(f"PROBE maint batch $b ${rows.size} rows $sec%.2f s tombs=$tombs files=$files sliver=$sliverB gen=$genB")
       }
     } finally q.stop()
     serving = false

@@ -361,19 +361,21 @@ class IndexIngestSpec extends SparkSpecBase with BeforeAndAfterAll {
     Similarity.searchTopk(spark, corpusDir, "prefix",
       Seq((-1L, emb3.map(_.toDouble)))).count()
     val baseFiles = indexFiles(tbl).size
-    // ratio far above what two tiny appends can reach against the
-    // landed base generation: the cadence tick must SKIP (sliver
-    // files keep growing past base)
+    // two tiny appends cannot reach half the generation mark, so the
+    // cadence tick must SKIP — and because the mark is the stamped
+    // byte total (not a largest-N-files guess), a fresh multi-file
+    // landing layout must not read as sliver and trip a moderate
+    // ratio (the first implementation fired every first tick at 1000×)
     val src1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
     val q1 = graft.streaming.IndexIngest.maintainPrefixIndex(
       src1.toDF().toDF("vec_id", "embedding"), corpusDir,
-      compactEvery = Some(1), compactSliverRatio = 1000.0)
+      compactEvery = Some(1), compactSliverRatio = 0.5)
     try {
       src1.addData(Seq((960000L, emb3))); q1.processAllAvailable()
       src1.addData(Seq((960001L, emb3))); q1.processAllAvailable() // tick fires, volume check skips
     } finally q1.stop()
     assert(indexFiles(tbl).size > baseFiles,
-      "high ratio: the cadence tick must leave the sliver files in place")
+      "below-threshold ratio: the cadence tick must leave the sliver files in place")
     // ratio 0 restores the unconditional cadence: slivers fold away
     val src2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
     val q2 = graft.streaming.IndexIngest.maintainPrefixIndex(
