@@ -147,8 +147,9 @@ object FkScaleProbe {
     // a native crash costs only the phases that never ran.
     def flush(finished: Boolean): Unit = {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      val shufParts = spark.conf.get("spark.sql.shuffle.partitions")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/fk_scale.json"),
-        s"""{"src":"$src","files_per_trigger":$mft,"finished":$finished,${parts.mkString(",")}}\n""")
+        s"""{"src":"$src","files_per_trigger":$mft,"shuffle_partitions":$shufParts,"finished":$finished,${parts.mkString(",")}}\n""")
       ()
     }
     try {
