@@ -132,13 +132,22 @@ object IndexIngest {
     * 2M-row tables cost more than the slivers they cleared over a
     * 16-batch run). Because the threshold scales with the table, the
     * same ratio defers on a 10× corpus exactly when deferral wins.
-    * The default 0 keeps the unconditional cadence. */
+    * The default 0 keeps the unconditional cadence.
+    *
+    * `compactMaxTombstones`: the byte trigger's blind spot is deletes —
+    * a tombstone appends ~no bytes but grows the read-side mask
+    * sidecar (101k rows between big-table fires in the 48-batch 1000×
+    * run), and on a delete-heavy stream the sidecar broadcast becomes
+    * the cliff long before appended bytes cross the ratio. When > 0, a
+    * cadence tick also folds any table whose sidecar holds ≥ this many
+    * tombstone rows, regardless of the byte ratio. 0 = off. */
   def maintainPrefixIndex(
       vecs: DataFrame, corpusDir: String,
       checkpointDir: Option[String] = None,
       upserts: Boolean = true,
       compactEvery: Option[Int] = None,
-      compactSliverRatio: Double = 0.0): StreamingQuery = {
+      compactSliverRatio: Double = 0.0,
+      compactMaxTombstones: Long = 0L): StreamingQuery = {
     val s = vecs.sparkSession
     val table = graft.operators.Similarity.prefixIndexTable(s, corpusDir)
     // the frozen quantizer: √K coarse anchors driver-resident, K-row
@@ -237,8 +246,14 @@ object IndexIngest {
             // per-table volume trigger: tables whose sliver population
             // does not yet justify a full rewrite skip this tick
             (Seq(table) ++ kmT ++ pqT).foreach { t =>
-              if (compactSliverRatio <= 0 ||
-                  graft.sources.Lakehouse.compactionDue(s, t, compactSliverRatio))
+              val volumeDue = compactSliverRatio <= 0 ||
+                graft.sources.Lakehouse.compactionDue(s, t, compactSliverRatio)
+              // delete-heavy guard: tombstones add no bytes, so the mask
+              // sidecar can outgrow its broadcast long before the ratio
+              lazy val tombsDue = compactMaxTombstones > 0 &&
+                graft.sources.Lakehouse.tombstones(s, t)
+                  .exists(_.count() >= compactMaxTombstones)
+              if (volumeDue || tombsDue)
                 graft.sources.Lakehouse.compactMaintained(s, t, "vec_id")
             }
           }

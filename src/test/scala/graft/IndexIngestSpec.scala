@@ -394,4 +394,34 @@ class IndexIngestSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(Seq(960000L, 960001L, 960002L, 960003L).forall(got.contains),
       s"maintained ids must all serve; got $got")
   }
+
+  test("compactMaxTombstones folds a delete-heavy stream the byte ratio would defer") {
+    import spark.implicits._
+    val tbl = Similarity.prefixIndexTable(spark, corpusDir)
+    val emb5 = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      .filter(col("vec_id") === 5)
+      .select(col("embedding").cast("array<float>")).as[Array[Float]].head()
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    Similarity.searchTopk(spark, corpusDir, "prefix",
+      Seq((-1L, emb5.map(_.toDouble)))).count()
+    // insert then delete the same id: the delete appends ~no bytes, so
+    // ratio 1000 never fires on volume — the sidecar bound must fold
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.IndexIngest.maintainPrefixIndex(
+      src.toDF().toDF("vec_id", "embedding"), corpusDir,
+      compactEvery = Some(1), compactSliverRatio = 1000.0,
+      compactMaxTombstones = 1L)
+    try {
+      src.addData(Seq((970000L, emb5))); q.processAllAvailable()
+      src.addData(Seq((970000L, null: Array[Float]))); q.processAllAvailable()
+    } finally q.stop()
+    assert(indexFiles(tbl).size <= 16,
+      "the tombstone bound must fold the table at the tick")
+    assert(graft.sources.Lakehouse.tombstones(spark, tbl).isEmpty,
+      "compaction must clear the mask sidecar")
+    val got = Similarity.searchTopk(spark, corpusDir, "prefix",
+      Seq((-99L, emb5.map(_.toDouble))), Similarity.defaultNprobe(spark, corpusDir))
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
+    assert(!got.contains(970000L), "the deleted id must stay masked after the fold")
+  }
 }
