@@ -132,25 +132,54 @@ object WinScaleProbe {
     // 2-decimal rounded sums compare within one ulp of the rounding grid
     // (stream folds per-batch partials, batch folds per-split —
     // bit-equality would test double association, not the engine).
-    def aggMismatch(keyCols: Seq[String])(streamed: DataFrame, batch: DataFrame): Long =
-      streamed.as("s").join(batch.as("b"), keyCols, "full_outer")
-        .select((col("s.n") === col("b.n") &&
-          abs(col("s.sum_value") - col("b.sum_value")) <= lit(0.011)).as("ok"))
-        .filter(!col("ok") || col("ok").isNull).count()
+    def aggMismatch(keyCols: Seq[String])(streamed: DataFrame, batch: DataFrame): (Long, Long, Long) = {
+      val r = streamed.as("s").join(batch.as("b"), keyCols, "full_outer")
+        .select(col("s.n").as("sn"), col("b.n").as("bn"),
+          (col("s.n") === col("b.n") &&
+            abs(col("s.sum_value") - col("b.sum_value")) <= lit(0.011)).as("ok"))
+        .agg(sum(when(!col("ok") || col("ok").isNull, 1L).otherwise(0L)),
+          count(col("sn")), count(col("bn"))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
+    // checksum parity for the 10000×/1B-row decade, where the row-level
+    // full-outer join above would shuffle ~2× the corpus (tens of GB a
+    // single local disk can't spare): xxhash64 over (key, n) summed per
+    // side pins window membership and counts EXACTLY in one linear
+    // pass; the rounded sums compare at the aggregate level (a single
+    // 2-decimal midpoint flip row-level parity tolerates would trip a
+    // per-row hash — aggregate tolerance keeps the check about the
+    // engine, not double association). Enabled via
+    // SPARK_GRAFT_WIN_PARITY=checksum.
+    def checksumMismatch(keyCols: Seq[String])(streamed: DataFrame, batch: DataFrame): (Long, Long, Long) = {
+      def sig(df: DataFrame) = df.agg(
+        sum(xxhash64((keyCols :+ "n").map(col): _*)).as("h"),
+        count(lit(1)).as("c"), sum(col("sum_value")).as("sv")).head()
+      val (s, b) = (sig(streamed), sig(batch))
+      val ok = s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1) &&
+        math.abs(s.getDouble(2) - b.getDouble(2)) <= math.max(1.0, math.abs(b.getDouble(2)) * 1e-9)
+      (if (ok) 0L else 1L, s.getLong(1), b.getLong(1))
+    }
+    val parityMode = sys.env.getOrElse("SPARK_GRAFT_WIN_PARITY", "join")
+    def aggParity(keyCols: Seq[String]): (DataFrame, DataFrame) => (Long, Long, Long) =
+      if (parityMode == "checksum") checksumMismatch(keyCols) else aggMismatch(keyCols)
 
     // join parity: the streamed match set is a MULTISET (duplicates
     // retained — the stream-stream window-store schema), so compare
     // per-row multiplicities, not distinct rows
-    def multisetMismatch(streamed: DataFrame, batch: DataFrame): Long = {
+    def multisetMismatch(streamed: DataFrame, batch: DataFrame): (Long, Long, Long) = {
       val s = streamed.groupBy(streamed.columns.map(col).toSeq: _*).count()
       val b = batch.groupBy(batch.columns.map(col).toSeq: _*).count()
-      s.as("s").join(b.as("b"), streamed.columns.toSeq, "full_outer")
-        .select((col("s.count") === col("b.count")).as("ok"))
-        .filter(!col("ok") || col("ok").isNull).count()
+      val r = s.as("s").join(b.as("b"), streamed.columns.toSeq, "full_outer")
+        .select(col("s.count").as("sc"), col("b.count").as("bc"),
+          (col("s.count") === col("b.count")).as("ok"))
+        .agg(sum(when(!col("ok") || col("ok").isNull, 1L).otherwise(0L)),
+          sum(coalesce(col("sc"), lit(0L))), sum(coalesce(col("bc"), lit(0L)))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
 
     def runKind(kind: String, agg: DataFrame => DataFrame,
-        mismatch: (DataFrame, DataFrame) => Long): Unit = {
+        mismatch: (DataFrame, DataFrame) => (Long, Long, Long)): Unit = {
       val ckpt = s"$outDir/winprobe_ckpt_$kind"
       val sink = s"$outDir/winprobe_out_$kind"
       Seq(ckpt, sink).foreach(p => rm(new java.io.File(p)))
@@ -196,8 +225,9 @@ object WinScaleProbe {
 
       val streamed = spark.read.parquet(sink).filter(col("user_id") =!= -1L)
       val batch = agg(spark.read.parquet(prep).filter(col("user_id") =!= -1L))
-      val bad = mismatch(streamed, batch)
-      val (sn, bn) = (streamed.count(), batch.count())
+      // one execution per side: the parity fn returns (bad, sn, bn) —
+      // separate .count() calls would re-run the 1B-row batch agg twice
+      val (bad, sn, bn) = mismatch(streamed, batch)
       val ok = bad == 0 && sn == bn
       println(f"WINSCALE $kind: ${prog.map(_.numInputRows).sum}%,d rows in ${prog.size} " +
         f"batches, $mainWall%.1f s (${nRows / math.max(mainWall, 0.001)}%,.0f rows/s), " +
@@ -215,13 +245,13 @@ object WinScaleProbe {
     try {
       if (kinds.contains("tumbling"))
         runKind("tumbling", StreamOps.tumblingAgg(_),
-          aggMismatch(Seq("window_start", "user_id")))
+          aggParity(Seq("window_start", "user_id")))
       if (kinds.contains("session"))
         runKind("session", StreamOps.sessionAgg(_),
-          aggMismatch(Seq("session_start", "user_id")))
+          aggParity(Seq("session_start", "user_id")))
       if (kinds.contains("hopping"))
         runKind("hopping", StreamOps.hoppingAgg(_),
-          aggMismatch(Seq("window_start", "user_id")))
+          aggParity(Seq("window_start", "user_id")))
       // stream–stream interval join (q10s's engine): both sides buffer
       // in the join state store within the watermark horizon; inner
       // join emits eagerly so no flush sentinel is needed for rows, but
