@@ -152,8 +152,14 @@ object WinScaleProbe {
     // engine, not double association). Enabled via
     // SPARK_GRAFT_WIN_PARITY=checksum.
     def checksumMismatch(keyCols: Seq[String])(streamed: DataFrame, batch: DataFrame): (Long, Long, Long) = {
+      // bit_xor, not sum: xxhash64 values are uniform over the full
+      // long range, so summing ~1e9 of them is a GUARANTEED
+      // ARITHMETIC_OVERFLOW under ANSI mode (killed the first 10000×
+      // parity pass); XOR is order-independent and overflow-free, and
+      // (key, n) rows are unique per side so pair-cancellation can't
+      // mask a diff
       def sig(df: DataFrame) = df.agg(
-        sum(xxhash64((keyCols :+ "n").map(col): _*)).as("h"),
+        expr(s"bit_xor(xxhash64(${(keyCols :+ "n").mkString(", ")}))").as("h"),
         count(lit(1)).as("c"), sum(col("sum_value")).as("sv")).head()
       val (s, b) = (sig(streamed), sig(batch))
       val ok = s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1) &&
