@@ -22,11 +22,37 @@ import org.apache.spark.sql.SparkSession
   */
 object Graft {
 
+  /** Streaming hardening defaults, promoted from the 1000×-scale probes
+    * (FKSCALE_r13 / WINSCALE_r13) into the engine so every user stream
+    * inherits them — the probes found that Spark's out-of-the-box
+    * settings are the failure mode at scale, not an optimization gap:
+    *  - `minBatchesToRetain=2`: the default (100) keeps 100 checkpoint
+    *    versions of EVERY RocksDB instance; at 300M state rows that
+    *    filled the disk and the next native write SEGVed the JVM
+    *    (ENOSPC→SEGV, FkScaleProbe). Two versions are what restart
+    *    semantics need (last committed + in-flight).
+    *  - bounded RocksDB native memory: without `boundedMemoryUsage`,
+    *    block cache + memtables grow per-store-instance outside the JVM
+    *    heap until the OS OOM-kills the executor. The bound is shared
+    *    across all instances on the executor (the reference sizes its
+    *    store cache the same way: a per-process budget, not per-store).
+    * Tunable per session via [[session]]'s `rocksdbMemoryMB` (0 =
+    * leave RocksDB unbounded — opt OUT, not the default).
+    */
+  def streamConfs(rocksdbMemoryMB: Long = 4096L): Map[String, String] =
+    Map("spark.sql.streaming.minBatchesToRetain" -> "2") ++
+      (if (rocksdbMemoryMB > 0) Map(
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+        "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" ->
+          rocksdbMemoryMB.toString)
+      else Map.empty)
+
   def session(
       master: String = "local[*]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors,
-      appName: String = "graft"): SparkSession = {
-    val required = Map(
+      appName: String = "graft",
+      rocksdbMemoryMB: Long = 4096L): SparkSession = {
+    val required = streamConfs(rocksdbMemoryMB) ++ Map(
       "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",

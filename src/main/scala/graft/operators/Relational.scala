@@ -351,8 +351,8 @@ object Relational {
     Some("SELECT count(DISTINCT o_custkey) AS exact_cnt, 1 AS ok FROM orders")
   )
 
-  /** Q24 — table–table FK join + re-key (ResponsiveForeignKeyJoin
-    * IntegrationTest.java:150-157 analog): orders re-keyed through
+  /** Q24 — table–table FK join + re-key (kafka-client/src/test/java/dev/responsive/kafka/integration/ResponsiveForeignKeyJoinIntegrationTest.java:150-157
+    * analog): orders re-keyed through
     * customer's nation FK, aggregated per nation. */
   val q24 = QueryDef(
     "q24_fk_join",

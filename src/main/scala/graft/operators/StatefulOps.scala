@@ -13,8 +13,9 @@ import org.apache.spark.sql.expressions.Window
   */
 object StatefulOps {
 
-  /** Q10 — stream-stream windowed join (ResponsiveWindowStore
-    * IntegrationTest.java:309-326: JoinWindows.ofTimeDifferenceWithNoGrace;
+  /** Q10 — stream-stream windowed join
+    * (kafka-client/src/test/java/dev/responsive/kafka/integration/ResponsiveWindowStoreIntegrationTest.java:309-326:
+    * JoinWindows.ofTimeDifferenceWithNoGrace;
     * duplicates retained via the STREAM schema / DuplicateKeyBuffer).
     * Purchases join errors of the same user within ±10 minutes.
     * Scale: equi-key on user_id makes this a hash join + time filter,

@@ -10,9 +10,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * micro-batch is served from the landed index, and the answers flow
   * to a sink the requesting pipeline reads. This is the reference's
   * interactive-query surface driven at stream cadence
-  * (kafka-client/src/main/java/dev/responsive/kafka/internal/db/rs3/RS3RangeQuery.java
-  * is the store-side analog; here the "store" is the landed
-  * cell-bucketed index).
+  * (kafka-client/src/main/java/dev/responsive/kafka/internal/db/rs3/client/grpc/GrpcRangeRequestProxy.java
+  * is the store-side analog — range reads served from the remote
+  * store; here the "store" is the landed cell-bucketed index).
   *
   * Per micro-batch: the query batch COLLECTS to the driver (bounded —
   * a serving topic is rate-limited by construction; the probe ranking

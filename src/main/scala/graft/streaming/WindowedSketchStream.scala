@@ -43,9 +43,8 @@ final case class WinCmsCell(window_start: Long, r: Int, bucket: Long, c: Long)
   *
   * Reference behavior mirrored: windowed aggregation over segmented
   * window stores with retention-driven segment expiry
-  * (kafka-client/src/main/java/dev/responsive/kafka/internal/db/
-  * partitioning/SegmentPartitioner.java) — here the watermark timer IS
-  * the segment-expiry clock.
+  * (kafka-client/src/main/java/dev/responsive/kafka/internal/db/partitioning/WindowSegmentPartitioner.java)
+  * — here the watermark timer IS the segment-expiry clock.
   */
 class WindowedHllProcessor(windowMs: Long, graceMs: Long)
     extends StatefulProcessor[Long, WinHllIn, WinHllReg] {

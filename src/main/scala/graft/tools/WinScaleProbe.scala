@@ -36,8 +36,23 @@ import org.apache.spark.sql.functions._
   * and feeds the range-partitioned files in range order with strictly
   * increasing modification times — within-batch disorder is fine
   * (the watermark only advances between batches), cross-batch
-  * regression never happens. A far-future sentinel file closes every
-  * live window at the end (the q07s flush shape).
+  * regression never happens. A far-future sentinel closes every live
+  * window at the end (the q07s flush shape); the sentinel is a
+  * purchase+error PAIR so it survives the interval-join kind's
+  * event_type filters and actually drains join tail state too (the
+  * r13 single-'view' sentinel was filtered out before the watermark
+  * operator on that path, so interval's final state gauge included
+  * undrained tail state).
+  *
+  * Restart mode (SPARK_GRAFT_WIN_RESTART=k, default 0=off): stop the
+  * stream after k committed batches (mid-run kill), restart from the
+  * same checkpoint, and record wall time from restart to the FIRST
+  * committed batch — window/session-state restore at scale, the
+  * analog of the reference's changelog replay on rebalance
+  * (kafka-client/src/main/java/dev/responsive/kafka/internal/stores/CommitBuffer.java:442-476).
+  * The sink is idempotent per batch (batchId-named subdirectory,
+  * overwrite), so the one uncommitted batch the restart replays can't
+  * double rows — parity stays exact across the kill.
   *
   * Run: sbt "runMain graft.tools.WinScaleProbe [N]" (default 100).
   * Env: SPARK_GRAFT_PROBE_SRC (default /root/testdata/sf0.1),
@@ -45,8 +60,10 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_WIN_KINDS (csv of tumbling,session,hopping,interval;
   * default tumbling,session; interval = the q10s stream–stream join
   * engine, multiset parity), SPARK_GRAFT_WIN_ROWS_PER_FILE (batch
-  * granularity, default 500k), SPARK_GRAFT_PROBE_OUT (artifact dir,
-  * default /tmp). Artifact: $out/win_scale.json, flushed per phase.
+  * granularity, default 500k), SPARK_GRAFT_WIN_PARITY (join|checksum),
+  * SPARK_GRAFT_WIN_RESTART (kill-after-k-batches, 0=off),
+  * SPARK_GRAFT_PROBE_OUT (artifact dir, default /tmp).
+  * Artifact: $out/win_scale.json, flushed per phase.
   */
 object WinScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -55,6 +72,7 @@ object WinScaleProbe {
     val mft = sys.env.getOrElse("SPARK_GRAFT_INGEST_FILES", "4")
     val kinds = sys.env.getOrElse("SPARK_GRAFT_WIN_KINDS", "tumbling,session")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val restartAfter = sys.env.getOrElse("SPARK_GRAFT_WIN_RESTART", "0").toInt
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", "32"))
@@ -63,8 +81,9 @@ object WinScaleProbe {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.streaming.numRecentProgressUpdates", "2000")
-      // the four 1000×-stateful-probe patterns (NOTES round-13):
-      // bounded native memory, minimal retained checkpoint history
+      // the 1000×-stateful-probe hardening, now also the engine default
+      // (Graft.streamConfs): bounded native memory, minimal retained
+      // checkpoint history
       .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
       .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
         sys.env.getOrElse("SPARK_GRAFT_ROCKS_MB", "16384"))
@@ -94,6 +113,12 @@ object WinScaleProbe {
     // dominate the measurement
     val rowsPerFile = sys.env.getOrElse("SPARK_GRAFT_WIN_ROWS_PER_FILE", "500000").toLong
     val nFiles = math.max(8, math.min(2048, (nRows / rowsPerFile).toInt + 1))
+    // a crashed prior run can leave its sentinel behind in the reused
+    // prep dir; a stale far-future sentinel arriving in an EARLY batch
+    // would jump the watermark and silently drop every real row as late
+    // — sweep before anything reads the dir
+    Option(new java.io.File(prep).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("zz_sentinel")).foreach(_.delete())
     if (!new java.io.File(s"$prep/_done").exists()) {
       rm(new java.io.File(prep))
       // one broadcast cross join against the copy index — a single plan
@@ -120,10 +145,12 @@ object WinScaleProbe {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     def flush(finished: Boolean): Unit = {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      val body = if (parts.isEmpty) "" else "," + parts.mkString(",")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/win_scale.json"),
         s"""{"n":$N,"rows":$nRows,"files":$nFiles,"files_per_trigger":$mft,""" +
           s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},""" +
-          f""""datagen_sec":$datagenSec%.1f,"finished":$finished,${parts.mkString(",")}}%n""")
+          (if (restartAfter > 0) s""""restart_after_batches":$restartAfter,""" else "") +
+          f""""datagen_sec":$datagenSec%.1f,"finished":$finished$body}%n""")
       ()
     }
 
@@ -144,27 +171,42 @@ object WinScaleProbe {
 
     // checksum parity for the 10000×/1B-row decade, where the row-level
     // full-outer join above would shuffle ~2× the corpus (tens of GB a
-    // single local disk can't spare): xxhash64 over (key, n) summed per
-    // side pins window membership and counts EXACTLY in one linear
-    // pass; the rounded sums compare at the aggregate level (a single
-    // 2-decimal midpoint flip row-level parity tolerates would trip a
-    // per-row hash — aggregate tolerance keeps the check about the
-    // engine, not double association). Enabled via
-    // SPARK_GRAFT_WIN_PARITY=checksum.
+    // single local disk can't spare). Three order-independent bit_xor
+    // hashes per side, one linear pass each:
+    //  - h(key, n) pins window MEMBERSHIP and COUNTS exactly;
+    //  - two VALUE hashes over floor-quantized sums on OFFSET grids
+    //    (floor(v*10) and floor(v*10 + 0.5)): the ≤0.011 cross-side
+    //    rounding jitter (stream folds per-batch partials, batch folds
+    //    per-split) can sit near at most ONE grid's edge, so jitter can
+    //    flip at most one hash — requiring only ONE value hash to match
+    //    tolerates jitter while catching any per-row error ≥ the 0.1
+    //    grid (including OFFSETTING per-row errors the aggregate sum
+    //    would cancel; sub-0.1 systematic drift is still caught by the
+    //    aggregate-sum check below).
+    //  - bit_xor, not sum, for the hashes: xxhash64 values are uniform
+    //    over the full long range, so summing ~1e9 of them is a
+    //    GUARANTEED ARITHMETIC_OVERFLOW under ANSI mode (killed the
+    //    first 10000× parity pass); XOR is overflow-free and (key, n)
+    //    rows are unique per side so pair-cancellation can't mask a
+    //    diff. Enabled via SPARK_GRAFT_WIN_PARITY=checksum.
     def checksumMismatch(keyCols: Seq[String])(streamed: DataFrame, batch: DataFrame): (Long, Long, Long) = {
-      // bit_xor, not sum: xxhash64 values are uniform over the full
-      // long range, so summing ~1e9 of them is a GUARANTEED
-      // ARITHMETIC_OVERFLOW under ANSI mode (killed the first 10000×
-      // parity pass); XOR is order-independent and overflow-free, and
-      // (key, n) rows are unique per side so pair-cancellation can't
-      // mask a diff
+      val keys = keyCols.mkString(", ")
       def sig(df: DataFrame) = df.agg(
-        expr(s"bit_xor(xxhash64(${(keyCols :+ "n").mkString(", ")}))").as("h"),
+        expr(s"bit_xor(xxhash64($keys, n))").as("h"),
+        expr(s"bit_xor(xxhash64($keys, n, cast(floor(sum_value * 10) as bigint)))").as("hv1"),
+        expr(s"bit_xor(xxhash64($keys, n, cast(floor(sum_value * 10 + 0.5) as bigint)))").as("hv2"),
         count(lit(1)).as("c"), sum(col("sum_value")).as("sv")).head()
       val (s, b) = (sig(streamed), sig(batch))
-      val ok = s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1) &&
-        math.abs(s.getDouble(2) - b.getDouble(2)) <= math.max(1.0, math.abs(b.getDouble(2)) * 1e-9)
-      (if (ok) 0L else 1L, s.getLong(1), b.getLong(1))
+      val svOk = (s.isNullAt(4), b.isNullAt(4)) match {
+        case (true, true) => true
+        case (false, false) =>
+          math.abs(s.getDouble(4) - b.getDouble(4)) <=
+            math.max(1.0, math.abs(b.getDouble(4)) * 1e-9)
+        case _ => false // one side empty, the other not
+      }
+      val ok = s.getLong(0) == b.getLong(0) && s.getLong(3) == b.getLong(3) &&
+        (s.getLong(1) == b.getLong(1) || s.getLong(2) == b.getLong(2)) && svOk
+      (if (ok) 0L else 1L, s.getLong(3), b.getLong(3))
     }
     val parityMode = sys.env.getOrElse("SPARK_GRAFT_WIN_PARITY", "join")
     def aggParity(keyCols: Seq[String]): (DataFrame, DataFrame) => (Long, Long, Long) =
@@ -191,36 +233,83 @@ object WinScaleProbe {
       Seq(ckpt, sink).foreach(p => rm(new java.io.File(p)))
       // stream the prep files IN PLACE (a staging copy would double the
       // corpus's disk footprint): strictly increasing mod times pin
-      // FileStreamSource arrival order to ts-range order
+      // FileStreamSource arrival order to ts-range order. Sweep any
+      // sentinel a crashed run left first — a leftover would NOT be
+      // re-stamped below, so its far-future ts could arrive in an early
+      // batch and late-drop the whole corpus.
+      Option(new java.io.File(prep).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("zz_sentinel")).foreach(_.delete())
       var stamp = System.currentTimeMillis() - partFiles.length * 2000L - 60000L
       partFiles.foreach { f => stamp += 2000L; f.setLastModified(stamp) }
-      val q = agg(spark.readStream.schema(schema)
+      // sink writes are per-batch IDEMPOTENT: foreachBatch is
+      // at-least-once (a retried or restart-replayed batch re-runs), so
+      // each batch overwrites its own batchId-named subdirectory instead
+      // of appending — a replay can't double rows, and the restart mode
+      // below depends on this
+      def start() = agg(spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", mft).parquet(prep))
         .writeStream.outputMode("append")
-        .foreachBatch((b: DataFrame, _: Long) => b.write.mode("append").parquet(sink))
+        .foreachBatch((b: DataFrame, batchId: Long) =>
+          b.write.mode("overwrite").parquet(s"$sink/b$batchId"))
         .option("checkpointLocation", ckpt).start()
+
+      var killStateRows = -1L
+      var restoreFirstCommitSec = -1.0
+      var preKillProg: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Seq.empty
       val w0 = System.nanoTime()
+      var q = start()
+      if (restartAfter > 0) {
+        // mid-run kill: wait for k committed batches, stop (the
+        // in-flight batch does NOT commit; restart replays it), then
+        // resume from the checkpoint and time restart→first-commit —
+        // that latency is state-store reload + one replayed batch
+        while (q.recentProgress.count(_.numInputRows > 0) < restartAfter &&
+            q.exception.isEmpty && q.isActive) Thread.sleep(200)
+        preKillProg = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+        killStateRows = preKillProg.lastOption
+          .map(_.stateOperators.toSeq.map(_.numRowsTotal).sum).getOrElse(-1L)
+        q.stop()
+        val r0 = System.nanoTime()
+        q = start()
+        while (!q.recentProgress.exists(_.numInputRows > 0) &&
+            q.exception.isEmpty && q.isActive) Thread.sleep(100)
+        restoreFirstCommitSec = (System.nanoTime() - r0) / 1e9
+        println(f"WINSCALE $kind RESTART after $restartAfter batches " +
+          f"(state $killStateRows%,d rows): first commit ${restoreFirstCommitSec}%.1f s")
+      }
       q.processAllAvailable()
       val mainWall = (System.nanoTime() - w0) / 1e9
-      // sentinel: one far-future row pushes the watermark past every
-      // real window so append mode finalizes them all (written to a
-      // scratch dir, dropped into prep under a tracked name, removed
-      // after the drain so the next phase re-streams a clean corpus)
+      // sentinel: far-future rows push the watermark past every real
+      // window so append mode finalizes them all (written to a scratch
+      // dir, dropped into prep under a tracked name, removed after the
+      // drain so the next phase re-streams a clean corpus). A
+      // purchase+error PAIR, not 'view': the interval kind filters
+      // event_type BEFORE its watermark operators, so only rows that
+      // survive both filters advance the join watermark and drain tail
+      // state; the agg kinds group by user_id regardless of type, and
+      // user -1 is filtered from parity on both sides.
       import spark.implicits._
       val sentScratch = s"$outDir/winprobe_sent"
       rm(new java.io.File(sentScratch))
-      Seq(graft.streaming.Event(-1L,
-          new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000), -1L, "view", 0.0, "{}"))
+      val farTs = new java.sql.Timestamp(maxTs.getTime + 7L * 24 * 3600 * 1000)
+      Seq(graft.streaming.Event(-1L, farTs, -1L, "purchase", 0.0, "{}"),
+          graft.streaming.Event(-2L, farTs, -1L, "error", 0.0, "{}"))
         .toDS().toDF().coalesce(1).write.parquet(sentScratch)
       val sentSrc = new java.io.File(sentScratch).listFiles()
         .filter(f => f.getName.endsWith(".parquet")).head
       val sentDst = new java.io.File(prep, s"zz_sentinel_$kind.parquet")
-      java.nio.file.Files.copy(sentSrc.toPath, sentDst.toPath)
+      java.nio.file.Files.copy(sentSrc.toPath, sentDst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       sentDst.setLastModified(System.currentTimeMillis())
       q.processAllAvailable()
-      val prog = q.recentProgress.toSeq.filter(_.numInputRows > 0).sortBy(_.batchId)
+      val postProg = q.recentProgress.toSeq.filter(_.numInputRows > 0)
       q.stop()
       sentDst.delete(); rm(new java.io.File(sentScratch))
+      // across a restart the first query's progress is gone from the
+      // second's buffer — stitch pre-kill + post-restart, dedup batchId
+      // (the replayed batch appears in both; keep the committed one)
+      val prog = (preKillProg ++ postProg).groupBy(_.batchId).map(_._2.last)
+        .toSeq.sortBy(_.batchId)
       val batches = prog.map { p =>
         s"""{"batch":${p.batchId},"rows":${p.numInputRows},""" +
           s""""ms":${p.durationMs.getOrDefault("triggerExecution", 0L)},""" +
@@ -229,7 +318,8 @@ object WinScaleProbe {
       val peakState = prog.map(_.stateOperators.toSeq.map(_.numRowsTotal).sum)
         .foldLeft(0L)(math.max)
 
-      val streamed = spark.read.parquet(sink).filter(col("user_id") =!= -1L)
+      val streamed = spark.read.option("recursiveFileLookup", "true").parquet(sink)
+        .filter(col("user_id") =!= -1L)
       val batch = agg(spark.read.parquet(prep).filter(col("user_id") =!= -1L))
       // one execution per side: the parity fn returns (bad, sn, bn) —
       // separate .count() calls would re-run the 1B-row batch agg twice
@@ -239,15 +329,21 @@ object WinScaleProbe {
         f"batches, $mainWall%.1f s (${nRows / math.max(mainWall, 0.001)}%,.0f rows/s), " +
         f"peak state $peakState%,d; parity streamed=$sn%,d batch=$bn%,d mismatched=$bad " +
         (if (ok) "MATCH" else "MISMATCH"))
+      val restartJson = if (restartAfter > 0)
+        s""""restart":{"after_batches":$restartAfter,"state_rows_at_kill":$killStateRows,""" +
+          s""""first_commit_after_restore_sec":${math.round(restoreFirstCommitSec * 10) / 10.0}},"""
+        else ""
       parts += s""""$kind":{"wall_sec":${math.round(mainWall * 10) / 10.0},""" +
         s""""n_batches":${prog.size},"peak_state_rows":$peakState,""" +
         s""""rows_per_sec":${math.round(nRows / math.max(mainWall, 0.001))},""" +
+        restartJson +
         s""""parity":{"streamed":$sn,"batch":$bn,"mismatched":$bad,"match":$ok},""" +
         s""""batches":[$batches]}"""
       flush(finished = false)
       Seq(ckpt, sink).foreach(p => rm(new java.io.File(p)))
     }
 
+    var succeeded = false
     try {
       if (kinds.contains("tumbling"))
         runKind("tumbling", StreamOps.tumblingAgg(_),
@@ -260,11 +356,13 @@ object WinScaleProbe {
           aggParity(Seq("window_start", "user_id")))
       // stream–stream interval join (q10s's engine): both sides buffer
       // in the join state store within the watermark horizon; inner
-      // join emits eagerly so no flush sentinel is needed for rows, but
-      // the sentinel still drains the tail state for the final gauge
+      // join emits eagerly so no flush sentinel is needed for ROWS, and
+      // the purchase+error sentinel pair now also drains the tail state
+      // so the final gauge reflects post-watermark eviction
       if (kinds.contains("interval"))
         runKind("interval", StreamOps.intervalJoin(_), multisetMismatch)
-    } finally flush(finished = true)
+      succeeded = true
+    } finally flush(finished = succeeded)
     println(s"WINSCALE artifact $outDir/win_scale.json")
     spark.stop()
   }
