@@ -728,6 +728,16 @@ object Similarity {
   val PqK = 16       // centroids per subspace (4-bit codes)
   val PqIters = 3
   val ReRankFactor = 50
+  /** ivfpq exact-re-rank shortlist per probed cell (candK =
+    * rerankPerProbe · nprobe, floored at ReRankFactor·k): the serving
+    * depth/cost knob VERDICT r13 #3 asked to surface. Measured at the
+    * 100× probe (RECALL_r13): 20 holds recall flat at the nprobe=1
+    * level, 60 captures the rise to 1.0 at ~⅓-of-scored re-rank cost,
+    * 250 reaches 1.0 from depth 14 at ~3× serve cost. Callers pick the
+    * (recall, latency) point per workload via [[searchTopk]] /
+    * [[graft.streaming.ServeStream.serveTopk]]; RECALL_r14 maps the
+    * frontier. */
+  val DefaultRerankPerProbe = 60
 
   /** sim4 — product-quantization ANN: per-subspace k-means codebooks
     * (PqM × PqK, Lloyd-trained like sim3), corpus encoded to one 4-bit
@@ -997,7 +1007,8 @@ object Similarity {
   /** Returns (shortlist, probed cell ids) — the cells feed the
     * re-rank's cell-pruned vector fetch. */
   private def ivfPqCands(
-      s: SparkSession, d: String, nprobe: Int, qs: Array[Anchor]): (DataFrame, Seq[Long]) = {
+      s: SparkSession, d: String, nprobe: Int, qs: Array[Anchor],
+      rerankPerProbe: Int = DefaultRerankPerProbe): (DataFrame, Seq[Long]) = {
     val probes = localProbes(s, d, coarsePrefixLocal(s, d), prefixFineFetch(s, d), nprobe, qs)
     val cellIds = probes.map(_._2).distinct.toSeq
     import s.implicits._
@@ -1020,7 +1031,7 @@ object Similarity {
     // the flat-PQ shortlist and capped: the re-rank fetch broadcasts
     // the shortlist, and the top-k sketch holds candK pairs per (qid,
     // partition).
-    val candK = math.min(math.max(ReRankFactor * TopK, 60 * nprobe), 16384)
+    val candK = math.min(math.max(ReRankFactor * TopK, rerankPerProbe * nprobe), 16384)
     val scored = ivfPqIndex(s, d).filter(col("cell").isin(cellIds: _*))
       .join(broadcast(probesDf), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
@@ -1059,14 +1070,16 @@ object Similarity {
     * queries, so the measured recall is the recall of what ships, not
     * of a parallel implementation. */
   private[graft] def servedTopkAt(
-      s: SparkSession, d: String, kind: String, nprobe: Int): DataFrame =
-    searchAnchors(s, d, kind, nprobe, queryVecs(s, d))
+      s: SparkSession, d: String, kind: String, nprobe: Int,
+      rerankPerProbe: Int = DefaultRerankPerProbe): DataFrame =
+    searchAnchors(s, d, kind, nprobe, queryVecs(s, d), rerankPerProbe)
 
   /** The serving dispatch shared by the graded queries (queryVecs) and
     * [[searchTopk]] (arbitrary caller vectors). */
   private def searchAnchors(
       s: SparkSession, d: String, kind: String, nprobe: Int,
-      qs: Array[Anchor]): DataFrame = kind match {
+      qs: Array[Anchor],
+      rerankPerProbe: Int = DefaultRerankPerProbe): DataFrame = kind match {
     case "prefix" =>
       val probes = localProbes(s, d, coarsePrefixLocal(s, d), prefixFineFetch(s, d), nprobe, qs)
       serveTopk(s, d, servedIndex(s, d), probes, qs)
@@ -1076,7 +1089,7 @@ object Similarity {
         cids => { val want = cids.toSet; fineTagged.filter(t => want(t._1)) }, nprobe, qs)
       serveTopk(s, d, kmServedIndex(s, d), probes, qs)
     case "ivfpq" =>
-      val (cands, cells) = ivfPqCands(s, d, nprobe, qs)
+      val (cands, cells) = ivfPqCands(s, d, nprobe, qs, rerankPerProbe)
       pqRerank(s, d, cands, qs, Some(cells))
     case other => throw new IllegalArgumentException(s"unknown index kind: $other")
   }
@@ -1102,10 +1115,11 @@ object Similarity {
   def searchTopk(
       s: SparkSession, d: String, kind: String,
       queries: Seq[(Long, Array[Double])],
-      nprobe: Int = 0): DataFrame = {
+      nprobe: Int = 0,
+      rerankPerProbe: Int = DefaultRerankPerProbe): DataFrame = {
     val qs = queries.map { case (id, v) => Anchor(id, v, math.sqrt(dotA(v, v))) }.toArray
     val np = if (nprobe > 0) nprobe else defaultNprobe(s, d)
-    searchAnchors(s, d, kind, np, qs)
+    searchAnchors(s, d, kind, np, qs, rerankPerProbe)
   }
 
   /** Exact brute-force top-[[TopK]] for ARBITRARY query vectors (the

@@ -30,11 +30,16 @@ object ServeStream {
   /** Serve `queries` — streaming (qid: bigint, embedding: numeric
     * array) — from `corpusDir`'s landed index of `kind` ("prefix" |
     * "kmeans" | "ivfpq"), appending (qid, rank, neighbor_id, batch_id)
-    * parquet to `sink`. `nprobe` 0 = the kind's default (≈ √K). */
+    * parquet to `sink`. `nprobe` 0 = the kind's default (≈ √K);
+    * `rerankPerProbe` sets the ivfpq exact-re-rank shortlist per
+    * probed cell (the recall-vs-latency serving knob — see
+    * [[graft.operators.Similarity.DefaultRerankPerProbe]] and the
+    * RECALL_r14 frontier; ignored by the other kinds). */
   def serveTopk(
       queries: DataFrame, corpusDir: String, kind: String, sink: String,
       checkpointDir: Option[String] = None,
-      nprobe: Int = 0): StreamingQuery = {
+      nprobe: Int = 0,
+      rerankPerProbe: Int = graft.operators.Similarity.DefaultRerankPerProbe): StreamingQuery = {
     val s = queries.sparkSession
     val w = queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -45,7 +50,7 @@ object ServeStream {
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
         if (qs.nonEmpty) {
           def serveOnce(): Unit =
-            graft.operators.Similarity.searchTopk(s, corpusDir, kind, qs, nprobe)
+            graft.operators.Similarity.searchTopk(s, corpusDir, kind, qs, nprobe, rerankPerProbe)
               .withColumn("batch_id", lit(batchId))
               .write.mode("append").parquet(sink)
           // A maintained index compacting underneath a serve can delete

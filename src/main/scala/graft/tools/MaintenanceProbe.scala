@@ -49,8 +49,20 @@ object MaintenanceProbe {
     // base bytes. 0 = unconditional cadence (the pre-round-13 runs).
     val sliverRatio =
       sys.env.getOrElse("SPARK_GRAFT_MAINT_SLIVER", "0").toDouble
+    // tombstone-row trigger (compactMaxTombstones): the byte trigger's
+    // blind spot is deletes — a delete-dominant stream appends almost
+    // no bytes while the tombstone sidecar (a read-side broadcast)
+    // grows without bound. 0 = off.
+    val maxTombs = sys.env.getOrElse("SPARK_GRAFT_MAINT_MAXTOMBS", "0").toLong
+    // feed mix "ins,up,del" percentages (default the r13 mixed feed);
+    // a delete-dominant run (e.g. "10,10,80") is the trigger's probe
+    val mix = sys.env.getOrElse("SPARK_GRAFT_MAINT_MIX", "45,45,10")
+      .split(",").map(_.trim.toInt)
+    require(mix.length == 3 && mix.sum == 100, s"bad mix: ${mix.mkString(",")}")
+    val round = sys.env.getOrElse("SPARK_GRAFT_MAINT_ROUND", "r14")
     val tag = sys.env.getOrElse("SPARK_GRAFT_MAINT_TAG",
-      if (compactN > 0 && sliverRatio > 0) s"c${compactN}v"
+      if (maxTombs > 0) s"c${compactN}t"
+      else if (compactN > 0 && sliverRatio > 0) s"c${compactN}v"
       else if (compactN > 0) s"c$compactN" else "nc")
 
     val spark = SparkSession.builder().master("local[32]")
@@ -84,13 +96,17 @@ object MaintenanceProbe {
     val lands = Seq("prefix", "kmeans", "ivfpq").map(k => k -> landSec(k))
     println(lands.map { case (k, s) => f"PROBE land $k $s%.1f s" }.mkString("\n"))
 
-    // the feed: per batch 45% fresh inserts (ids above the corpus),
-    // 45% upserts of EXISTING corpus ids (deterministic stride so ids
-    // recur across batches — repeated-upsert tombstone pressure), 10%
-    // deletes of inserts from two batches earlier. Payload vectors are
-    // corpus embeddings (realistic distribution), read once.
-    val nIns = (rowsPer * 45) / 100
-    val nUp = nIns
+    // the feed: per batch `mix` percent fresh inserts (ids above the
+    // corpus), upserts of EXISTING corpus ids (deterministic stride so
+    // ids recur across batches — repeated-upsert tombstone pressure),
+    // and deletes. Deletes target inserts from two batches earlier
+    // while any exist, then CORPUS ids (distinct per batch) — the
+    // delete-dominant shape hits the big base table, which is exactly
+    // where the tombstone sidecar grows while appended bytes don't.
+    // Payload vectors are corpus embeddings (realistic distribution),
+    // read once.
+    val nIns = (rowsPer * mix(0)) / 100
+    val nUp = (rowsPer * mix(1)) / 100
     val nDel = rowsPer - nIns - nUp
     val payload = spark.read.parquet(s"$corpusDir/embeddings.parquet")
       .filter(col("vec_id") < (nIns + nUp).toLong)
@@ -116,8 +132,16 @@ object MaintenanceProbe {
       val ups = (0 until nUp).map { i =>
         (((b.toLong * 2017 + i * 13) % corpusN), payload((i + nIns) % payload.length))
       }
-      val dels = if (b < 2) Seq.empty else (0 until nDel).map { i =>
-        (10_000_000L + (b - 2).toLong * nIns + i, null: Array[Float])
+      val dels = (0 until nDel).flatMap { i =>
+        if (b >= 2 && i < nIns)
+          // delete an insert from two batches earlier (bounded targets)
+          Some((10_000_000L + (b - 2).toLong * nIns + i, null: Array[Float]))
+        else if (b >= 2 || i >= nIns) {
+          // delete-dominant overflow: distinct corpus ids per batch —
+          // base-table tombstones, the sidecar-growth shape
+          val seq = b.toLong * nDel + i
+          Some((seq % corpusN, null: Array[Float]))
+        } else None
       }
       val sent =
         (if (b == 0) Seq((sentinelDeadId, sentinel)) else Seq.empty) ++
@@ -154,7 +178,8 @@ object MaintenanceProbe {
       ms.toDF().toDF("vec_id", "embedding"), corpusDir,
       checkpointDir = Some(ckpt),
       compactEvery = if (compactN > 0) Some(compactN) else None,
-      compactSliverRatio = sliverRatio)
+      compactSliverRatio = sliverRatio,
+      compactMaxTombstones = maxTombs)
     // optional concurrent server: one thread looping sentinel-query
     // serves against the maintained prefix index while the stream
     // appends and (at the cadence) compacts underneath it. Records
@@ -185,10 +210,12 @@ object MaintenanceProbe {
     if (serveConc) server.start()
 
     val perBatch = scala.collection.mutable.ArrayBuffer.empty[String]
+    var fedRows = 0L
     val t0 = System.nanoTime()
     try {
       for (b <- 0 until nBatches) {
         val rows = batchRows(b)
+        fedRows += rows.size
         val bt0 = System.nanoTime()
         ms.addData(rows)
         q.processAllAvailable()
@@ -202,7 +229,6 @@ object MaintenanceProbe {
     serving = false
     if (serveConc) server.join(5000)
     val totalSec = (System.nanoTime() - t0) / 1e9
-    val fedRows = nBatches.toLong * nIns * 2 + math.max(0, nBatches - 2).toLong * nDel
 
     // end-to-end contract: the live sentinel (inserted last batch)
     // serves from every kind; the deleted sentinel twin from none.
@@ -222,6 +248,7 @@ object MaintenanceProbe {
 
     val json =
       s"""{"src":"$src","corpus_rows":$corpusN,"batches":$nBatches,"rows_per_batch":$rowsPer,""" +
+        s""""mix_ins_up_del":"${mix.mkString(",")}","max_tombstones":$maxTombs,""" +
         s""""compact_every":$compactN,"sliver_ratio":$sliverRatio,"fed_rows":$fedRows,""" +
         f""""total_sec":$totalSec%.1f,"rows_per_sec":${fedRows / totalSec}%.0f,""" +
         lands.map { case (k, s) => f""""land_${k}_sec":$s%.1f""" }.mkString(",") + "," +
@@ -237,7 +264,7 @@ object MaintenanceProbe {
         s""""per_batch":[${perBatch.mkString(",")}]}"""
     val outName = {
       val m = "(\\d+)".r.findFirstIn(new java.io.File(src).getName).getOrElse("x")
-      s"$outDir/MAINT_r13_${m}x_$tag.json"
+      s"$outDir/MAINT_${round}_${m}x_$tag.json"
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(outName),
       json.getBytes("UTF-8"))

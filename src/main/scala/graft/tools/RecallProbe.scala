@@ -97,16 +97,25 @@ object RecallProbe {
     }.toSeq
     val oosExact = Similarity.exactTopkFor(spark, src, oosQs).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // the ivfpq serving frontier has TWO knobs (VERDICT r13 #3): probed
+    // depth (nprobe) and the exact-re-rank shortlist per probe
+    // (rerankPerProbe, now a real searchTopk/ServeStream parameter).
+    // SPARK_GRAFT_RERANK_SWEEP (csv, default "20,60,250") maps the
+    // frontier for ivfpq; the single-knob kinds serve at the default.
+    val rppSweep = sys.env.getOrElse("SPARK_GRAFT_RERANK_SWEEP", "20,60,250")
+      .split(",").map(_.trim.toInt).toSeq
     val oosResults = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    for (kind <- Seq("prefix", "kmeans", "ivfpq"); np <- sweep) {
-      Similarity.searchTopk(spark, src, kind, oosQs, np).count() // warm
+    for (kind <- Seq("prefix", "kmeans", "ivfpq"); np <- sweep;
+         rpp <- if (kind == "ivfpq") rppSweep else Seq(Similarity.DefaultRerankPerProbe)) {
+      Similarity.searchTopk(spark, src, kind, oosQs, np, rpp).count() // warm
       val t1 = System.nanoTime()
-      val got = Similarity.searchTopk(spark, src, kind, oosQs, np).collect()
+      val got = Similarity.searchTopk(spark, src, kind, oosQs, np, rpp).collect()
         .map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("neighbor_id")))).toSet
       val sec = (System.nanoTime() - t1) / 1e9
       val recall = (oosExact & got).size.toDouble / oosExact.size
-      oosResults(s"$kind@$np") = (recall, sec)
-      println(f"RECALL-OOS $kind%-7s nprobe=$np%3d recall@k=$recall%.3f serve=$sec%6.2f s")
+      val key = if (kind == "ivfpq") s"$kind@$np/rpp$rpp" else s"$kind@$np"
+      oosResults(key) = (recall, sec)
+      println(f"RECALL-OOS $kind%-7s nprobe=$np%3d rpp=$rpp%3d recall@k=$recall%.3f serve=$sec%6.2f s")
     }
 
     val json = results.map { case (k, (r, s)) =>

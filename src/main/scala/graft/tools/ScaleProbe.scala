@@ -73,23 +73,38 @@ object ScaleProbe {
       s
     }
 
+    // SPARK_GRAFT_PROBE_TABLES (csv, default all): limit datagen to the
+    // tables a targeted probe actually reads — the ANN/maintenance
+    // probes need only embeddings (+documents), and a 1000× lineitem
+    // (600M rows, ~15 GB) generated alongside them is pure disk
+    // pressure on a box also holding a 1B-event window corpus.
+    val wantTables = sys.env.get("SPARK_GRAFT_PROBE_TABLES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(t: String): Boolean = wantTables.forall(_.contains(t))
+
     var datagenSec = -1.0
     if (!new java.io.File(s"$Out/_done").exists()) {
       val t0 = System.nanoTime()
-      val li = graft.Tables.lineitem(spark, src)
-      val okStride = stride(li, "l_orderkey")
-      copies(li)((d, i) => d.withColumn("l_orderkey", col("l_orderkey") + lit(i * okStride)))
-        .write.mode("overwrite").parquet(s"$Out/lineitem.parquet")
-      val o = graft.Tables.orders(spark, src)
-      copies(o)((d, i) => d.withColumn("o_orderkey", col("o_orderkey") + lit(i * okStride)))
-        .write.mode("overwrite").parquet(s"$Out/orders.parquet")
-      val ev = graft.Tables.events(spark, src)
-      val evStride = stride(ev, "event_id")
-      val uStride = stride(ev, "user_id")
-      copies(ev)((d, i) => d
-          .withColumn("event_id", col("event_id") + lit(i * evStride))
-          .withColumn("user_id", col("user_id") + lit(i * uStride)))
-        .write.mode("overwrite").parquet(s"$Out/events.parquet")
+      if (want("lineitem") || want("orders")) {
+        val li = graft.Tables.lineitem(spark, src)
+        val okStride = stride(li, "l_orderkey")
+        if (want("lineitem"))
+          copies(li)((d, i) => d.withColumn("l_orderkey", col("l_orderkey") + lit(i * okStride)))
+            .write.mode("overwrite").parquet(s"$Out/lineitem.parquet")
+        val o = graft.Tables.orders(spark, src)
+        if (want("orders"))
+          copies(o)((d, i) => d.withColumn("o_orderkey", col("o_orderkey") + lit(i * okStride)))
+            .write.mode("overwrite").parquet(s"$Out/orders.parquet")
+      }
+      if (want("events")) {
+        val ev = graft.Tables.events(spark, src)
+        val evStride = stride(ev, "event_id")
+        val uStride = stride(ev, "user_id")
+        copies(ev)((d, i) => d
+            .withColumn("event_id", col("event_id") + lit(i * evStride))
+            .withColumn("user_id", col("user_id") + lit(i * uStride)))
+          .write.mode("overwrite").parquet(s"$Out/events.parquet")
+      }
       // dup-rate knob (VERDICT r10 #3): copy i of doc d is a near-dup
       // iff xxhash64(doc_id, i) % 1000 < dupFrac·1000 AND the source
       // row is not itself already a near-dup copy (copymark in text).
@@ -105,19 +120,21 @@ object ScaleProbe {
       // (period-3 tagging hits every window), so Jaccard vs the source
       // is ~0 and tagged copies of different i differ from each other.
       // Deterministic and composable (tags stack: w_c1_c2).
-      val docs = graft.Tables.documents(spark, src)
-      val dStride = stride(docs, "doc_id")
       val dupCut = math.round(dupFrac * 1000)
-      copies(docs)((d, i) =>
-          (if (i == 0) d
-           else d.withColumn("text",
-             when(pmod(xxhash64(col("doc_id"), lit(i)), lit(1000)) < lit(dupCut)
-                 && !col("text").contains(" copymark"),
-               concat(col("text"), lit(s" copymark$i")))
-               .otherwise(array_join(expr(
-                 s"transform(split(text, ' '), (w, j) -> IF(j % 3 = 0, concat(w, '_c$i'), w))"), " "))))
-            .withColumn("doc_id", col("doc_id") + lit(i * dStride)))
-        .write.mode("overwrite").parquet(s"$Out/documents.parquet")
+      if (want("documents")) {
+        val docs = graft.Tables.documents(spark, src)
+        val dStride = stride(docs, "doc_id")
+        copies(docs)((d, i) =>
+            (if (i == 0) d
+             else d.withColumn("text",
+               when(pmod(xxhash64(col("doc_id"), lit(i)), lit(1000)) < lit(dupCut)
+                   && !col("text").contains(" copymark"),
+                 concat(col("text"), lit(s" copymark$i")))
+                 .otherwise(array_join(expr(
+                   s"transform(split(text, ' '), (w, j) -> IF(j % 3 = 0, concat(w, '_c$i'), w))"), " "))))
+              .withColumn("doc_id", col("doc_id") + lit(i * dStride)))
+          .write.mode("overwrite").parquet(s"$Out/documents.parquet")
+      }
       // embeddings: non-dup copies get a per-copy pseudo-random sign
       // flip on ~half the components (xxhash64(j, i) parity — avalanche
       // makes patterns independent across copies, unlike a modular
@@ -157,6 +174,7 @@ object ScaleProbe {
       val hardCut = dupCutEmb + hardCnt
       println(s"PROBE plant (per-1000, embeddings): dup=$dupCutEmb hard=$hardCnt " +
         s"novel=${1000 - hardCut}")
+      if (want("embeddings")) {
       val emb = graft.Tables.embeddings(spark, src)
       val vStride = stride(emb, "vec_id")
       copies(emb)((d, i) =>
@@ -187,7 +205,8 @@ object ScaleProbe {
            })
             .withColumn("vec_id", col("vec_id") + lit(i * vStride)))
         .write.mode("overwrite").parquet(s"$Out/embeddings.parquet")
-      for (t <- Seq("customer", "nation", "region", "supplier", "part"))
+      }
+      for (t <- Seq("customer", "nation", "region", "supplier", "part") if want(t))
         graft.Tables.load(spark, src, t).write.mode("overwrite").parquet(s"$Out/$t.parquet")
       new java.io.File(s"$Out/_done").createNewFile()
       datagenSec = (System.nanoTime() - t0) / 1e9
@@ -221,7 +240,10 @@ object ScaleProbe {
     // quadratic wall.
     val byName = graft.SparkEntry.registry.map(q => q.name -> q).toMap
     val explicit = args.length > 1
-    val requested = if (explicit) args.drop(1).toSeq else defaults
+    // "ScaleProbe N none" = datagen-only (build/extend a corpus for
+    // other probes without timing any query)
+    val requested =
+      if (explicit) args.drop(1).toSeq.filterNot(_ == "none") else defaults
     val targets = requested.filter { n =>
       val keep = explicit || byName.get(n).forall(_.scalePath)
       if (!keep) println(s"PROBE $n SKIPPED (scalePath=false: oracle-only baseline)")

@@ -122,8 +122,13 @@ object WinScaleProbe {
     if (!new java.io.File(s"$prep/_done").exists()) {
       rm(new java.io.File(prep))
       // one broadcast cross join against the copy index — a single plan
-      // whatever N is (an N-way union bloats analysis past N≈100)
-      val nx = ev.crossJoin(broadcast(spark.range(N).select(col("id").as("__copy"))))
+      // whatever N is (an N-way union bloats analysis past N≈100).
+      // repartition FIRST: the sf0.1 events parquet is one split, and a
+      // cross join inherits its parent's partitioning — without the
+      // spread, ONE task shuffle-writes all N×rows (the 1B datagen sat
+      // single-threaded for the whole write; its own scale bug)
+      val nx = ev.repartition(64)
+        .crossJoin(broadcast(spark.range(N).select(col("id").as("__copy"))))
         .withColumn("event_id", col("event_id") + col("__copy") * lit(evStride))
         .withColumn("user_id", col("user_id") + col("__copy") * lit(uStride))
         .drop("__copy")
@@ -318,6 +323,15 @@ object WinScaleProbe {
       val peakState = prog.map(_.stateOperators.toSeq.map(_.numRowsTotal).sum)
         .foldLeft(0L)(math.max)
 
+      // the PARITY phase is a batch plan over the full corpus — at the
+      // 1B decade the hopping agg materializes ~4B groups, and 32
+      // partitions means ~120M groups/partition of partial-agg spill
+      // (the single-box floor NOTES flagged). The stream keeps its 32
+      // state shards (shards ≈ cores, FKSCALE_r13); only the batch
+      // compare scales its shuffle out.
+      val streamParts = spark.conf.get("spark.sql.shuffle.partitions")
+      sys.env.get("SPARK_GRAFT_WIN_PARITY_PARTS")
+        .foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
       val streamed = spark.read.option("recursiveFileLookup", "true").parquet(sink)
         .filter(col("user_id") =!= -1L)
       val batch = agg(spark.read.parquet(prep).filter(col("user_id") =!= -1L))
@@ -340,6 +354,11 @@ object WinScaleProbe {
         s""""parity":{"streamed":$sn,"batch":$bn,"mismatched":$bad,"match":$ok},""" +
         s""""batches":[$batches]}"""
       flush(finished = false)
+      // restore the stream shard count — the NEXT kind's streaming
+      // query fixes its state shards from this conf at checkpoint
+      // creation, and parity-sized shards would quadruple its per-batch
+      // store-commit overhead (FKSCALE_r13 shard sweep)
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
       Seq(ckpt, sink).foreach(p => rm(new java.io.File(p)))
     }
 
