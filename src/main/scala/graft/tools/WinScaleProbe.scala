@@ -194,24 +194,63 @@ object WinScaleProbe {
     //    first 10000× parity pass); XOR is overflow-free and (key, n)
     //    rows are unique per side so pair-cancellation can't mask a
     //    diff. Enabled via SPARK_GRAFT_WIN_PARITY=checksum.
-    def checksumMismatch(keyCols: Seq[String])(streamed: DataFrame, batch: DataFrame): (Long, Long, Long) = {
+    case class Sig(h: Long, hv1: Long, hv2: Long, c: Long, sv: Option[Double])
+    def sigOf(keyCols: Seq[String])(df: DataFrame): Sig = {
       val keys = keyCols.mkString(", ")
-      def sig(df: DataFrame) = df.agg(
+      val r = df.agg(
         expr(s"bit_xor(xxhash64($keys, n))").as("h"),
         expr(s"bit_xor(xxhash64($keys, n, cast(floor(sum_value * 10) as bigint)))").as("hv1"),
         expr(s"bit_xor(xxhash64($keys, n, cast(floor(sum_value * 10 + 0.5) as bigint)))").as("hv2"),
         count(lit(1)).as("c"), sum(col("sum_value")).as("sv")).head()
-      val (s, b) = (sig(streamed), sig(batch))
-      val svOk = (s.isNullAt(4), b.isNullAt(4)) match {
-        case (true, true) => true
-        case (false, false) =>
-          math.abs(s.getDouble(4) - b.getDouble(4)) <=
-            math.max(1.0, math.abs(b.getDouble(4)) * 1e-9)
+      Sig(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }
+    // signatures FOLD across disjoint window sets: (key, n) rows are
+    // unique per side and disjoint across partitions of the window
+    // grid, so xor-of-xors = xor-of-all, counts and sums add
+    def foldSig(a: Sig, b: Sig): Sig = Sig(a.h ^ b.h, a.hv1 ^ b.hv1,
+      a.hv2 ^ b.hv2, a.c + b.c,
+      (a.sv ++ b.sv).reduceOption(_ + _))
+    def compareSigs(s: Sig, b: Sig): (Long, Long, Long) = {
+      val svOk = (s.sv, b.sv) match {
+        case (None, None) => true
+        case (Some(x), Some(y)) =>
+          math.abs(x - y) <= math.max(1.0, math.abs(y) * 1e-9)
         case _ => false // one side empty, the other not
       }
-      val ok = s.getLong(0) == b.getLong(0) && s.getLong(3) == b.getLong(3) &&
-        (s.getLong(1) == b.getLong(1) || s.getLong(2) == b.getLong(2)) && svOk
-      (if (ok) 0L else 1L, s.getLong(3), b.getLong(3))
+      val ok = s.h == b.h && s.c == b.c &&
+        (s.hv1 == b.hv1 || s.hv2 == b.hv2) && svOk
+      (if (ok) 0L else 1L, s.c, b.c)
+    }
+    def checksumMismatch(keyCols: Seq[String])(streamed: DataFrame, batch: DataFrame): (Long, Long, Long) =
+      compareSigs(sigOf(keyCols)(streamed), sigOf(keyCols)(batch))
+
+    // hopping batch-side signature at the 1B decade: the one-shot
+    // hopping agg explodes every event into 4 windows and the keys are
+    // nearly unique, so partial aggregation can't combine — the shuffle
+    // materializes ~4 rows per input event (~50+ GB at 1B rows), which
+    // this disk cannot hold alongside the streamed sink. A 1h/15min
+    // hopping grid is EXACTLY the union of four disjoint 1h tumbling
+    // grids at offsets {0,15,30,45} min, so run four offset-tumbling
+    // aggs SEQUENTIALLY and fold their signatures — peak disk is one
+    // 1-per-event shuffle (the tumbling cost), total work identical.
+    // This is also the 100-TB verification shape: bounded-footprint
+    // re-derivation of an overlapping-window computation.
+    def hoppingChecksumByOffsets(keyCols: Seq[String])(streamed: DataFrame, batchIgnored: DataFrame): (Long, Long, Long) = {
+      val streamSig = sigOf(keyCols)(streamed)
+      // the streamed side is folded into five numbers — free its ~30 GB
+      // of finalized-window parquet before the batch jobs need the disk
+      rm(new java.io.File(s"$outDir/winprobe_out_hopping"))
+      val base = spark.read.parquet(prep).filter(col("user_id") =!= -1L)
+      val batchSig = Seq(0, 15, 30, 45).map { off =>
+        sigOf(keyCols)(base
+          .groupBy(window(col("ts"), "1 hour", "1 hour", s"$off minutes"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+          .select(col("window.start").cast("long").as("window_start"),
+            col("user_id"), col("n"), col("sum_value")))
+      }.reduce(foldSig)
+      compareSigs(streamSig, batchSig)
     }
     val parityMode = sys.env.getOrElse("SPARK_GRAFT_WIN_PARITY", "join")
     def aggParity(keyCols: Seq[String]): (DataFrame, DataFrame) => (Long, Long, Long) =
@@ -323,6 +362,10 @@ object WinScaleProbe {
       val peakState = prog.map(_.stateOperators.toSeq.map(_.numRowsTotal).sum)
         .foldLeft(0L)(math.max)
 
+      // the stream is stopped — free its checkpoint (RocksDB state
+      // versions, 15+ GB at the 1B decade) BEFORE the parity phase
+      // needs the disk for its own shuffle
+      rm(new java.io.File(ckpt))
       // the PARITY phase is a batch plan over the full corpus — at the
       // 1B decade the hopping agg materializes ~4B groups, and 32
       // partitions means ~120M groups/partition of partial-agg spill
@@ -372,7 +415,9 @@ object WinScaleProbe {
           aggParity(Seq("session_start", "user_id")))
       if (kinds.contains("hopping"))
         runKind("hopping", StreamOps.hoppingAgg(_),
-          aggParity(Seq("window_start", "user_id")))
+          if (parityMode == "checksum")
+            hoppingChecksumByOffsets(Seq("window_start", "user_id"))
+          else aggMismatch(Seq("window_start", "user_id")))
       // stream–stream interval join (q10s's engine): both sides buffer
       // in the join state store within the watermark horizon; inner
       // join emits eagerly so no flush sentinel is needed for ROWS, and

@@ -95,6 +95,34 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("ivfpq rerankPerProbe is a live serving knob: deep re-rank can only help") {
+    // the knob scales the ADC shortlist the exact re-rank sees
+    // (candK = max(ReRankFactor*k, rpp*nprobe)): at any setting the
+    // top-1 for an in-corpus query must be the vector itself, and the
+    // deep setting's answer set must contain every exact hit the
+    // shallow one found (a larger shortlist is a superset, and exact
+    // cosine ranks it) — the monotonicity RECALL_r14 measures at scale
+    import org.apache.spark.sql.functions.col
+    val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") === 11)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    val q = Seq((-43L, v))
+    val np = graft.operators.Similarity.defaultNprobe(spark, sfDir)
+    val exact = graft.operators.Similarity.exactTopkFor(spark, sfDir, q)
+      .collect().map(_.getLong(2)).toSet
+    val Seq(shallow, deep) = Seq(1, 500).map { rpp =>
+      val rows = graft.operators.Similarity
+        .searchTopk(spark, sfDir, "ivfpq", q, np, rpp)
+        .orderBy("rank").collect().map(_.getLong(2)).toSeq
+      assert(rows.size == graft.operators.Similarity.TopK, s"rpp=$rpp: ${rows.size} rows")
+      assert(rows.head == 11L, s"rpp=$rpp top-1 = ${rows.head}, want 11")
+      rows.toSet
+    }
+    assert((deep & exact).size >= (shallow & exact).size,
+      s"deep re-rank lost exact hits: shallow=${(shallow & exact).size} deep=${(deep & exact).size}")
+  }
+
   test("LSH and SimHash dedup find exactly the exhaustive-Jaccard pairs") {
     def pairs(name: String): Set[(Long, Long)] =
       SparkEntry.queries(name)(spark, sfDir)
