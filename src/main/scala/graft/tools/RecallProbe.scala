@@ -48,8 +48,18 @@ object RecallProbe {
 
     val k1 = Similarity.defaultNprobe(spark, src)
     val sweep = Seq(1, math.max(1, k1 / 4), math.max(1, k1 / 2), k1).distinct
+    // SPARK_GRAFT_RECALL_OOS_ONLY=1 skips the in-sample sweep (already
+    // mapped for this corpus in a prior round) — the OOS loop is where
+    // the serving frontier lives, and at 20M vectors each skipped serve
+    // call is ~10-20 s
+    val oosOnly = sys.env.get("SPARK_GRAFT_RECALL_OOS_ONLY").contains("1")
+    // SPARK_GRAFT_RECALL_KINDS (csv) narrows the sweep — the r14
+    // frontier question is prefix vs ivfpq; kmeans rides along only
+    // when the box has time
+    val kindList = sys.env.getOrElse("SPARK_GRAFT_RECALL_KINDS", "prefix,kmeans,ivfpq")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    for (kind <- Seq("prefix", "kmeans", "ivfpq"); np <- sweep) {
+    for (kind <- kindList if !oosOnly; np <- sweep) {
       // first serve at this (kind, np) includes any one-time landing;
       // measure the SECOND call as the warm per-query serving cost
       val warm0 = System.nanoTime()
@@ -105,7 +115,7 @@ object RecallProbe {
     val rppSweep = sys.env.getOrElse("SPARK_GRAFT_RERANK_SWEEP", "20,60,250")
       .split(",").map(_.trim.toInt).toSeq
     val oosResults = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
-    for (kind <- Seq("prefix", "kmeans", "ivfpq"); np <- sweep;
+    for (kind <- kindList; np <- sweep;
          rpp <- if (kind == "ivfpq") rppSweep else Seq(Similarity.DefaultRerankPerProbe)) {
       Similarity.searchTopk(spark, src, kind, oosQs, np, rpp).count() // warm
       val t1 = System.nanoTime()

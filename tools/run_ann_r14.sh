@@ -45,7 +45,8 @@ SPARK_GRAFT_PROBE_DUP=0.01 SPARK_GRAFT_PROBE_TABLES=embeddings \
 SPARK_GRAFT_RERANK_SWEEP=20,60,250 \
   run_probe graft.tools.RecallProbe /tmp/scale100d1 > /tmp/ann14_recall100.log 2>&1
 cp /tmp/ann14/recall.json /root/repo/RECALL_r14_100x.json
-SPARK_GRAFT_RERANK_SWEEP=20,60,250 \
+SPARK_GRAFT_RERANK_SWEEP=20,60,250 SPARK_GRAFT_RECALL_OOS_ONLY=1 \
+  SPARK_GRAFT_RECALL_KINDS=prefix,ivfpq \
   run_probe graft.tools.RecallProbe /tmp/scale1000d1 > /tmp/ann14_recall1000.log 2>&1
 cp /tmp/ann14/recall.json /root/repo/RECALL_r14_1000x.json
 
@@ -62,7 +63,7 @@ cp /tmp/scale1000d1/probe.json /root/repo/PROBE_r14_1000x_sims.json 2>/dev/null 
 # 3. sustained-rate serving: ivfpq at two rerank depths (frontier qps),
 #    then the mixed prefix+ivfpq concurrent run (VERDICT #8)
 SPARK_GRAFT_SERVE_KIND=ivfpq SPARK_GRAFT_SERVE_RPP=60 \
-  SPARK_GRAFT_SERVE_RATES=1,2,4,8 SPARK_GRAFT_SERVE_SEC=60 \
+  SPARK_GRAFT_SERVE_RATES=1,2,4 SPARK_GRAFT_SERVE_SEC=60 \
   SPARK_GRAFT_RATE_TAG=r14_rpp60 \
   run_probe graft.tools.RateServeProbe /tmp/scale1000d1 > /tmp/ann14_rate_ivfpq60.log 2>&1
 SPARK_GRAFT_SERVE_KIND=ivfpq SPARK_GRAFT_SERVE_RPP=20 \
