@@ -25,7 +25,9 @@ object PreLand {
       val v = spark.read.parquet(s"$src/embeddings.parquet")
         .limit(1).select(col("embedding").cast("array<double>"))
         .head().getSeq[Double](0).toArray
-      for (kind <- Seq("prefix", "kmeans", "ivfpq")) {
+      val kinds = sys.env.getOrElse("SPARK_GRAFT_PRELAND_KINDS", "prefix,kmeans,ivfpq")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      for (kind <- kinds) {
         val t0 = System.nanoTime()
         graft.operators.Similarity.searchTopk(spark, src, kind, Seq((-1L, v))).count()
         println(f"PRELAND $src $kind ${(System.nanoTime() - t0) / 1e9}%.1f s")
