@@ -88,6 +88,11 @@ object WinScaleProbe {
       .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
         sys.env.getOrElse("SPARK_GRAFT_ROCKS_MB", "16384"))
       .config("spark.sql.streaming.minBatchesToRetain", "2")
+      // a 64g driver heap GCs rarely, so ContextCleaner's weak-ref
+      // shuffle cleanup never fires and dozens of obsolete per-batch
+      // shuffles accumulate on disk (~0.6 GB/batch at the 1B decade —
+      // the disk ran out before the stream did)
+      .config("spark.cleaner.periodicGC.interval", "120s")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.streaming.StreamOps
