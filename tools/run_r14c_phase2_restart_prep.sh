@@ -48,14 +48,9 @@ SPARK_GRAFT_WIN_KINDS=tumbling SPARK_GRAFT_WIN_RESTART=10 \
 WINPID=$!
 
 (
-  SPARK_GRAFT_PROBE_DUP=0.01 SPARK_GRAFT_PROBE_TABLES=embeddings \
-    SPARK_GRAFT_PROBE_OUT=/tmp/scale100d1 \
-    run24 graft.tools.ScaleProbe 100 none > /tmp/ann14_gen100.log 2>&1
-  SPARK_GRAFT_PROBE_DUP=0.01 SPARK_GRAFT_PROBE_TABLES=embeddings \
-    SPARK_GRAFT_PROBE_SRC=/tmp/scale100d1 SPARK_GRAFT_PROBE_OUT=/tmp/scale1000d1 \
-    run24 graft.tools.ScaleProbe 10 none > /tmp/ann14_gen1000.log 2>&1
-  run24 graft.tools.PreLand /tmp/scale100d1 /tmp/scale1000d1 \
-    > /tmp/ann14_preland.log 2>&1
+  # 100x/1000x corpora + landings already rebuilt by
+  # run_r14c_annprep_small.sh (overlapped with the hopping stream);
+  # only the 20M corpus + its prefix/ivfpq landings remain
   SPARK_GRAFT_PROBE_DUP=0.01 SPARK_GRAFT_PROBE_TABLES=embeddings \
     SPARK_GRAFT_PROBE_SRC=/tmp/scale1000d1 SPARK_GRAFT_PROBE_OUT=/tmp/scale10000d1 \
     run24 graft.tools.ScaleProbe 10 none > /tmp/ann14_gen20m.log 2>&1
