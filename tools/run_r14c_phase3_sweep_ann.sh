@@ -44,6 +44,14 @@ cp /tmp/win1b/batch_win_sweep.json /root/repo/BATCHWIN_r14_10000x_sweep.json
 rm -rf /tmp/win1b/winprobe_prep_10000
 echo STEP3_DONE
 
+# ---- 3.5: re-land the 20M prefix/ivfpq indexes -----------------------
+# the overlapped PreLand hit ENOSPC (spill) beside the 1B tumbling
+# checkpoint; the prep corpus + checkpoint are freed now, so the
+# landing re-runs alone with ~60G headroom (un-timed build)
+SPARK_GRAFT_PRELAND_KINDS=prefix,ivfpq \
+  run64 graft.tools.PreLand /tmp/scale10000d1 > /tmp/ann14_preland20m_b.log 2>&1
+echo STEP35_DONE
+
 # ---- 4: quiet ANN measurements --------------------------------------
 export SPARK_GRAFT_PROBE_OUT=/tmp/ann14q
 mkdir -p /tmp/ann14q
