@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Batch sink surface — the `.to(topic)` analog for tables at rest
   * (reference sink: `.to(topic, Produced.with)`,
-  * kafka-client-examples/simple-example/src/main/java/dev/responsive/examples/simpleapp/STJoinExample.java:95-98;
+  * kafka-client-examples/e2e-test/src/main/java/dev/responsive/examples/regression/tests/STJoinExample.java:95-98;
   * the streaming twin is graft.streaming.Topics.writeStream).
   *
   * At 100 TB the sink IS the performance surface: a written table's

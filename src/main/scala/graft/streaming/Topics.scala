@@ -8,7 +8,7 @@ import org.apache.spark.sql.Row
 
 /** Topic abstraction — the engine's `builder.stream(topic)` / `.to(topic)`
   * surface (reference entry point for every app:
-  * kafka-client-examples/simple-example/src/main/java/dev/responsive/examples/simpleapp/STJoinExample.java:58-59,
+  * kafka-client-examples/e2e-test/src/main/java/dev/responsive/examples/regression/tests/STJoinExample.java:58-59,
   * config dev.responsive.kafka.api.config.ResponsiveConfig).
   *
   * A [[Topic]] names a logical stream plus the physical transport:

@@ -34,16 +34,34 @@ bad=0
 # trailing :line anchors and punctuation
 while IFS=: read -r file line tok; do
   tok="${tok%%:*}"            # drop :NN line anchor remnants
+  tok="${tok#/root/reference/}"  # absolute citations are fine — normalize
+  # '...'-elided shorthand (a/.../Foo.java): keep only the suffix after
+  # the ellipsis and resolve it like an abbreviated citation
+  case "$tok" in
+    *"..."*) tok="${tok##*...}"; tok="${tok#/}" ;;
+  esac
   total=$((total + 1))
   found=0
   for r in "${ROOTS[@]}"; do
     if [ -f "$REF/$r$tok" ]; then found=1; break; fi
   done
   if [ "$found" = 0 ]; then
-    # abbreviated citation: try to resolve by basename — unique match ok
+    # Abbreviated citation: resolve by basename, but ONLY accept a hit
+    # whose full path ends with the cited fragment — a same-named file
+    # in a different directory is a WRONG path, not an abbreviation
+    # (the r14 judge found two citations masked by the old
+    # accept-any-basename fallback). Every fallback resolution is
+    # printed for review.
     base=$(basename "$tok")
-    hits=$(find "$REF" -name "$base" 2>/dev/null | wc -l)
-    if [ "$hits" = 0 ]; then
+    suffix_hit=""
+    while IFS= read -r cand; do
+      case "$cand" in
+        */"$tok") suffix_hit="$cand"; break ;;
+      esac
+    done < <(find "$REF" -name "$base" 2>/dev/null)
+    if [ -n "$suffix_hit" ]; then
+      echo "resolved-by-suffix $file:$line -> $tok (${suffix_hit#$REF/})"
+    else
       echo "DANGLING $file:$line -> $tok"
       bad=$((bad + 1))
     fi

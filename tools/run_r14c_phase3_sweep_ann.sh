@@ -87,16 +87,26 @@ rm -rf /tmp/maint_corpus*
 echo STEP4_DONE
 
 # ---- 5: 20M cold + warm sims (quiet) --------------------------------
-SPARK_GRAFT_PROBE_DUP=0.01 SPARK_GRAFT_PROBE_TABLES=embeddings \
+# Per ADVICE r14: only publish probe.json when the probe step exits 0 —
+# the original unconditional cp would have committed a partial/stale
+# probe.json under a completed-run name after the 20M landing ENOSPC'd
+# (it got lucky: no probe.json existed to copy).
+if SPARK_GRAFT_PROBE_DUP=0.01 SPARK_GRAFT_PROBE_TABLES=embeddings \
   SPARK_GRAFT_PROBE_SRC=/tmp/scale1000d1 SPARK_GRAFT_PROBE_OUT=/tmp/scale10000d1 \
   run64 graft.tools.ScaleProbe 10 \
     sim2b_ann_ivf_served sim4b_ann_pq_served sim4c_ann_ivfpq_served \
-  > /tmp/ann14_sims20m_cold.log 2>&1
-cp /tmp/scale10000d1/probe.json /root/repo/PROBE_r14_20M_sims_cold.json
-SPARK_GRAFT_PROBE_DUP=0.01 SPARK_GRAFT_PROBE_TABLES=embeddings \
+  > /tmp/ann14_sims20m_cold.log 2>&1; then
+  cp /tmp/scale10000d1/probe.json /root/repo/PROBE_r14_20M_sims_cold.json
+else
+  echo "20M cold probe FAILED — artifact not published"
+fi
+if SPARK_GRAFT_PROBE_DUP=0.01 SPARK_GRAFT_PROBE_TABLES=embeddings \
   SPARK_GRAFT_PROBE_SRC=/tmp/scale1000d1 SPARK_GRAFT_PROBE_OUT=/tmp/scale10000d1 \
   run64 graft.tools.ScaleProbe 10 \
     sim2b_ann_ivf_served sim4b_ann_pq_served sim4c_ann_ivfpq_served \
-  > /tmp/ann14_sims20m_warm.log 2>&1
-cp /tmp/scale10000d1/probe.json /root/repo/PROBE_r14_20M_sims_warm.json
+  > /tmp/ann14_sims20m_warm.log 2>&1; then
+  cp /tmp/scale10000d1/probe.json /root/repo/PROBE_r14_20M_sims_warm.json
+else
+  echo "20M warm probe FAILED — artifact not published"
+fi
 echo DONE_PHASES_3_4_5
