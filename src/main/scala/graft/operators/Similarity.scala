@@ -24,6 +24,50 @@ object Similarity {
   val NumQueries = 10
   val NProbe = 4
 
+  /** Typed refusal for the online-serving surface (VERDICT r14 #1b):
+    * thrown by [[searchTopk]] / [[servedTopkAt]] (and therefore
+    * [[graft.streaming.ServeStream.serveTopk]]) when the requested
+    * index kind has no landed table and the caller did not explicitly
+    * allow building. A serve call that silently falls into a
+    * corpus-scale index build is an outage at scale, not a
+    * convenience — the r14 probe watched exactly that fallback OOM a
+    * 64 GB heap at 5M vectors (PROBE_r14_5M_sims). Building stays
+    * available explicitly: [[buildIndex]], `searchTopk(...,
+    * buildIfMissing = true)`, or [[graft.tools.PreLand]] ahead of
+    * serving. */
+  final class MissingIndexException(val kind: String, val table: String, val dir: String)
+    extends IllegalStateException(
+      s"ANN index kind '$kind' for corpus '$dir' is not landed (table `$table`). " +
+        "Serving refuses to build a corpus-scale index inline; land it ahead of " +
+        "serving with graft.tools.PreLand / Similarity.buildIndex, or pass " +
+        "buildIfMissing = true to searchTopk if an inline build is really intended.")
+
+  /** The landed-table name serving kind `kind` for corpus `d`. */
+  private def indexTableFor(d: String, kind: String): String = kind match {
+    case "prefix" => s"graft_ann_index_${dirSuffix(d)}"
+    case "kmeans" => s"graft_ann_km_index_${dirSuffix(d)}"
+    case "ivfpq"  => s"graft_ann_ivfpq_${dirSuffix(d)}"
+    case other => throw new IllegalArgumentException(s"unknown index kind: $other")
+  }
+
+  private def assertLandedForServe(s: SparkSession, d: String, kind: String): Unit = {
+    val t = indexTableFor(d, kind)
+    if (!graft.sources.Lakehouse.isLanded(s, t))
+      throw new MissingIndexException(kind, t, d)
+  }
+
+  /** EXPLICITLY build (or re-register) the serving index of `kind` for
+    * `d`'s corpus — the build half of the fail-fast serving contract:
+    * call this (or [[graft.tools.PreLand]]) at ingest/deploy time, then
+    * serve with [[searchTopk]], which refuses rather than building
+    * inline. Idempotent: a matching landing re-registers in ~ms. */
+  def buildIndex(s: SparkSession, d: String, kind: String): Unit = kind match {
+    case "prefix" => servedIndex(s, d); ()
+    case "kmeans" => kmServedIndex(s, d); ()
+    case "ivfpq"  => ivfPqIndex(s, d); ()
+    case other => throw new IllegalArgumentException(s"unknown index kind: $other")
+  }
+
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(VectorExprs.dot(col("v"), col("v"))))
@@ -219,8 +263,14 @@ object Similarity {
       val df = graft.sources.Lakehouse.landBucketed(
         s, t, Seq("cell"), 16,
         s"annidx|v2|$d|n=$n|k=${Dedup.dd7AnchorCount(n)}|p=${Dedup.Dd7Probes}") {
+        // SHUFFLE_HASH on the narrow assignment side: the default SMJ
+        // would externally SORT the corpus-vector side by vec_id — the
+        // wide-row spill that dominated the landing transient (VERDICT
+        // r14 #1a); building the hash map on the ~24 B/row assignment
+        // streams the vectors through unsorted (per-partition build ∝
+        // n/shuffle-partitions, which scales out with the cluster)
         Dedup.rankedPrefix(s, d).filter(col("r") <= Dedup.Dd7Probes)
-          .select(col("cell"), col("vec_id"))
+          .select(col("cell"), col("vec_id")).hint("shuffle_hash")
           .join(normed(s, d), Seq("vec_id"))
           .select(col("cell"), col("vec_id"), col("v"), col("nrm"), lit(0L).as("seq"))
       }
@@ -662,7 +712,8 @@ object Similarity {
         s, t, Seq("cell"), 16,
         s"kmidx|v2|$d|n=$n|k=${math.min(Dedup.dd7AnchorCount(n), TrainSample.toLong)}" +
           s"|it=$KmeansIters|ts=$TrainSample|p=${Dedup.Dd7Probes}") {
-        val base = kmAssignFrame(s, d, normed(s, d))
+        // shuffle-hash on the narrow assignment — see servedIndex
+        val base = kmAssignFrame(s, d, normed(s, d)).hint("shuffle_hash")
           .join(normed(s, d), Seq("vec_id"))
           .select(col("cell"), col("vec_id"), col("v"), col("nrm"), lit(0L).as("seq"))
         if (!prefixMaintained(s, d)) base
@@ -946,8 +997,10 @@ object Similarity {
         s"|m=$PqM|kc=$PqK|it=$PqIters|ts=$TrainSample") {
       // codes as one ordered array per vector (8 B at PqM=16, PqK=16):
       // ADC reads M positions per candidate instead of joining M rows
+      // shuffle-hash on the narrow assignment — see servedIndex (the
+      // codes side is narrow too, but SMJ would still sort both)
       val base = Dedup.rankedPrefix(s, d).filter(col("r") <= Dedup.Dd7Probes)
-        .select(col("cell"), col("vec_id"))
+        .select(col("cell"), col("vec_id")).hint("shuffle_hash")
         .join(pqCodeArrays(s, d, normed(s, d)), Seq("vec_id"))
         .select(col("cell"), col("vec_id"), col("codes"), lit(0L).as("seq"))
       if (!prefixMaintained(s, d)) base
@@ -1071,8 +1124,11 @@ object Similarity {
     * of a parallel implementation. */
   private[graft] def servedTopkAt(
       s: SparkSession, d: String, kind: String, nprobe: Int,
-      rerankPerProbe: Int = DefaultRerankPerProbe): DataFrame =
+      rerankPerProbe: Int = DefaultRerankPerProbe,
+      buildIfMissing: Boolean = false): DataFrame = {
+    if (!buildIfMissing) assertLandedForServe(s, d, kind)
     searchAnchors(s, d, kind, nprobe, queryVecs(s, d), rerankPerProbe)
+  }
 
   /** The serving dispatch shared by the graded queries (queryVecs) and
     * [[searchTopk]] (arbitrary caller vectors). */
@@ -1111,12 +1167,22 @@ object Similarity {
     * time, and a landing created AFTER maintenance began catches up
     * from the prefix table (live-at-seq-0 filter + appended versions).
     * Only the flat sim4b code table (not a serving kind here) remains a
-    * corpus-only snapshot. */
+    * corpus-only snapshot.
+    *
+    * FAIL-FAST (VERDICT r14 #1b): when the kind's index is NOT landed,
+    * this throws [[MissingIndexException]] instead of building it —
+    * an inline build inside a serve call is a corpus-scale job
+    * (quantize + shuffle + land) the caller did not ask to run, and at
+    * scale it is an outage (the r14 5M probe OOM'd a 64 GB heap in
+    * exactly that fallback). Pass `buildIfMissing = true` (or call
+    * [[buildIndex]] / run [[graft.tools.PreLand]] ahead) to build. */
   def searchTopk(
       s: SparkSession, d: String, kind: String,
       queries: Seq[(Long, Array[Double])],
       nprobe: Int = 0,
-      rerankPerProbe: Int = DefaultRerankPerProbe): DataFrame = {
+      rerankPerProbe: Int = DefaultRerankPerProbe,
+      buildIfMissing: Boolean = false): DataFrame = {
+    if (!buildIfMissing) assertLandedForServe(s, d, kind)
     val qs = queries.map { case (id, v) => Anchor(id, v, math.sqrt(dotA(v, v))) }.toArray
     val np = if (nprobe > 0) nprobe else defaultNprobe(s, d)
     searchAnchors(s, d, kind, np, qs, rerankPerProbe)

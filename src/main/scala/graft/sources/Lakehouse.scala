@@ -135,6 +135,58 @@ object Lakehouse {
       .saveAsTable(table)
   }
 
+  /** Splits per bucket for [[writeBucketedStaged]]'s pass-1 shuffle —
+    * bounds the pass-2 per-task sort at roughly (table bytes) /
+    * (buckets × splits). 8 keeps a 5M-vector index landing's sorts in
+    * the low hundreds of MB per task; tune with SPARK_GRAFT_LAND_SPLITS. */
+  private def landSplitsPerBucket: Int =
+    sys.env.get("SPARK_GRAFT_LAND_SPLITS").flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(8)
+
+  /** Two-pass bucketed write — the SCALE path behind [[landBucketed]]
+    * and the compaction swap (VERDICT r14 #1: the one-pass form fed the
+    * V1 bucketed writer from join-partitioned input, whose injected
+    * per-task sort externally sorted the whole frame — vector payloads
+    * spill as wide uncompressed rows, measured ~11 GB of transient per
+    * 1M vectors; a 100 TB corpus cannot be sorted as one dataset).
+    *
+    * Pass 1 shuffles `df` ONCE, hashed on the bucket columns into
+    * `numBuckets × splits` partitions, and stages it as compressed
+    * parquet — the transient is ≈ the table's at-rest size, never an
+    * uncompressed row spill, and because numBuckets divides the
+    * partition count every staged split holds rows of exactly one
+    * bucket (pmod(h, k·n) = i ⇒ pmod(h, n) = i mod n). Pass 2 reads
+    * the staging back (tasks sized by maxPartitionBytes) and runs the
+    * normal bucketed write: each task's injected (bucket-id, sort-col)
+    * sort now covers one bounded split instead of 1/Pth of the corpus.
+    * The staging also checkpoints the expensive landing computation —
+    * a pass-2 failure re-reads the staging, it does not re-quantize.
+    * This is the reference's sub-partitioned write idea
+    * (kafka-client/src/main/java/dev/responsive/kafka/internal/db/partitioning/SubPartitioner.java:49-110
+    * — one logical partition fans out to bounded physical ones) applied
+    * to the landing sort. A bucket then holds `splits` files rather
+    * than one; bucket pruning, Exchange-free joins, and row-group
+    * sort stats are per-file and unaffected. */
+  def writeBucketedStaged(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      numBuckets: Int): Unit = {
+    val s = df.sparkSession
+    val stagingLoc = warehouseLoc(s, table + "__landstage")
+    if (stagingLoc.exists()) rmTree(stagingLoc)
+    val parts = numBuckets * landSplitsPerBucket
+    try {
+      df.repartition(parts, bucketCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(stagingLoc.toString)
+      // explicit schema: an all-empty staging (empty df) has no files
+      // to infer from, and the user schema also pins nullability so the
+      // landed table's DDL equals df's
+      val staged = s.read.schema(df.schema).parquet(stagingLoc.toString)
+      writeBucketed(staged, table, bucketCols, numBuckets)
+    } finally { if (stagingLoc.exists()) rmTree(stagingLoc) }
+  }
+
   /** One-time bucketed landing with CROSS-SESSION reuse: land `df` as a
     * bucketed table exactly once per (warehouse, table, fingerprint) —
     * across JVMs, not just per session. [[writeBucketed]] alone re-lands
@@ -184,7 +236,7 @@ object Lakehouse {
           s.table(table)
         case _ =>
           val data = df
-          writeBucketed(data, table, bucketCols, numBuckets)
+          writeBucketedStaged(data, table, bucketCols, numBuckets)
           // a clean re-land invalidates any maintenance sidecar from the
           // previous landing: the commit log died with the location rm in
           // writeBucketed; the tombstone dir lives beside it — clear too
@@ -257,32 +309,31 @@ object Lakehouse {
   }
 
   /** The rewrite-and-swap core shared by [[compactBucketed]] and
-    * [[compactMaintained]]: persist `liveRowsOf(table)`, write it as the
-    * stage table, guard against concurrent appends, then swap the stage
-    * into place carrying the landing marker and commit log.
+    * [[compactMaintained]]: rewrite `liveRowsOf(table)` as the stage
+    * table, guard against concurrent appends, then swap the stage into
+    * place carrying the landing marker and commit log.
     *
-    * One file per bucket needs task i to hold exactly bucket i's rows.
-    * The pre-repartition uses the same hash the bucketed writer routes
-    * by (pmod(hash(cols), n) — collation-aware only for strings), BUT
-    * the write planner REMOVES a bare repartition above WriteFiles
-    * (bucketed V1 writes only require an ordering; observed plan:
-    * Scan → Sort → WriteFiles, no Exchange → tasks × buckets sliver
-    * files survive the "compaction"). Materializing the repartitioned
-    * frame pins the exchange: the write consumes the cached aligned
-    * partitions and emits exactly one file per bucket. */
+    * The rewrite goes through [[writeBucketedStaged]]: the write
+    * planner would REMOVE a bare repartition above a bucketed
+    * WriteFiles (V1 bucketed writes only require an ordering; observed
+    * plan: Scan → Sort → WriteFiles, no Exchange → tasks × buckets
+    * sliver files survive the "compaction"), and the earlier
+    * fix — persisting a pre-repartitioned frame MEMORY_AND_DISK to pin
+    * the exchange — cached the entire table through the fold, the
+    * storage-pressure suspect in the r14 delete-heavy probe's 24 GB
+    * OOM (VERDICT r14 #3). The staged write pins the shuffle by
+    * materializing it to disk instead: nothing is cached, pass-2 sorts
+    * are split-bounded, and the compacted table holds a bounded
+    * splits-per-bucket file count (vs the sliver population it
+    * replaces). */
   private def compactSwap(
       s: SparkSession, table: String,
       spec: org.apache.spark.sql.catalyst.catalog.BucketSpec,
       liveRowsOf: DataFrame => DataFrame): Unit = {
     val stage = stageName(table)
-    val arranged = liveRowsOf(s.table(table))
-      .repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val snapshot = s.table(table).count() // raw-row snapshot for the drift guard
-    try {
-      arranged.count() // materialize BEFORE touching the original
-      writeBucketed(arranged, stage, spec.bucketColumnNames, spec.numBuckets)
-    } finally { arranged.unpersist(); () }
+    writeBucketedStaged(
+      liveRowsOf(s.table(table)), stage, spec.bucketColumnNames, spec.numBuckets)
     // Metadata half of the swap under the table's monitor: a concurrent
     // reader resolving the table mid-swap would otherwise adopt the
     // stage itself (killing this RENAME) or re-land over the maintained

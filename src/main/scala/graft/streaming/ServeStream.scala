@@ -58,9 +58,14 @@ object ServeStream {
           // catalog window is lock-serialized in Lakehouse, but an
           // already-planned scan still races the file delete). A failed
           // parquet job commits nothing, so one re-resolve + retry is
-          // the whole recovery.
+          // the whole recovery. A missing-index refusal is NOT retried:
+          // the index will not have landed 200 ms later, and serving
+          // must fail fast with the typed error (VERDICT r14 #1b).
           try serveOnce()
-          catch { case scala.util.control.NonFatal(_) => Thread.sleep(200); serveOnce() }
+          catch {
+            case e: graft.operators.Similarity.MissingIndexException => throw e
+            case scala.util.control.NonFatal(_) => Thread.sleep(200); serveOnce()
+          }
         }
       }
       .outputMode("update")

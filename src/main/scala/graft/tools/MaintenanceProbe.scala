@@ -90,7 +90,7 @@ object MaintenanceProbe {
     def landSec(kind: String): Double = {
       val t0 = System.nanoTime()
       graft.operators.Similarity.searchTopk(
-        spark, corpusDir, kind, Seq((-1L, probeVec))).count()
+        spark, corpusDir, kind, Seq((-1L, probeVec)), buildIfMissing = true).count()
       (System.nanoTime() - t0) / 1e9
     }
     val lands = Seq("prefix", "kmeans", "ivfpq").map(k => k -> landSec(k))

@@ -29,7 +29,10 @@ object PreLand {
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       for (kind <- kinds) {
         val t0 = System.nanoTime()
-        graft.operators.Similarity.searchTopk(spark, src, kind, Seq((-1L, v))).count()
+        // the ONE caller that intends an inline build: PreLand IS the
+        // build step the fail-fast serving contract points at
+        graft.operators.Similarity.searchTopk(
+          spark, src, kind, Seq((-1L, v)), buildIfMissing = true).count()
         println(f"PRELAND $src $kind ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
     }

@@ -107,7 +107,9 @@ class IndexIngestSpec extends SparkSpecBase with BeforeAndAfterAll {
     Lakehouse.compactBucketed(spark, tbl)
     val compacted = indexFiles(tbl)
     assert(compacted.size < sliverCount, s"$sliverCount -> ${compacted.size}")
-    assert(compacted.size <= 16, s"more files than buckets: ${compacted.size}")
+    // the two-pass staged rewrite bounds per-task sort memory at the
+    // cost of splits-per-bucket files (default 8) instead of one
+    assert(compacted.size <= 16 * 8, s"unbounded file count: ${compacted.size}")
     assert(spark.table(tbl).count() == after)
     // the landing marker survived the swap → a later session re-registers
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
@@ -266,9 +268,11 @@ class IndexIngestSpec extends SparkSpecBase with BeforeAndAfterAll {
   test("kmeans/ivfpq landings catch up with prior maintenance; new appends and deletes reach every kind") {
     import spark.implicits._
     val np = Similarity.defaultNprobe(spark, corpusDir)
+    // buildIfMissing: this test IS the catch-up landing — km/ivfpq are
+    // deliberately unlanded until served here
     def servedIds(kind: String, q: Array[Float]): Set[Long] =
       Similarity.searchTopk(spark, corpusDir, kind,
-          Seq((-42L, q.map(_.toDouble))), np)
+          Seq((-42L, q.map(_.toDouble))), np, buildIfMissing = true)
         .select(col("neighbor_id")).collect().map(_.getLong(0)).toSet
     def emb(id: Long): Array[Float] =
       spark.read.parquet(s"$corpusDir/embeddings.parquet")
@@ -337,7 +341,8 @@ class IndexIngestSpec extends SparkSpecBase with BeforeAndAfterAll {
     for (t <- allTables) {
       assert(graft.sources.Lakehouse.tombstones(spark, t).isEmpty,
         s"$t: compaction must clear the tombstone sidecar")
-      assert(indexFiles(t).size <= 16, s"$t: slivers must fold back into <= bucket-count files")
+      assert(indexFiles(t).size <= 16 * 8,
+        s"$t: slivers must fold back into a bounded file count (buckets x staged splits)")
       // superseded version physically dropped: exactly one live version
       assert(spark.table(t).filter(col("vec_id") === 950000L)
         .select(col("seq")).distinct().count() == 1,
@@ -385,8 +390,8 @@ class IndexIngestSpec extends SparkSpecBase with BeforeAndAfterAll {
       src2.addData(Seq((960002L, emb3))); q2.processAllAvailable()
       src2.addData(Seq((960003L, emb3))); q2.processAllAvailable() // tick compacts
     } finally q2.stop()
-    assert(indexFiles(tbl).size <= 16,
-      "ratio 0: the cadence must fold slivers back to <= bucket-count files")
+    assert(indexFiles(tbl).size <= 16 * 8,
+      "ratio 0: the cadence must fold slivers back to a bounded file count")
     // nothing lost either way: all four maintained ids serve
     val got = Similarity.searchTopk(spark, corpusDir, "prefix",
       Seq((-98L, emb3.map(_.toDouble))), Similarity.defaultNprobe(spark, corpusDir))
@@ -415,8 +420,8 @@ class IndexIngestSpec extends SparkSpecBase with BeforeAndAfterAll {
       src.addData(Seq((970000L, emb5))); q.processAllAvailable()
       src.addData(Seq((970000L, null: Array[Float]))); q.processAllAvailable()
     } finally q.stop()
-    assert(indexFiles(tbl).size <= 16,
-      "the tombstone bound must fold the table at the tick")
+    assert(indexFiles(tbl).size <= 16 * 8,
+      "the tombstone bound must fold the table at the tick (bounded by buckets x staged splits)")
     assert(graft.sources.Lakehouse.tombstones(spark, tbl).isEmpty,
       "compaction must clear the mask sidecar")
     val got = Similarity.searchTopk(spark, corpusDir, "prefix",

@@ -11,9 +11,51 @@ import org.apache.spark.sql.functions._
   * the batch API's for the same query vectors. */
 class ServeStreamSpec extends SparkSpecBase {
 
+  test("serving refuses a missing index with a typed error; explicit build unblocks it") {
+    // fail-fast contract (VERDICT r14 #1b): a serve call must never
+    // fall into a corpus-scale inline index build. Fresh corpus copy ⇒
+    // nothing landed ⇒ searchTopk throws the typed refusal in ms; the
+    // EXPLICIT build API lands the index and the same call then serves.
+    import org.apache.spark.sql.functions.col
+    val d = Files.createTempDirectory("graft-failfast").toString
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .write.parquet(s"$d/embeddings.parquet")
+    val v = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0).toArray
+    val q = Seq((-7L, v))
+    val ex = intercept[Similarity.MissingIndexException] {
+      Similarity.searchTopk(spark, d, "ivfpq", q)
+    }
+    assert(ex.getMessage.contains("ivfpq") && ex.getMessage.contains("not landed"),
+      s"refusal must name the missing kind: ${ex.getMessage}")
+    // a streamed serve refuses the same way (no 200 ms retry loop):
+    // the foreachBatch surfaces the typed error and the stream fails
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val src0 = MemoryStream[(Long, Array[Double])]
+    val sink0 = Files.createTempDirectory("graft-failfast-sink").toString + "/out"
+    val q0 = graft.streaming.ServeStream.serveTopk(
+      src0.toDF().toDF("qid", "embedding"), d, "ivfpq", sink0)
+    val streamEx = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      src0.addData(q); q0.processAllAvailable()
+    }
+    q0.stop()
+    def rootCauseChain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(rootCauseChain(streamEx).exists(_.isInstanceOf[Similarity.MissingIndexException]),
+      s"streamed refusal must carry the typed error: $streamEx")
+    // explicit build, then the refused call serves
+    Similarity.buildIndex(spark, d, "ivfpq")
+    val rows = Similarity.searchTopk(spark, d, "ivfpq", q).collect()
+    assert(rows.length == Similarity.TopK, s"post-build serve returned ${rows.length} rows")
+  }
+
   test("streamed ANN serving equals batch searchTopk per micro-batch") {
     import spark.implicits._
     val d = sfDir
+    Similarity.buildIndex(spark, d, "prefix") // serving refuses unlanded indexes
     // two disjoint query batches: corpus vectors 3..5 and 6..8 under
     // fresh negative qids (no corpus collision)
     def qsOf(ids: Range): Seq[(Long, Array[Double])] =
@@ -46,6 +88,7 @@ class ServeStreamSpec extends SparkSpecBase {
   test("restart replays the uncommitted batch; readers dedupe by (qid, batch_id)") {
     import spark.implicits._
     val d = sfDir
+    Similarity.buildIndex(spark, d, "prefix")
     def qsOf(ids: Range): Seq[(Long, Array[Double])] =
       spark.read.parquet(s"$d/embeddings.parquet")
         .filter(col("vec_id").isin(ids.map(i => Long.box(i.toLong)): _*))
