@@ -47,7 +47,12 @@ object RecallProbe {
     println(f"RECALL exact answer: ${exact.size} pairs in $exactSec%.1f s")
 
     val k1 = Similarity.defaultNprobe(spark, src)
-    val sweep = Seq(1, math.max(1, k1 / 4), math.max(1, k1 / 2), k1).distinct
+    // SPARK_GRAFT_RECALL_NPROBES (csv) overrides the depth sweep — the
+    // r15 question is the CHEAP band (nprobe <= 32) at 5M, which the
+    // default {1, k1/4, k1/2, k1} grid skips entirely at large K
+    val sweep = sys.env.get("SPARK_GRAFT_RECALL_NPROBES")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, math.max(1, k1 / 4), math.max(1, k1 / 2), k1).distinct)
     // SPARK_GRAFT_RECALL_OOS_ONLY=1 skips the in-sample sweep (already
     // mapped for this corpus in a prior round) — the OOS loop is where
     // the serving frontier lives, and at 20M vectors each skipped serve

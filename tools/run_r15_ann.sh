@@ -123,6 +123,7 @@ else echo "5M warm probe FAILED"; fi
 
 mkdir -p /tmp/ann15q
 if SPARK_GRAFT_RERANK_SWEEP=20,60 SPARK_GRAFT_RECALL_OOS_ONLY=1 \
+  SPARK_GRAFT_RECALL_NPROBES=1,8,32,121,484 \
   SPARK_GRAFT_RECALL_KINDS=prefix,ivfpq SPARK_GRAFT_PROBE_OUT=/tmp/ann15q \
   run24 graft.tools.RecallProbe /tmp/scale2500d1 > /tmp/ann15_recall5m.log 2>&1; then
   cp /tmp/ann15q/recall.json /root/repo/RECALL_r15_5M.json
