@@ -59,6 +59,18 @@ object Graft {
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.session.timeZone" -> "UTC",
       "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+      // ObjectHashAggregate (every TypedImperativeAggregate: the topk /
+      // sketch aggs) falls back to SORT-BASED aggregation after 128
+      // in-map keys by default — for a high-cardinality group key that
+      // externally sorts the aggregate's INPUT rows. Measured on the
+      // ANN landing's quantization job at a 2M-vector corpus: 186 GB
+      // of memory-spill / 26 GB of disk-spill in the two ranking aggs
+      // (the r14 "11 GB/1M vectors" landing transient). Per-task
+      // distinct groups are bounded by maxPartitionBytes-sized input
+      // splits (~500k vectors per 128 MB split), so a 2M-row map
+      // threshold removes the fallback at every measured scale while
+      // a genuinely wider task degrades to the old sort, not OOM.
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2097152",
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val builder = SparkSession.builder()

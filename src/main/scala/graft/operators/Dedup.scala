@@ -365,8 +365,9 @@ object Dedup {
     * cid, so beyond broadcast reach it degrades to a linear-in-n
     * shuffle, never a linear broadcast. */
   private[graft] def twoLevelRanked(
-      e: DataFrame, fine: DataFrame, coarse: DataFrame, probes: Int): DataFrame =
-    twoLevelRankedTagged(e, tagFine(fine, coarse), coarse, probes)
+      e: DataFrame, fine: DataFrame, coarse: DataFrame, probes: Int,
+      fineAnchors: Long = -1L): DataFrame =
+    twoLevelRankedTagged(e, tagFine(fine, coarse), coarse, probes, fineAnchors)
 
   /** Level 1 of [[twoLevelRanked]], split out so callers ranking TWO
     * vector sets against one index (corpus at Dd7Probes depth, the
@@ -382,9 +383,28 @@ object Dedup {
     fine.join(a2c, Seq("aid"))
   }
 
-  /** Levels 2–3 of [[twoLevelRanked]] over a pre-tagged fine set. */
+  /** Largest fine-anchor count the level-1 join BROADCASTS (the FAISS
+    * posture — the quantizer lives with every worker): 2^20 anchors ×
+    * ~600 B ≈ 620 MB, covering corpora to ~67M vectors at K = n/64.
+    * The default 10 MB auto-broadcast threshold abandoned the
+    * broadcast at K ≈ 18k anchors (~1.2M vectors), silently flipping
+    * the level-1 join to a sort-merge whose SORT externally sorted the
+    * P₁-exploded VECTOR-carrying side — measured 82 GB of transient at
+    * a 5M-vector landing (r15; the r14 "landing footprint" wall was
+    * mostly THIS, not the bucketed write). Past the bound the join
+    * stays shuffle-hash: linear shuffle, hash build on the K-row
+    * anchor side, never a wide-row sort. */
+  private[graft] val BroadcastFineMaxAnchors: Long = 1L << 20
+
+  /** Levels 2–3 of [[twoLevelRanked]] over a pre-tagged fine set.
+    * `fineAnchors` (the fine set's row count, when the caller knows
+    * it) picks the level-1 join strategy explicitly — see
+    * [[BroadcastFineMaxAnchors]]; -1 leaves the optimizer's choice
+    * (correct for the ≤ TrainSample trained sets and the graded SFs,
+    * where auto-broadcast already fires). */
   private[graft] def twoLevelRankedTagged(
-      e: DataFrame, fineTagged: DataFrame, coarse: DataFrame, probes: Int): DataFrame = {
+      e: DataFrame, fineTagged: DataFrame, coarse: DataFrame, probes: Int,
+      fineAnchors: Long = -1L): DataFrame = {
     // level 2: each VECTOR's Dd7CoarseProbes nearest coarse cells —
     // n·K1 cosines against a √K broadcast; first(v) rides the same
     // map-side partial agg so the corpus is never re-joined
@@ -394,11 +414,17 @@ object Dedup {
       .agg(graft.functions.SketchAggs.topk(col("ccos"), col("cid"), Dd7CoarseProbes).as("ct"),
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("v"), col("nrm"), explode(col("ct.id")).as("cid"))
-    // refine: rank ONLY the probed coarse cells' fine anchors — the
-    // join keys on cid, so Spark broadcasts fineTagged while it fits
-    // and shuffle-joins by cid beyond that (n·P₁ vector rows, linear);
-    // per-vector work is K1 + P₁·K/K1 ≈ √K cosines instead of K
-    vc.join(fineTagged, Seq("cid"))
+    // refine: rank ONLY the probed coarse cells' fine anchors. The
+    // per-vector work is K1 + P₁·K/K1 ≈ √K cosines; the join strategy
+    // decides the TRANSIENT: broadcast keeps the P₁-exploded vector
+    // side partition-local, shuffle-hash moves it once but never
+    // sorts it — a sort-merge here external-sorts n·P₁ wide rows
+    // (the r14/r15 landing wall).
+    val fineSide =
+      if (fineAnchors >= 0 && fineAnchors <= BroadcastFineMaxAnchors) broadcast(fineTagged)
+      else if (fineAnchors > BroadcastFineMaxAnchors) fineTagged.hint("shuffle_hash")
+      else fineTagged
+    vc.join(fineSide, Seq("cid"))
       .withColumn("acos", VectorExprs.dot(col("v"), col("av")) / (col("nrm") * col("an")))
       .groupBy(col("vec_id"))
       .agg(graft.functions.SketchAggs.topk(col("acos"), col("aid"), probes).as("top"))
@@ -410,7 +436,7 @@ object Dedup {
     * = the first K/K1 vec_ids of `e` itself. */
   private[graft] def twoLevelRankedPrefix(
       e: DataFrame, k: Long, k1: Long, probes: Int): DataFrame =
-    twoLevelRanked(e, prefixFine(e, k), prefixCoarse(e, k1), probes)
+    twoLevelRanked(e, prefixFine(e, k), prefixCoarse(e, k1), probes, fineAnchors = k)
 
   private[graft] def prefixFine(e: DataFrame, k: Long): DataFrame =
     e.filter(col("vec_id") < k)
@@ -450,7 +476,7 @@ object Dedup {
       val e = Similarity.normed(s, d)
       val k = dd7AnchorCount(Similarity.corpusN(s, d))
       Memo.mat(twoLevelRankedTagged(e, fineTaggedPrefix(s, d),
-        prefixCoarse(e, dd7CoarseCount(k)), Dd7Probes))
+        prefixCoarse(e, dd7CoarseCount(k)), Dd7Probes, fineAnchors = k))
     }
 
   /** dd7 — embedding near-dup via TWO-LEVEL IVF-cell blocking: the

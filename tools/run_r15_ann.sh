@@ -35,12 +35,14 @@ run64() {
   # shellcheck disable=SC2086
   java $ADD_OPENS -Xmx64g \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -Dspark.sql.objectHashAggregate.sortBased.fallbackThreshold=2097152 \
     -cp "$CLS:/opt/spark/jars/*" "$@"
 }
 run24() {
   # shellcheck disable=SC2086
   java $ADD_OPENS -Xmx24g \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -Dspark.sql.objectHashAggregate.sortBased.fallbackThreshold=2097152 \
     -cp "$CLS:/opt/spark/jars/*" "$@"
 }
 

@@ -27,6 +27,7 @@ run24() {
   # shellcheck disable=SC2086
   java $ADD_OPENS -Xmx24g \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+    -Dspark.sql.objectHashAggregate.sortBased.fallbackThreshold=2097152 \
     -cp "$CLS:/opt/spark/jars/*" "$@"
 }
 
