@@ -65,12 +65,23 @@ object Graft {
       // externally sorts the aggregate's INPUT rows. Measured on the
       // ANN landing's quantization job at a 2M-vector corpus: 186 GB
       // of memory-spill / 26 GB of disk-spill in the two ranking aggs
-      // (the r14 "11 GB/1M vectors" landing transient). Per-task
-      // distinct groups are bounded by maxPartitionBytes-sized input
-      // splits (~500k vectors per 128 MB split), so a 2M-row map
-      // threshold removes the fallback at every measured scale while
-      // a genuinely wider task degrades to the old sort, not OOM.
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2097152",
+      // (the r14 "11 GB/1M vectors" landing transient).
+      // Why 2M keys is memory-safe even for vector-carrying buffers
+      // (first(v) in the quantization aggs — ADVICE r15):
+      //  - PARTIAL aggs: per-task groups are bounded by the input
+      //    split (maxPartitionBytes / rowBytes), so in-map bytes ≈ one
+      //    128 MB split's worth of buffers REGARDLESS of embedding
+      //    dim — wider rows mean proportionally fewer rows per split.
+      //  - FINAL aggs: per-task groups = totalGroups / shuffle
+      //    partitions; the largest measured case (the 20M landing's
+      //    625k vec_id groups/task × ~700 B vector buffer) holds
+      //    ~450 MB/task. Lowering the threshold to the advised ~512k
+      //    would put exactly this stage back on the 186 GB sort path.
+      // Deployments with wider groups-per-task (e.g. thousands of
+      // shuffle partitions reduced back to few, or multi-KB sketch
+      // buffers at millions of groups) can lower the cap via env.
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" ->
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "2097152"),
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val builder = SparkSession.builder()

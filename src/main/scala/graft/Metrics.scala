@@ -141,7 +141,7 @@ object Metrics {
 
   /** Tap a DataFrame at its origin so every downstream action ALSO
     * reports how many rows entered the pipeline — the analog of the
-    * reference's origin-event accounting (OriginEventReporterImpl.java:
+    * reference's origin-event accounting (kafka-client/src/main/java/dev/responsive/kafka/internal/clients/OriginEventReporterImpl.java:
     * each record is counted exactly once, where it first appears, no
     * matter how many operators touch it afterwards). Implemented as
     * `df.observe` — a CollectMetrics node, a zero-shuffle accumulator

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.udaf
 /** Order-insensitive per-key checksum, the engine's analog of the
   * reference's e2e digest (AccumulatingChecksum,
   * /root/reference/kafka-client-examples/e2e-test/src/main/java/dev/responsive/examples/e2etest/,
-  * folded at E2ETestApplication.java:182-197). The reference digest folds
+  * folded at kafka-client-examples/e2e-test/src/main/java/dev/responsive/examples/e2etest/E2ETestApplication.java:182-197). The reference digest folds
   * Kafka offsets and is order-sensitive; Spark exposes no stable per-key
   * arrival order, so this digest is commutative (XOR of a bit-mixed id) —
   * merge-able across partials, which is exactly what a distributed agg

@@ -35,7 +35,7 @@ trait KeyState[S] {
   *    per key) — read-your-writes across invocations;
   *  - cross-key records run concurrently on a bounded pool;
   *  - at most `maxInFlight` records are scheduled ahead (the
-  *    MAX_EVENTS_QUEUED analog, ResponsiveConfig.java:253-291), so a slow
+  *    MAX_EVENTS_QUEUED analog, kafka-client/src/main/java/dev/responsive/kafka/api/config/ResponsiveConfig.java:253-291), so a slow
   *    record applies backpressure instead of buffering the partition;
   *  - one record's failure fails THAT record (rethrown at its output
   *    position, failing the task like any Spark exception) without
@@ -78,7 +78,7 @@ object AsyncOps {
     *
     * PARTITION-LOCAL STATE: like the reference — where Kafka's
     * partitioning guarantees a key's records all hit one task and its
-    * store (AsyncProcessorSupplier.java:96-118, "single stateful
+    * store (kafka-client/src/main/java/dev/responsive/kafka/api/async/AsyncProcessorSupplier.java:96-118, "single stateful
     * processor" per task) — the state map lives per partition. The
     * cross-invocation contract therefore requires same-key records to
     * be co-located: feed this from `repartition($"key")`, a
@@ -161,8 +161,8 @@ object AsyncOps {
     * enters. Feed is repartitioned by key + sorted within partitions:
     * the co-location the stateful contract documents (the Kafka
     * partition-assignment analog).
-    * Reference: AsyncProcessorSupplier.java:81-95 (same-key serial,
-    * read-your-writes), KeyOrderPreservingQueue.java:36,139-151. */
+    * Reference: kafka-client/src/main/java/dev/responsive/kafka/api/async/AsyncProcessorSupplier.java:81-95 (same-key serial,
+    * read-your-writes), kafka-client/src/main/java/dev/responsive/kafka/internal/async/queues/KeyOrderPreservingQueue.java:36,139-151. */
   val q58: graft.QueryDef = graft.QueryDef(
     "q58_async_running_sum",
     (s, d) => {

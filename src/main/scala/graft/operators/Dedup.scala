@@ -383,9 +383,14 @@ object Dedup {
     fine.join(a2c, Seq("aid"))
   }
 
-  /** Largest fine-anchor count the level-1 join BROADCASTS (the FAISS
-    * posture — the quantizer lives with every worker): 2^20 anchors ×
-    * ~600 B ≈ 620 MB, covering corpora to ~67M vectors at K = n/64.
+  /** Largest fine-anchor set the level-1 join BROADCASTS (the FAISS
+    * posture — the quantizer lives with every worker), as a BYTE
+    * budget: ~640 MB ≈ 2^20 anchors on the reference 64-dim corpus
+    * (~608 B/row), covering corpora to ~67M vectors at K = n/64. The
+    * bound is bytes, not rows, because broadcast size scales with the
+    * embedding dimension — a row-count cap alone would force a 4-8+ GB
+    * broadcast on a 512-1024-dim corpus, past Spark's 8 GB broadcast
+    * hard limit where the job FAILS outright instead of degrading.
     * The default 10 MB auto-broadcast threshold abandoned the
     * broadcast at K ≈ 18k anchors (~1.2M vectors), silently flipping
     * the level-1 join to a sort-merge whose SORT externally sorted the
@@ -394,12 +399,18 @@ object Dedup {
     * mostly THIS, not the bucketed write). Past the bound the join
     * stays shuffle-hash: linear shuffle, hash build on the K-row
     * anchor side, never a wide-row sort. */
-  private[graft] val BroadcastFineMaxAnchors: Long = 1L << 20
+  private[graft] val BroadcastFineMaxBytes: Long = 640L << 20
+
+  /** Estimated broadcast bytes per (aid, av, an, cid) fine-anchor row:
+    * the vector payload (8 B/dim) plus id/norm/cell fields and
+    * array+row object overhead. 64-dim ⇒ 608 B — the measured ~600 B
+    * the r15 row-count bound assumed. */
+  private[graft] def fineAnchorRowBytes(dim: Int): Long = 8L * dim + 96L
 
   /** Levels 2–3 of [[twoLevelRanked]] over a pre-tagged fine set.
     * `fineAnchors` (the fine set's row count, when the caller knows
     * it) picks the level-1 join strategy explicitly — see
-    * [[BroadcastFineMaxAnchors]]; -1 leaves the optimizer's choice
+    * [[BroadcastFineMaxBytes]]; -1 leaves the optimizer's choice
     * (correct for the ≤ TrainSample trained sets and the graded SFs,
     * where auto-broadcast already fires). */
   private[graft] def twoLevelRankedTagged(
@@ -421,9 +432,18 @@ object Dedup {
     // sorts it — a sort-merge here external-sorts n·P₁ wide rows
     // (the r14/r15 landing wall).
     val fineSide =
-      if (fineAnchors >= 0 && fineAnchors <= BroadcastFineMaxAnchors) broadcast(fineTagged)
-      else if (fineAnchors > BroadcastFineMaxAnchors) fineTagged.hint("shuffle_hash")
-      else fineTagged
+      if (fineAnchors < 0) fineTagged
+      else {
+        // one-row probe for the embedding dimension (fineTagged is
+        // memoized/materialized on the landing paths that reach here,
+        // so this reuses the materialization the join needs anyway);
+        // empty fine set ⇒ the broadcast is trivially tiny
+        val dim = fineTagged.select(size(col("av")).as("d"))
+          .take(1).headOption.map(_.getInt(0)).getOrElse(0)
+        if (fineAnchors * fineAnchorRowBytes(dim) <= BroadcastFineMaxBytes)
+          broadcast(fineTagged)
+        else fineTagged.hint("shuffle_hash")
+      }
     vc.join(fineSide, Seq("cid"))
       .withColumn("acos", VectorExprs.dot(col("v"), col("av")) / (col("nrm") * col("an")))
       .groupBy(col("vec_id"))

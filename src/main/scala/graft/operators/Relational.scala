@@ -12,7 +12,7 @@ import org.apache.spark.sql.expressions.Window
   * The reference (responsive-pub) delegates all of this to the Kafka
   * Streams DSL (filter/map/selectKey — see
   * /root/reference/tools/README.md analyzer surface and
-  * kafka-client-examples .../regression/tests/STJoinExample.java:54-101);
+  * kafka-client-examples/e2e-test/src/main/java/dev/responsive/examples/regression/tests/STJoinExample.java:54-101);
   * here each op is a declarative Spark plan so Catalyst performs
   * pushdown / pruning / join selection / codegen (SURVEY §4).
   *
@@ -68,7 +68,7 @@ object Relational {
            |GROUP BY l_returnflag, l_linestatus""".stripMargin)
   )
 
-  /** Q3 — stream–table equi join (STJoinExample.java:68-77 analog:
+  /** Q3 — stream–table equi join (kafka-client-examples/e2e-test/src/main/java/dev/responsive/examples/regression/tests/STJoinExample.java:68-77 analog:
     * orders enriched with customer). Customer is the "table" side and is
     * broadcast — the GlobalKTable pattern at Spark scale. */
   val q03 = QueryDef(
@@ -202,7 +202,7 @@ object Relational {
            |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin)
   )
 
-  /** Q6 — global-table / broadcast join (GlobalOperations.java:36-75
+  /** Q6 — global-table / broadcast join (kafka-client/src/main/java/dev/responsive/kafka/internal/stores/GlobalOperations.java:36-75
     * analog): fact stream joined to two replicated dims with zero fact
     * shuffle before aggregation. */
   val q06 = QueryDef(
@@ -221,7 +221,7 @@ object Relational {
            |GROUP BY n_name""".stripMargin)
   )
 
-  /** Q15 — key range + prefix scan (PartitionedOperations.java:393-424
+  /** Q15 — key range + prefix scan (kafka-client/src/main/java/dev/responsive/kafka/internal/stores/PartitionedOperations.java:393-424
     * range/prefixScan analog, expressed as pushed-down predicates). */
   val q15 = QueryDef(
     "q15_range_prefix",
@@ -235,7 +235,7 @@ object Relational {
   )
 
   /** Q16 — reverseRange (the reference throws UnsupportedOperation,
-    * ResponsiveKeyValueStore.java:413-417; we support it). */
+    * kafka-client/src/main/java/dev/responsive/kafka/internal/stores/ResponsiveKeyValueStore.java:413-417; we support it). */
   val q16 = QueryDef(
     "q16_reverse_range",
     (s, d) =>
@@ -339,7 +339,7 @@ object Relational {
   )
 
   /** Q23 — approximate distinct count (approximateNumEntries analog,
-    * RemoteKVTable.java:89-96). HLL sketches differ across engines, so
+    * kafka-client/src/main/java/dev/responsive/kafka/internal/db/RemoteKVTable.java:89-96). HLL sketches differ across engines, so
     * the checked contract is the 5%-tolerance flag plus the exact count. */
   val q23 = QueryDef(
     "q23_approx_count",

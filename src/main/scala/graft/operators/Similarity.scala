@@ -1188,6 +1188,53 @@ object Similarity {
     searchAnchors(s, d, kind, np, qs, rerankPerProbe)
   }
 
+  /** Phase-timed breakdown of ONE ivfpq serve batch (VERDICT r15 #4:
+    * where does the per-batch floor live?). Times the SAME pieces
+    * [[searchTopk]]("ivfpq") runs: driver probe ranking, driver ADC
+    * tables, index re-resolution, the shortlist (ADC scan + top-k agg)
+    * job, the exact re-rank job, then the unmodified end-to-end serve.
+    * The shortlist persists between its timing and the re-rank's so
+    * the re-rank number excludes shortlist recompute. Profiling only —
+    * the serving path stays [[searchTopk]]. */
+  private[graft] def profileServeIvfpq(
+      s: SparkSession, d: String,
+      queries: Seq[(Long, Array[Double])],
+      nprobe: Int = 0,
+      rerankPerProbe: Int = DefaultRerankPerProbe): Seq[(String, Double)] = {
+    assertLandedForServe(s, d, "ivfpq")
+    val qs = queries.map { case (id, v) => Anchor(id, v, math.sqrt(dotA(v, v))) }.toArray
+    val np = if (nprobe > 0) nprobe else defaultNprobe(s, d)
+    def t[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (probes, probeSec) =
+      t(localProbes(s, d, coarsePrefixLocal(s, d), prefixFineFetch(s, d), np, qs))
+    val (tabs, adcSec) = t(adcTables(s, d, qs))
+    val (_, resolveSec) = t { ivfPqIndex(s, d); servedIndex(s, d) }
+    val ((cands, cells), planSec) = t(ivfPqCands(s, d, np, qs, rerankPerProbe))
+    val candsP = cands.persist()
+    val (nCand, shortlistSec) = t(candsP.count())
+    val (nOut, rerankSec) = t(pqRerank(s, d, candsP, qs, Some(cells)).count())
+    candsP.unpersist()
+    val (nFull, fullSec) = t(searchAnchors(s, d, "ivfpq", np, qs, rerankPerProbe).count())
+    Seq(
+      "nprobe" -> np.toDouble,
+      "queries" -> qs.length.toDouble,
+      "probe_pairs" -> probes.length.toDouble,
+      "probed_cells" -> cells.size.toDouble,
+      "adc_tables" -> tabs.size.toDouble,
+      "driver_probe_ranking_sec" -> probeSec,
+      "driver_adc_tables_sec" -> adcSec,
+      "index_resolve_sec" -> resolveSec,
+      "plan_build_sec" -> planSec,
+      "shortlist_rows" -> nCand.toDouble,
+      "shortlist_job_sec" -> shortlistSec,
+      "rerank_job_sec" -> rerankSec,
+      "out_rows" -> nOut.toDouble,
+      "full_rows" -> nFull.toDouble,
+      "end_to_end_sec" -> fullSec)
+  }
+
   /** Exact brute-force top-[[TopK]] for ARBITRARY query vectors (the
     * ground truth [[searchTopk]] is measured against): one corpus scan
     * with the query batch broadcast — the sim1 plan shape. */

@@ -42,7 +42,7 @@ object StatefulOps {
 
   /** Latest row per user — the batch materialization of a KV store after
     * replaying upserts (builder.table semantics; last-write-wins,
-    * SchemaTypes.java KEY_VALUE). */
+    * kafka-client/src/main/java/dev/responsive/kafka/internal/stores/SchemaTypes.java KEY_VALUE). */
   private def latestPerUser(s: org.apache.spark.sql.SparkSession, d: String) = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
@@ -80,7 +80,7 @@ object StatefulOps {
   )
 
   /** Q13 — row-level TTL from the value (TtlProvider.fromValue,
-    * TtlProvider.java:63-113, infinite override supported): purchases
+    * kafka-client/src/main/java/dev/responsive/kafka/api/stores/TtlProvider.java:63-113, infinite override supported): purchases
     * never expire, signups live 72h, everything else the 12h default —
     * declared through the Ttl policy API, enforced at read. */
   val q13 = QueryDef(
@@ -105,7 +105,7 @@ object StatefulOps {
   )
 
   /** Q13b — row-level TTL from the key (TtlProvider.fromKey,
-    * TtlProvider.java:63-77): every 10th user is pinned forever, users
+    * kafka-client/src/main/java/dev/responsive/kafka/api/stores/TtlProvider.java:63-77): every 10th user is pinned forever, users
     * ending in 1-4 keep 48h, the rest fall back to the 6h default. */
   val q13b = QueryDef(
     "q13b_ttl_from_key",
@@ -152,8 +152,8 @@ object StatefulOps {
   )
 
   /** Q21 — custom UDAF: order-insensitive XOR checksum per key
-    * (AccumulatingChecksum analog, e2etest/AccumulatingChecksum.java used
-    * at E2ETestApplication.java:182-197; the reference's digest folds
+    * (AccumulatingChecksum analog, kafka-client-examples/e2e-test/src/main/java/dev/responsive/examples/e2etest/AccumulatingChecksum.java used
+    * at kafka-client-examples/e2e-test/src/main/java/dev/responsive/examples/e2etest/E2ETestApplication.java:182-197; the reference's digest folds
     * offsets and is order-sensitive — Spark has no stable per-key offsets,
     * so ours is commutative; documented deviation, SURVEY §7). */
   val q21 = QueryDef(
@@ -169,7 +169,7 @@ object StatefulOps {
            |FROM events GROUP BY user_id""".stripMargin)
   )
 
-  /** Q22 — batch-by-key with a flush trigger (KeyBatchExample.java:126-219:
+  /** Q22 — batch-by-key with a flush trigger (kafka-client-examples/e2e-test/src/main/java/dev/responsive/examples/regression/tests/KeyBatchExample.java:126-219:
     * collect per-key, emit when the batch fills; trigger replayed here as
     * every-20-events in arrival order). The streaming twin uses
     * flatMapGroupsWithState (graft.streaming.BatchByKey). */

@@ -20,14 +20,14 @@ import org.apache.spark.sql.functions._
   *    never expires (`TtlDuration.infinite()`). The reference splits
   *    key- from value-derived overrides because its rows are opaque
   *    bytes needing separate deserializers (StateDeserializer,
-  *    TtlProvider.java:220-249); here key and value are both typed
+  *    kafka-client/src/main/java/dev/responsive/kafka/api/stores/TtlProvider.java:220-249); here key and value are both typed
   *    columns, so the three builders differ only in which columns the
   *    expression may reference — kept distinct for API parity and
   *    intent documentation.
   *
   * Enforcement is read-time filtering against stream time, like the
   * reference's TtlResolver (internal/stores/TtlResolver.java via
-  * PartitionedOperations.java:355-390): `retain` keeps rows with
+  * kafka-client/src/main/java/dev/responsive/kafka/internal/stores/PartitionedOperations.java:355-390): `retain` keeps rows with
   * `ts >= streamTime - effectiveTtl`. At scale this is a codegen'd
   * predicate on the scan — no state walk, no per-row UDF.
   */

@@ -10,13 +10,13 @@ import org.apache.spark.sql.expressions.Window
   * Reference semantics recreated (SURVEY §2.5, §2.9):
   *  - tumbling/hopping: window store keyed by WindowedKey(key, windowStart)
   *    (/root/reference/kafka-client/src/main/java/dev/responsive/kafka/internal/utils/WindowedKey.java:18-31;
-  *    agg usage ResponsiveWindowStoreIntegrationTest.java:112-114, 262-264)
+  *    agg usage kafka-client/src/test/java/dev/responsive/kafka/integration/ResponsiveWindowStoreIntegrationTest.java:112-114, 262-264)
   *  - session: sessions merge within the inactivity gap
   *    (internal/stores/ResponsiveSessionStore.java:131-163)
   *  - late data: writes below minValidTimestamp = observedStreamTime -
-  *    retention + 1 are dropped (ResponsiveWindowStore.java:148-152,
+  *    retention + 1 are dropped (kafka-client/src/main/java/dev/responsive/kafka/internal/stores/ResponsiveWindowStore.java:148-152,
   *    214-216). Reference stream-time is **per-partition** max observed ts
-  *    (PartitionedOperations.java:333-336); we model it per-key with
+  *    (kafka-client/src/main/java/dev/responsive/kafka/internal/stores/PartitionedOperations.java:333-336); we model it per-key with
   *    arrival order = event_id, which is deterministic and
   *    partition-parallel.
   *
@@ -136,7 +136,7 @@ object WindowedAgg {
 
   /** Q9 — session window, 30 min inactivity gap
     * (SessionWindows.ofInactivityGapAndGrace,
-    * ResponsiveSessionStoreIntegrationTest.java:117-158). Oracle is the
+    * kafka-client/src/test/java/dev/responsive/kafka/integration/ResponsiveSessionStoreIntegrationTest.java:117-158). Oracle is the
     * classic gaps-and-islands rewrite. Boundary rule (verified
     * empirically, pinned by the boundary test in StreamingParitySpec):
     * Spark MERGES an event landing at exactly last + gap — touching
@@ -165,7 +165,7 @@ object WindowedAgg {
   )
 
   /** Q9b — session window with an explicit **grace** period
-    * (ResponsiveSessionParams.java:48-56: retention = gap + grace).
+    * (kafka-client/src/main/java/dev/responsive/kafka/api/stores/ResponsiveSessionParams.java:48-56: retention = gap + grace).
     * Late rows whose event time has fallen more than gap + grace behind
     * the key's observed stream time (arrival order = event_id, as in
     * q11) are dropped before sessionization — the session-store
@@ -206,7 +206,7 @@ object WindowedAgg {
 
   /** Q11 — grace-period / late-data drop: per-key stream time advances in
     * arrival order (event_id); rows older than streamTime - 10 min are
-    * dropped before the Q7 aggregation (ResponsiveWindowStore.java:148-152
+    * dropped before the Q7 aggregation (kafka-client/src/main/java/dev/responsive/kafka/internal/stores/ResponsiveWindowStore.java:148-152
     * minValidTimestamp semantics). */
   val q11 = QueryDef(
     "q11_late_data_grace",

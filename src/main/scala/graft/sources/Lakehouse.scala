@@ -139,7 +139,7 @@ object Lakehouse {
     * bounds the pass-2 per-task sort at roughly (table bytes) /
     * (buckets × splits). 8 keeps a 5M-vector index landing's sorts in
     * the low hundreds of MB per task; tune with SPARK_GRAFT_LAND_SPLITS. */
-  private def landSplitsPerBucket: Int =
+  private[graft] def landSplitsPerBucket: Int =
     sys.env.get("SPARK_GRAFT_LAND_SPLITS").flatMap(_.toIntOption)
       .filter(_ > 0).getOrElse(8)
 

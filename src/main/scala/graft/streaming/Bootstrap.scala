@@ -26,8 +26,8 @@ object Bootstrap {
 }
 
 /** Bootstrap / migration analog of the reference's changelog-migration
-  * tool (kafka-client-bootstrap ChangelogMigrationTool.java /
-  * BootstrapMain.java:60-75: replay an existing changelog topic into the
+  * tool (kafka-client-bootstrap kafka-client/src/main/java/dev/responsive/kafka/bootstrap/ChangelogMigrationTool.java /
+  * kafka-client-bootstrap/src/main/java/dev/responsive/kafka/bootstrap/main/BootstrapMain.java:60-75: replay an existing changelog topic into the
   * remote store before cutting the live app over).
   *
   * On Spark, the "changelog" is any batch Dataset of the current state
@@ -36,7 +36,7 @@ object Bootstrap {
   * events upsert on top — same last-write-wins contract as
   * KvStoreProcessor. Restore-after-failure itself needs no analog at
   * all: the streaming checkpoint replays state on restart
-  * (PartitionedOperations.java:165-172's restore-offset logic collapses
+  * (kafka-client/src/main/java/dev/responsive/kafka/internal/stores/PartitionedOperations.java:165-172's restore-offset logic collapses
   * into Spark's checkpoint recovery, SURVEY §2.9).
   */
 class BootstrapKvProcessor

@@ -25,7 +25,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * ORIGINAL corpus prefix) are untouched by appends.
   *
   * DELETE / UPSERT contract (the reference's put-null⇒delete,
-  * ResponsiveKeyValueStore.java:148-155, applied to the landed index):
+  * kafka-client/src/main/java/dev/responsive/kafka/internal/stores/ResponsiveKeyValueStore.java:148-155, applied to the landed index):
   * a batch row with a NULL embedding deletes its vec_id; a non-null row
   * whose vec_id already exists is an UPSERT — in both cases the batch
   * writes a tombstone (vec_id, seq) into the table's sidecar, and

@@ -49,7 +49,7 @@ object KvStoreProcessor {
   *  - **delete**: an event whose event_type is the `Tombstone` sentinel
   *    clears the key's state and emits a `deleted = true` changelog row —
   *    the null-value ⇒ delete path of `ResponsiveKeyValueStore.put`
-  *    (ResponsiveKeyValueStore.java:148-155). A later event re-inserts.
+  *    (kafka-client/src/main/java/dev/responsive/kafka/internal/stores/ResponsiveKeyValueStore.java:148-155). A later event re-inserts.
   *    The delete obeys the same last-write-wins order as upserts: a
   *    tombstone older than the stored winner is a no-op, no matter which
   *    microbatch delivers it, so final state never depends on batch
@@ -58,7 +58,7 @@ object KvStoreProcessor {
   *    tombstone that arrives even later re-inserts — the Kafka-compaction
   *    behavior once delete.retention.ms lapses.
   *  - **putIfAbsent mode**: first write wins, later upserts are ignored
-  *    (ResponsiveKeyValueStore.java:158-164 applied store-wide — the
+  *    (kafka-client/src/main/java/dev/responsive/kafka/internal/stores/ResponsiveKeyValueStore.java:158-164 applied store-wide — the
   *    fact-table write discipline, api/stores/ResponsiveStores.java:73-96).
   *    Tombstones still delete, re-opening the key.
   *
@@ -68,7 +68,7 @@ object KvStoreProcessor {
   *
   * TTL is enforced at **read** time against stream time, exactly like
   * the reference's `get(key, streamTimeMs)` filtering expired rows
-  * (PartitionedOperations.java:355-390, TtlResolver) — the reader applies
+  * (kafka-client/src/main/java/dev/responsive/kafka/internal/stores/PartitionedOperations.java:355-390, TtlResolver) — the reader applies
   * `ts_sec >= streamTime - ttl`; the parity spec does this with the
   * final stream time, matching the Q12 batch oracle.
   *

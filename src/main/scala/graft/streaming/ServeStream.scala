@@ -43,6 +43,14 @@ object ServeStream {
     val s = queries.sparkSession
     val w = queries.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Co-serving isolation (VERDICT r15 #4): each serve stream's
+        // jobs run in their own scheduler pool, so under
+        // spark.scheduler.mode=FAIR a cheap-per-batch stream (prefix)
+        // cannot starve an expensive one (ivfpq) — FIFO queues every
+        // ivfpq stage behind the ~80 qps prefix job arrival stream.
+        // Thread-local, set on the stream's microbatch thread; a no-op
+        // under the default FIFO scheduler.
+        s.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-serve-$kind")
         val qs = batch
           .select(col("qid").cast("long"),
             col("embedding").cast("array<double>"))

@@ -11,12 +11,12 @@ final case class SessionBatch(
     sum_value: Double)
 
 /** Session assembly with event-time **timers** — the Spark-native form of
-  * the reference's punctuator-driven flush (KeyBatchExample.java:210-214
+  * the reference's punctuator-driven flush (kafka-client-examples/e2e-test/src/main/java/dev/responsive/examples/regression/tests/KeyBatchExample.java:210-214
   * flushes on a schedule; the async framework explicitly cannot support
-  * punctuators, AsyncProcessorSupplier.java:96-118 — timers are the
+  * punctuators, kafka-client/src/main/java/dev/responsive/kafka/api/async/AsyncProcessorSupplier.java:96-118 — timers are the
   * transformWithState answer).
   *
-  * Semantics (mirrors the session store, ResponsiveSessionStore.java:131-163):
+  * Semantics (mirrors the session store, kafka-client/src/main/java/dev/responsive/kafka/internal/stores/ResponsiveSessionStore.java:131-163):
   * events buffer per key; a session is a maximal run of buffered events
   * with gaps ≤ `gap` (strict >-gap splits — an event at exactly
   * last + gap MERGES, matching Spark's session_window, pinned by the

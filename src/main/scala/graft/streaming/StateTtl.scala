@@ -3,7 +3,7 @@ package graft.streaming
 /** State TTL for stateful stream operators — the analog of the
   * reference's per-store TTL (api/stores/TtlProvider.java:32-113),
   * enforced ON READ like the reference's `get(key, streamTimeMs)`
-  * (PartitionedOperations.java:355-390) and this engine's own
+  * (kafka-client/src/main/java/dev/responsive/kafka/internal/stores/PartitionedOperations.java:355-390) and this engine's own
   * KvStoreProcessor: every state row carries its last-write timestamp,
   * and a read past `ttlMs` treats the row as absent (the reader also
   * clears it, so expired rows stop occupying the store the next time

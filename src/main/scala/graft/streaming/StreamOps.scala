@@ -23,7 +23,7 @@ final case class Event(
   * Watermark semantics vs the reference (SURVEY §2.9): the reference
   * tracks per-partition observedStreamTime and drops writes below
   * `observedStreamTime - retention + 1`
-  * (ResponsiveWindowStore.java:148-152, 214-216); Spark's watermark is a
+  * (kafka-client/src/main/java/dev/responsive/kafka/internal/stores/ResponsiveWindowStore.java:148-152, 214-216); Spark's watermark is a
   * global minimum across partitions. After a full ordered replay both
   * yield the same final state, which is what the parity tests check.
   */
@@ -51,7 +51,7 @@ object StreamOps {
   /** Session-window agg, 30 min inactivity gap (Q9 twin;
     * SessionWindows.ofInactivityGapAndGrace analog — retention = gap +
     * grace maps to the watermark delay,
-    * ResponsiveSessionParams.java:48-56). */
+    * kafka-client/src/main/java/dev/responsive/kafka/api/stores/ResponsiveSessionParams.java:48-56). */
   def sessionAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
@@ -93,7 +93,7 @@ object StreamOps {
 
   /** Stream–table enrichment: events joined to a static dimension on the
     * key — the GlobalKTable / stream-static broadcast join
-    * (STJoinExample.java:68-77, GlobalOperations.java). */
+    * (kafka-client-examples/e2e-test/src/main/java/dev/responsive/examples/regression/tests/STJoinExample.java:68-77, kafka-client/src/main/java/dev/responsive/kafka/internal/stores/GlobalOperations.java). */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))
 }

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *
   * The replay driver collects the fixture to feed MemoryStream chunk
   * by chunk — the ResponsiveTopologyTestDriver shape (in-process
-  * record feeding, responsive-test-utils/.../ResponsiveTopologyTestDriver.java:47),
+  * record feeding, responsive-test-utils/src/main/java/dev/responsive/kafka/api/ResponsiveTopologyTestDriver.java:47),
   * bounded by the graded fixture. It is NOT a production ingest
   * pattern (production is readStream via [[Topics]]); `scalePath =
   * false` keeps the scale probes off it.
@@ -198,7 +198,7 @@ object StreamTwins {
     * compares at the store's full µs fidelity (KvRow.ts_us) — the
     * second-truncated ts_sec is ambiguous within 1 s of the expiry
     * boundary, exactly the read-path `get(key, streamTimeMs)` contract
-    * (PartitionedOperations.java:355-390). */
+    * (kafka-client/src/main/java/dev/responsive/kafka/internal/stores/PartitionedOperations.java:355-390). */
   /** Replay `feed` (must already be (ts, event_id)-ordered) chunked
     * through [[KvStoreProcessor]] and return the accumulated
     * update-mode changelog. */
@@ -258,7 +258,7 @@ object StreamTwins {
 
   /** putIfAbsent mode through the same runtime — the fact-table write
     * discipline (first write wins, later upserts ignored;
-    * ResponsiveKeyValueStore.java:158-164 applied store-wide,
+    * kafka-client/src/main/java/dev/responsive/kafka/internal/stores/ResponsiveKeyValueStore.java:158-164 applied store-wide,
     * api/stores/ResponsiveStores.java:73-96). The changelog must
     * contain exactly each key's FIRST event: a later upsert that
     * slips through (in-batch or cross-batch) emits a newer row and
@@ -285,7 +285,7 @@ object StreamTwins {
     * winner, and resurrects the re-inserted keys with the synthetic
     * row (physical delete: the re-insert is a fresh first write, the
     * Kafka-compaction behavior once delete.retention.ms lapses;
-    * ResponsiveKeyValueStore.java:148-155). The synthetic rows are
+    * kafka-client/src/main/java/dev/responsive/kafka/internal/stores/ResponsiveKeyValueStore.java:148-155). The synthetic rows are
     * pure functions of user_id and max(ts), so the whole lifecycle is
     * SQL-expressible and driver-graded. */
   private def replayKvTombstones(s: SparkSession, d: String): DataFrame = {

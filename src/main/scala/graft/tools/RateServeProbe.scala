@@ -56,11 +56,19 @@ object RateServeProbe {
       .getOrElse(graft.operators.Similarity.DefaultRerankPerProbe)
     val tag = sys.env.getOrElse("SPARK_GRAFT_RATE_TAG", "r14")
 
+    // FAIR scheduling across serve streams (VERDICT r15 #4): each
+    // ServeStream batch runs in a per-kind pool; under the default
+    // FIFO an ivfpq batch's every stage queued behind the co-served
+    // prefix stream's ~rate jobs/s, which was most of its 8-15 s
+    // per-batch floor. SPARK_GRAFT_SERVE_SCHED=FIFO restores the old
+    // behavior for A/B runs.
+    val schedMode = sys.env.getOrElse("SPARK_GRAFT_SERVE_SCHED", "FAIR")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", "32"))
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.scheduler.mode", schedMode)
       .config("spark.sql.streaming.numRecentProgressUpdates", "2000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -74,9 +82,11 @@ object RateServeProbe {
       .collect().map(_.getSeq[Double](0)).toSeq
     require(pool.size >= 16, s"query pool too small: ${pool.size}")
 
-    // warm serve per kind: land/adopt the index and build the
-    // driver-resident quantizer memos once, so the sweep measures
-    // serving, not landing
+    // warm serve per kind: the index must already be LANDED
+    // (PreLand / Similarity.buildIndex) — serving fails fast with
+    // MissingIndexException otherwise (r15). The warm call only
+    // re-registers the landed table and builds the driver-resident
+    // quantizer memos once, so the sweep measures serving, not landing.
     val warms = kinds.map { kind =>
       val t0 = System.nanoTime()
       graft.operators.Similarity.searchTopk(
@@ -147,7 +157,7 @@ object RateServeProbe {
     val m = "(\\d+)".r.findFirstIn(new java.io.File(src).getName).getOrElse("x")
     val json =
       s"""{"src":"$src","kinds":"${kinds.mkString("+")}","sec_per_rate":$secPerRate,""" +
-        s""""nprobe":$nprobe,"rpp":$rpp,"mixed":$mixed,""" +
+        s""""nprobe":$nprobe,"rpp":$rpp,"mixed":$mixed,"scheduler":"$schedMode",""" +
         s""""warm_sec":{${warms.mkString(",")}},"rates":[${rates.mkString(",")}],""" +
         s""""results":{${results.mkString(",")}}}"""
     val outName = s"$outDir/RATESERVE_${tag}_${m}x" +

@@ -72,7 +72,9 @@ object ServeConcurrencyProbe {
 
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (kind <- kinds) {
-      // warm once: landing re-registration, sidecar load, codegen
+      // warm once: re-registration of the PRE-LANDED index (serving
+      // fails fast with MissingIndexException if it is not landed —
+      // run PreLand first), sidecar load, codegen
       Similarity.searchTopk(spark, src, kind, batches.head).count()
       for (n <- levels) {
         val pool = Executors.newFixedThreadPool(n)

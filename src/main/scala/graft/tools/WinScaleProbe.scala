@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * What the artifact must show for the 100-TB argument:
   *  - **state rows PLATEAU** at ≈ users × open-windows-per-user (the
   *    watermark horizon), NOT ∝ events streamed — the reference's
-  *    segment-expiry contract (ResponsiveWindowStore.java:148-152
+  *    segment-expiry contract (kafka-client/src/main/java/dev/responsive/kafka/internal/stores/ResponsiveWindowStore.java:148-152
   *    observedStreamTime − retention cutoff) maps to watermark
   *    eviction here, and bounded state is what makes a year-long
   *    stream feasible;
