@@ -475,7 +475,9 @@ object Dedup {
     Memo.get(fineTaggedCache, s, d) {
       val e = Similarity.normed(s, d)
       val k = dd7AnchorCount(Similarity.corpusN(s, d))
-      Memo.mat(tagFine(prefixFine(e, k), prefixCoarse(e, dd7CoarseCount(k))))
+      // matCut, not mat: this K-row frame's upstream is the K·K1
+      // level-1 ranking — tiny output, corpus-scale-adjacent shuffles
+      Memo.matCut(tagFine(prefixFine(e, k), prefixCoarse(e, dd7CoarseCount(k))))
     }
 
   /** The corpus's ranked prefix-index assignment, memoized per
@@ -495,7 +497,11 @@ object Dedup {
     Memo.get(rankedCache, s, d) {
       val e = Similarity.normed(s, d)
       val k = dd7AnchorCount(Similarity.corpusN(s, d))
-      Memo.mat(twoLevelRankedTagged(e, fineTaggedPrefix(s, d),
+      // matCut, not mat: the (cell, vec_id, r) output is ~24 B/row but
+      // its lineage holds the corpus-wide ranking aggregates' shuffles
+      // (~35 GB at 20M) — cutting it is what lets a landing's disk
+      // budget scale with the data it writes (PRELAND_r16_20M)
+      Memo.matCut(twoLevelRankedTagged(e, fineTaggedPrefix(s, d),
         prefixCoarse(e, dd7CoarseCount(k)), Dd7Probes, fineAnchors = k))
     }
 
@@ -554,7 +560,12 @@ object Dedup {
       // is cell size × (d+2) doubles — bounded in expectation by the
       // K = n/CellDiv sizing at ~CellDiv·P members.
       import s.implicits._
-      val members = assigned
+      // shuffle-hash on the narrow assignment explicitly: rankedPrefix
+      // is lineage-cut (no size stats), and the planner's fallback for
+      // a stats-less side is a sort-merge that would sort the
+      // vector-carrying corpus side — the landing-path join posture
+      // applies here verbatim
+      val members = assigned.hint("shuffle_hash")
         .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
         .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
         .as[(Long, Long, Array[Double], Double)]

@@ -48,6 +48,27 @@ private[graft] object Memo {
     df
   }
 
+  /** Cache + materialize + CUT lineage (eager localCheckpoint): for
+    * frames whose OUTPUT is small but whose upstream shuffles are
+    * corpus-scale. [[mat]] keeps the plan alive, which pins every
+    * upstream shuffle file on disk until the frame itself dies —
+    * measured at the 20M-vector landing: ~35 GB of finished-stage
+    * shuffle (the assignment aggs + fine join) held under the live
+    * transient, the difference between landing and ENOSPC. Truncating
+    * the plan makes those dependencies collectable (the landing JVMs
+    * run a periodic cleaner GC). The trade is executor-loss
+    * replayability — the same trade the staged landing write already
+    * makes, and at production scale these frames ARE written tables.
+    * DISK_ONLY, deliberately: the default localCheckpoint level
+    * (MEMORY_AND_DISK, deserialized rows) pins gigabytes of protected
+    * storage memory that the landing's aggregation tasks need as
+    * execution memory — measured as the difference between the 20M
+    * ivfpq landing OOMing a 64 GB heap and finishing; these frames
+    * are each read back a handful of times, a disk round-trip is
+    * noise next to the quantization pass. */
+  def matCut(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
   def get[V](cache: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
       s: SparkSession, d: String)(build: => V): V = {
     hooked.getOrElseUpdate(s, {

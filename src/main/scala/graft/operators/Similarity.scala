@@ -187,10 +187,15 @@ object Similarity {
       // out of a full-corpus deep ranking (what the oracle computes).
       val k = Dedup.dd7AnchorCount(corpusN(s, d))
       val k1 = Dedup.dd7CoarseCount(k)
+      // fineAnchors = k, explicitly: fineTaggedPrefix is lineage-cut
+      // (Memo.matCut) so the optimizer sees no size stats for it —
+      // auto-broadcast no longer fires and the level-1 join would fall
+      // into a sort-merge; the explicit byte-based bound decides
+      // broadcast vs shuffle-hash exactly as on the landing path
       val probes = Dedup.twoLevelRankedTagged(
           e.filter(col("vec_id") < NumQueries),
           Dedup.fineTaggedPrefix(s, d), Dedup.prefixCoarse(e, k1),
-          math.max(NProbe.toLong, k1).toInt)
+          math.max(NProbe.toLong, k1).toInt, fineAnchors = k)
         .select(col("vec_id").as("qid"), col("cell"))
       // candidates = corpus rows sharing ≥ 1 probed cell with a query,
       // deduped before scoring (a pair can share several cells).
@@ -854,9 +859,23 @@ object Similarity {
     pqEncodeOf(s, d, normed(s, d))
 
   /** (vec_id, codes): M-element ordered PQ code array per vector of
-    * `e` — the at-rest shape the composed index stores. */
+    * `e` — the at-rest shape the composed index stores.
+    *
+    * The explicit repartition on vec_id between the encode agg and the
+    * code fold is load-bearing at corpus scale: the encode agg's
+    * output is hash-partitioned on (vec_id, m), so the fold's PARTIAL
+    * aggregate sees a vec_id's 16 subspace rows scattered across 16
+    * partitions — nearly every in-map group is distinct, the map fills
+    * to the fallback cap (2M keys × ~1 KB deserialized list buffers ×
+    * 32 workers) combining nothing, and a 64 GB heap dies before the
+    * sort fallback helps (measured at the 20M landing, stage-25
+    * ShuffleMapTask OOM — the ADVICE r15 scenario verbatim). With the
+    * rows co-located by vec_id first, the partial agg fully combines
+    * at ~n/partitions groups per task; the extra exchange moves skinny
+    * (vec_id, m, cid) rows only. */
   private[graft] def pqCodeArrays(s: SparkSession, d: String, e: DataFrame): DataFrame =
     pqEncodeOf(s, d, e)
+      .repartition(col("vec_id"))
       .groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(col("m"), col("cid")))).as("mc"))
       .select(col("vec_id"), expr("transform(mc, x -> x.cid)").as("codes"))

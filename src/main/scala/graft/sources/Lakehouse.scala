@@ -179,6 +179,18 @@ object Lakehouse {
     try {
       df.repartition(parts, bucketCols.map(col): _*)
         .write.mode(SaveMode.Overwrite).parquet(stagingLoc.toString)
+      // Pass-1 is done: the shuffle files behind `df`'s lineage (the
+      // quantization joins/aggs — corpus-scale at a big landing) are
+      // now garbage, but Spark's ContextCleaner only reclaims them
+      // after a DRIVER GC collects the dependency references, and the
+      // default periodic GC (spark.cleaner.periodicGC.interval) is
+      // 30 min — longer than a landing. Without this nudge the pass-2
+      // write stacks its own transient ON TOP of pass-1's dead shuffle
+      // files: measured at the 20M-vector landing, 55 GB of blockmgr
+      // at peak (ENOSPC) vs ~20 GB with the cleanup. On a cluster the
+      // same files pin executor disks; the GC is driver-side and cheap
+      // next to a corpus write.
+      System.gc()
       // explicit schema: an all-empty staging (empty df) has no files
       // to infer from, and the user schema also pins nullability so the
       // landed table's DDL equals df's

@@ -15,8 +15,29 @@ import org.apache.spark.sql.functions._
 object PreLand {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: PreLand <corpusDir> [corpusDir...]")
+    // Shuffle partitions scale the landing's PER-TASK memory: the
+    // final aggregates and shuffle-hash builds hold totalRows/parts
+    // rows per task, so a corpus decade crossed with parts fixed at 32
+    // crosses a heap line too (measured: the 20M ivfpq landing OOM'd a
+    // 64 GB heap at 32 parts in the encode fold; 64 parts fits). The
+    // r13 more-parts-means-more-spill-files penalty applied to
+    // SPILL-bound plans; the staged landing path spills nothing.
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", "32"))
+      // reclaim dead shuffle files DURING a landing, not after: the
+      // default 30 min periodic GC is longer than the landing itself,
+      // so corpus-scale shuffles from finished stages pile up under
+      // the live transient (measured 55 GB of blockmgr at the 20M
+      // landing's peak — the ENOSPC margin)
+      .config("spark.cleaner.periodicGC.interval", "120s")
+      // a landing JVM is an EXECUTION-heavy process that happens to
+      // hold a corpus cache: don't let the default 0.5 storageFraction
+      // protect ~19 GB of cached corpus blocks from eviction while the
+      // encode/ranking aggregates starve (measured: the 20M ivfpq
+      // landing OOM'd at 64 GB with the default, the cache evicts to
+      // disk harmlessly at 0.1)
+      .config("spark.memory.storageFraction", "0.1")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
