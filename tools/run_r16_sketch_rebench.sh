@@ -6,7 +6,8 @@
 # sort-fell-back; any win from the raised threshold is free. A/B: the
 # same corpus + query list at threshold 128 (the old default) vs 2M.
 # ScaleProbe builds its own session (no Graft.session), so the -D
-# system property drives the conf.
+# system property drives the conf. Runs beside the session-1B probe:
+# both arms see the same background load, so the A/B ratio holds.
 set -uo pipefail
 set -x
 cd /root/repo
@@ -35,7 +36,7 @@ ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 
 run() { # $1 = fallbackThreshold, rest = main + args
   # shellcheck disable=SC2086
-  java $ADD_OPENS -Xmx48g \
+  java $ADD_OPENS -Xmx24g \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -Dspark.sql.objectHashAggregate.sortBased.fallbackThreshold=$1 \
     -cp "$CLS:/opt/spark/jars/*" "${@:2}"
