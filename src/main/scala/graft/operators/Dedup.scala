@@ -366,8 +366,8 @@ object Dedup {
     * shuffle, never a linear broadcast. */
   private[graft] def twoLevelRanked(
       e: DataFrame, fine: DataFrame, coarse: DataFrame, probes: Int,
-      fineAnchors: Long = -1L): DataFrame =
-    twoLevelRankedTagged(e, tagFine(fine, coarse), coarse, probes, fineAnchors)
+      fineAnchors: Long = -1L, fineDim: Int = -1): DataFrame =
+    twoLevelRankedTagged(e, tagFine(fine, coarse), coarse, probes, fineAnchors, fineDim)
 
   /** Level 1 of [[twoLevelRanked]], split out so callers ranking TWO
     * vector sets against one index (corpus at Dd7Probes depth, the
@@ -412,10 +412,16 @@ object Dedup {
     * it) picks the level-1 join strategy explicitly — see
     * [[BroadcastFineMaxBytes]]; -1 leaves the optimizer's choice
     * (correct for the ≤ TrainSample trained sets and the graded SFs,
-    * where auto-broadcast already fires). */
+    * where auto-broadcast already fires). `fineDim` (the embedding
+    * dimension, required alongside a non-negative `fineAnchors`) sizes
+    * the byte bound — passed in by the caller because probing the fine
+    * frame with a one-row job silently recomputes corpus-scale
+    * upstream work when the frame is not materialized (ADVICE r16);
+    * every caller knows the dimension driver-side
+    * ([[Similarity.corpusDim]]). */
   private[graft] def twoLevelRankedTagged(
       e: DataFrame, fineTagged: DataFrame, coarse: DataFrame, probes: Int,
-      fineAnchors: Long = -1L): DataFrame = {
+      fineAnchors: Long = -1L, fineDim: Int = -1): DataFrame = {
     // level 2: each VECTOR's Dd7CoarseProbes nearest coarse cells —
     // n·K1 cosines against a √K broadcast; first(v) rides the same
     // map-side partial agg so the corpus is never re-joined
@@ -434,13 +440,9 @@ object Dedup {
     val fineSide =
       if (fineAnchors < 0) fineTagged
       else {
-        // one-row probe for the embedding dimension (fineTagged is
-        // memoized/materialized on the landing paths that reach here,
-        // so this reuses the materialization the join needs anyway);
-        // empty fine set ⇒ the broadcast is trivially tiny
-        val dim = fineTagged.select(size(col("av")).as("d"))
-          .take(1).headOption.map(_.getInt(0)).getOrElse(0)
-        if (fineAnchors * fineAnchorRowBytes(dim) <= BroadcastFineMaxBytes)
+        require(fineDim >= 0,
+          "twoLevelRankedTagged: fineDim must accompany fineAnchors (no frame probe)")
+        if (fineAnchors * fineAnchorRowBytes(fineDim) <= BroadcastFineMaxBytes)
           broadcast(fineTagged)
         else fineTagged.hint("shuffle_hash")
       }
@@ -455,8 +457,9 @@ object Dedup {
   /** [[twoLevelRanked]] with the dd7 prefix index: fine/coarse anchors
     * = the first K/K1 vec_ids of `e` itself. */
   private[graft] def twoLevelRankedPrefix(
-      e: DataFrame, k: Long, k1: Long, probes: Int): DataFrame =
-    twoLevelRanked(e, prefixFine(e, k), prefixCoarse(e, k1), probes, fineAnchors = k)
+      e: DataFrame, k: Long, k1: Long, probes: Int, fineDim: Int): DataFrame =
+    twoLevelRanked(e, prefixFine(e, k), prefixCoarse(e, k1), probes,
+      fineAnchors = k, fineDim = fineDim)
 
   private[graft] def prefixFine(e: DataFrame, k: Long): DataFrame =
     e.filter(col("vec_id") < k)
@@ -502,7 +505,8 @@ object Dedup {
       // (~35 GB at 20M) — cutting it is what lets a landing's disk
       // budget scale with the data it writes (PRELAND_r16_20M)
       Memo.matCut(twoLevelRankedTagged(e, fineTaggedPrefix(s, d),
-        prefixCoarse(e, dd7CoarseCount(k)), Dd7Probes, fineAnchors = k))
+        prefixCoarse(e, dd7CoarseCount(k)), Dd7Probes,
+        fineAnchors = k, fineDim = Similarity.corpusDim(s, d)))
     }
 
   /** dd7 — embedding near-dup via TWO-LEVEL IVF-cell blocking: the

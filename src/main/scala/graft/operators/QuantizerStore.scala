@@ -34,13 +34,20 @@ private[graft] object QuantizerStore {
 
   /** Everything a cold serving session needs on the driver. Fields are
     * optional because they land as they are first computed (a session
-    * that only serves "prefix" never trains PQ codebooks). */
+    * that only serves "prefix" never trains PQ codebooks).
+    * `servedNprobe` is the RECALL-JUSTIFIED serving depth measured by
+    * [[Similarity.calibrateServedNprobe]] at landing time (round 17):
+    * every measured corpus showed the √K heuristic over-probing 5-40×
+    * past the depth where out-of-sample recall saturates, so the
+    * engine default reads the measured depth and falls back to √K
+    * only when no calibration has run. */
   final case class Artifacts(
       sig: String,
       n: Long,
       coarse: Option[Array[Anchor]] = None,
       km: Option[Array[(Int, Array[Double])]] = None,
-      pq: Option[Seq[(Int, Int, Array[Double])]] = None)
+      pq: Option[Seq[(Int, Int, Array[Double])]] = None,
+      servedNprobe: Option[Int] = None)
 
   /** Corpus + formula signature. File listing only — no data read. */
   def corpusSig(s: SparkSession, d: String): String = {
@@ -98,7 +105,12 @@ private[graft] object QuantizerStore {
           val c = in.readInt()
           if (c < 0) None else Some(Seq.fill(c)((in.readInt(), in.readInt(), darr())))
         }
-        Some(Artifacts(sig, n, coarse, km, pq))
+        // appended in round 17 — a pre-r17 sidecar simply ends here, so
+        // EOF means "not calibrated", not corruption
+        val servedNprobe =
+          try { val v = in.readInt(); if (v < 0) None else Some(v) }
+          catch { case _: java.io.EOFException => None }
+        Some(Artifacts(sig, n, coarse, km, pq, servedNprobe))
       } finally in.close()
     } catch { case _: Exception => None }
   }
@@ -138,6 +150,7 @@ private[graft] object QuantizerStore {
           os.writeInt(ps.length)
           ps.foreach { case (m, cid, v) => os.writeInt(m); os.writeInt(cid); warr(v) }
       }
+      os.writeInt(a.servedNprobe.getOrElse(-1))
     } finally os.close()
     java.nio.file.Files.move(tmp.toPath, out.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,

@@ -32,6 +32,15 @@ object Lakehouse {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isDirectory) Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+    else f.length()
+
+  /** Smallest pass-1 staging (bytes) that earns the ContextCleaner GC
+    * nudge in [[writeBucketedStaged]] — ~a corpus-scale landing; test
+    * landings and streaming compaction ticks stay pause-free. */
+  private val GcNudgeMinStagedBytes: Long = 1L << 30
+
   private def warehouseLoc(s: SparkSession, table: String): java.io.File = {
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     new java.io.File(wh, table.toLowerCase(java.util.Locale.ROOT))
@@ -189,8 +198,11 @@ object Lakehouse {
       // files: measured at the 20M-vector landing, 55 GB of blockmgr
       // at peak (ENOSPC) vs ~20 GB with the cleanup. On a cluster the
       // same files pin executor disks; the GC is driver-side and cheap
-      // next to a corpus write.
-      System.gc()
+      // next to a corpus write. GATED on staged size (ADVICE r16): the
+      // 35-55 GB justification is corpus-scale; a maintenance
+      // compaction tick on a co-serving JVM must not inject an
+      // unconditional full-GC pause into query latency.
+      if (dirBytes(stagingLoc) >= GcNudgeMinStagedBytes) System.gc()
       // explicit schema: an all-empty staging (empty df) has no files
       // to infer from, and the user schema also pins nullability so the
       // landed table's DDL equals df's

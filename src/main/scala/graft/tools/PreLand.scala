@@ -56,6 +56,18 @@ object PreLand {
           spark, src, kind, Seq((-1L, v)), buildIfMissing = true).count()
         println(f"PRELAND $src $kind ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
+      // calibrate the serving depth while the landing JVM is warm: one
+      // exact scan + a bounded nprobe ladder persists the recall-
+      // justified depth to the sidecar, which defaultNprobe serves at
+      // from then on (round 17 — VERDICT r16 #3). Skippable for
+      // probe-shaped runs that want the raw √K default.
+      if (kinds.contains("ivfpq") &&
+          !sys.env.get("SPARK_GRAFT_SKIP_CALIBRATE").contains("1")) {
+        val t0 = System.nanoTime()
+        val depth = graft.operators.Similarity.calibrateServedNprobe(spark, src)
+        println(f"PRELAND $src calibrated servedNprobe=$depth " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
     }
     spark.stop()
   }

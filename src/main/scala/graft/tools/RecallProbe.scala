@@ -46,7 +46,11 @@ object RecallProbe {
     val exactSec = (System.nanoTime() - t0) / 1e9
     println(f"RECALL exact answer: ${exact.size} pairs in $exactSec%.1f s")
 
-    val k1 = Similarity.defaultNprobe(spark, src)
+    // the sweep tops out at the STRUCTURAL √K depth, not defaultNprobe:
+    // once a calibration sidecar exists the default is the (shallow)
+    // calibrated depth, and a sweep capped there couldn't show the
+    // over-probing the calibration removed
+    val k1 = Similarity.sqrtKNprobe(spark, src)
     // SPARK_GRAFT_RECALL_NPROBES (csv) overrides the depth sweep — the
     // r15 question is the CHEAP band (nprobe <= 32) at 5M, which the
     // default {1, k1/4, k1/2, k1} grid skips entirely at large K
@@ -89,27 +93,11 @@ object RecallProbe {
     // controlled cosine (deterministic plane) and serve it through the
     // public searchTopk API — recall then genuinely depends on probing
     // depth, which is the trade-off this artifact exists to map.
-    def perturb(id: Long, v: Array[Double], t: Double): Array[Double] = {
-      val rnd = new java.util.SplittableRandom(id * 7919 + 17)
-      val r = Array.fill(v.length)(if (rnd.nextBoolean()) 1.0 else -1.0)
-      val vv = v.map(x => x * x).sum
-      val rv = r.indices.map(i => r(i) * v(i)).sum
-      val w = r.indices.map(i => r(i) - rv / vv * v(i)).toArray
-      val ww = math.max(w.map(x => x * x).sum, 1e-12)
-      val sc = math.sqrt(1 - t * t) * math.sqrt(vv / ww)
-      v.indices.map(i => t * v(i) + sc * w(i)).toArray
-    }
-    import org.apache.spark.sql.functions.col
-    val rawQs = spark.read.parquet(s"$src/embeddings.parquet")
-      .filter(col("vec_id") < Similarity.NumQueries)
-      .select(col("vec_id"), col("embedding").cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    // three perturbation strengths per query, negative ids (no corpus
-    // collision): query j at cos t_j, t cycling {0.95, 0.85, 0.75}
-    val ts = Array(0.95, 0.85, 0.75)
-    val oosQs = rawQs.map { case (id, v) =>
-      (-(id + 1), perturb(id, v, ts((id % 3).toInt)))
-    }.toSeq
+    // Shared fixture (round 17): Similarity.oosQueries is the SAME
+    // deterministic rotation calibrateServedNprobe derives the
+    // persisted serving depth from — this artifact audits the curve
+    // behind the engine default.
+    val oosQs = Similarity.oosQueries(spark, src)
     val oosExact = Similarity.exactTopkFor(spark, src, oosQs).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     // the ivfpq serving frontier has TWO knobs (VERDICT r13 #3): probed

@@ -6,8 +6,13 @@ import org.apache.spark.sql.functions._
 /** Per-batch ivfpq serving-floor profile (VERDICT r15 #4): times each
   * phase of one serve batch — driver probe ranking, ADC tables, index
   * re-resolution, the shortlist job, the exact re-rank job, and the
-  * unmodified end-to-end serve — at a sweep of nprobe depths, cold
-  * (first batch of the JVM) then warm (min of 2).
+  * unmodified end-to-end serve — at a sweep of nprobe depths: `first`
+  * (the section's first batch) then warm (min of 2). Only the FIRST
+  * swept nprobe's `first` is JVM-cold — later sections run with the
+  * index resolved, memos built and codegen cached, so their `first`
+  * measures per-depth first-batch cost, not cold start (ADVICE r16:
+  * the field was previously labeled "cold", which misread across
+  * depths; run one nprobe per JVM for true cold numbers).
   *
   * Usage: ServeProfileProbe <corpusDir> (index must be PRE-LANDED —
   * PreLand/buildIndex; serving fails fast otherwise). Env:
@@ -46,13 +51,13 @@ object ServeProfileProbe {
       m.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
 
     val sections = nprobes.map { np =>
-      val cold = graft.operators.Similarity.profileServeIvfpq(spark, src, qs, np, rpp)
+      val first = graft.operators.Similarity.profileServeIvfpq(spark, src, qs, np, rpp)
       val w1 = graft.operators.Similarity.profileServeIvfpq(spark, src, qs, np, rpp)
       val w2 = graft.operators.Similarity.profileServeIvfpq(spark, src, qs, np, rpp)
       val warm = w1.zip(w2).map { case ((k, a), (_, b)) => (k, math.min(a, b)) }
-      println(s"PROFILE np=$np cold=${fmt(cold)}")
+      println(s"PROFILE np=$np first=${fmt(first)}")
       println(s"PROFILE np=$np warm=${fmt(warm)}")
-      s""""np$np":{"cold":${fmt(cold)},"warm":${fmt(warm)}}"""
+      s""""np$np":{"first":${fmt(first)},"warm":${fmt(warm)}}"""
     }
     val json =
       s"""{"src":"$src","rpp":$rpp,"queries":${qs.size},""" +
