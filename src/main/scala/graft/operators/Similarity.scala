@@ -1051,18 +1051,20 @@ object Similarity {
       val base = ivfPqLandingBase(s, d)
       if (!prefixMaintained(s, d)) base
       else {
-        // catch-up landing: same live-at-seq-0 rule as kmServedIndexRaw;
-        // appended versions reuse their prefix CELLS (the composed index
-        // shares the prefix quantizer) and encode against the frozen
-        // codebooks
-        val liveAt0 = servedIndex(s, d).filter(col("seq") === 0).select(col("vec_id"))
+        // catch-up landing: appended versions reuse their prefix CELLS
+        // (the composed index shares the prefix quantizer) and encode
+        // against the frozen codebooks. `base` reads the masked prefix
+        // table (prefixMaintained ⇒ the prefix index is landed), so
+        // the live-at-seq-0 filter is already applied — no extra
+        // semi-join (pre-r17 the base was the raw corpus assignment
+        // and needed one).
         val app = appendedFromPrefix(s, d).get
         val appCells = servedIndex(s, d).filter(col("seq") > 0)
           .select(col("cell"), col("vec_id"), col("seq"))
         val appPart = appCells
           .join(pqCodeArrays(s, d, app.select(col("vec_id"), col("v"), col("nrm"))), Seq("vec_id"))
           .select(col("cell"), col("vec_id"), col("codes"), col("seq"))
-        base.join(liveAt0, Seq("vec_id"), "left_semi").unionByName(appPart)
+        base.unionByName(appPart)
       }
     }
   }
@@ -1072,14 +1074,32 @@ object Similarity {
     * MatCutPlanAuditSpec can audit the landing PLAN without landing.
     * Codes as one ordered array per vector (8 B at PqM=16, PqK=16):
     * ADC reads M positions per candidate instead of joining M rows.
+    *
+    * ASSIGNMENT REUSE (round 17): when the prefix index is landed, its
+    * live seq-0 rows ARE `rankedPrefix.filter(r <= Dd7Probes)` — the
+    * landing reads `(cell, vec_id)` back from the bucketed table
+    * (column-pruned: two skinny columns of a 19 GB-at-20M table) and
+    * skips the corpus-wide n·√K quantization job entirely. With the
+    * codegen encode ([[pqCodeArrays]]) the composed landing is then
+    * scan-bound end to end: one pruned index read + one corpus scan +
+    * one skinny shuffle-hash join (measured at 20M: 1656 s re-ranking
+    * form → the cost of the join + write). Cold-start landings (no
+    * prefix index) keep the self-contained quantization form.
     * Shuffle-hash on the narrow assignment — see
     * [[prefixIndexLandingFrame]] (the codes side is narrow too, but
     * the stats-less SMJ fallback would still sort both). */
-  private[graft] def ivfPqLandingBase(s: SparkSession, d: String): DataFrame =
-    Dedup.rankedPrefix(s, d).filter(col("r") <= Dedup.Dd7Probes)
-      .select(col("cell"), col("vec_id")).hint("shuffle_hash")
+  private[graft] def ivfPqLandingBase(s: SparkSession, d: String): DataFrame = {
+    val assigned =
+      if (graft.sources.Lakehouse.isLanded(s, s"graft_ann_index_${dirSuffix(d)}"))
+        servedIndex(s, d).filter(col("seq") === 0)
+          .select(col("cell"), col("vec_id"))
+      else
+        Dedup.rankedPrefix(s, d).filter(col("r") <= Dedup.Dd7Probes)
+          .select(col("cell"), col("vec_id"))
+    assigned.hint("shuffle_hash")
       .join(pqCodeArrays(s, d, normed(s, d)), Seq("vec_id"))
       .select(col("cell"), col("vec_id"), col("codes"), lit(0L).as("seq"))
+  }
 
   private[graft] def ivfPqIndex(s: SparkSession, d: String): DataFrame = {
     val df = ivfPqIndexRaw(s, d)

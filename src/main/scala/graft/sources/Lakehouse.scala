@@ -152,6 +152,22 @@ object Lakehouse {
     sys.env.get("SPARK_GRAFT_LAND_SPLITS").flatMap(_.toIntOption)
       .filter(_ > 0).getOrElse(8)
 
+  /** Bucket groups for [[writeBucketedStaged]]'s pass 2 (round 17 —
+    * the 40M-decade disk law): at 1 (default) pass 2 is one job and
+    * peak disk is staging + final ≈ 2× the table's at-rest size; at
+    * G > 1 pass 2 lands one bucket group at a time and DELETES each
+    * group's staging files as soon as they are consumed, capping peak
+    * at ≈ at-rest × (1 + 1/G) — the difference between a landing that
+    * fits the box and one that ENOSPCs at 2×. Group writes after the
+    * first APPEND into the bucketed table ([[appendBucketed]]): bucket
+    * ids are computed from the data by the writer, so correctness
+    * never depends on the file→bucket grouping — only the eager-delete
+    * accounting does. sys.prop `graft.land.chunks` overrides for
+    * tests. */
+  private[graft] def landChunks: Int =
+    sys.props.get("graft.land.chunks").orElse(sys.env.get("SPARK_GRAFT_LAND_CHUNKS"))
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1)
+
   /** Two-pass bucketed write — the SCALE path behind [[landBucketed]]
     * and the compaction swap (VERDICT r14 #1: the one-pass form fed the
     * V1 bucketed writer from join-partitioned input, whose injected
@@ -203,11 +219,38 @@ object Lakehouse {
       // compaction tick on a co-serving JVM must not inject an
       // unconditional full-GC pause into query latency.
       if (dirBytes(stagingLoc) >= GcNudgeMinStagedBytes) System.gc()
-      // explicit schema: an all-empty staging (empty df) has no files
-      // to infer from, and the user schema also pins nullability so the
-      // landed table's DDL equals df's
-      val staged = s.read.schema(df.schema).parquet(stagingLoc.toString)
-      writeBucketed(staged, table, bucketCols, numBuckets)
+      val chunks = landChunks
+      if (chunks <= 1) {
+        // explicit schema: an all-empty staging (empty df) has no files
+        // to infer from, and the user schema also pins nullability so
+        // the landed table's DDL equals df's
+        val staged = s.read.schema(df.schema).parquet(stagingLoc.toString)
+        writeBucketed(staged, table, bucketCols, numBuckets)
+      } else {
+        // pass 2 in bucket groups, deleting consumed staging eagerly:
+        // staged file part-NNNNN holds partition NNNNN of the
+        // parts-way hash repartition, and numBuckets | parts means
+        // that partition's rows belong to bucket NNNNN mod numBuckets
+        val partIdx = "part-(\\d+)".r
+        val staged = Option(stagingLoc.listFiles()).getOrElse(Array.empty)
+          .flatMap(f => partIdx.findFirstMatchIn(f.getName)
+            .map(m => (m.group(1).toInt % numBuckets, f)))
+        val groupSize = math.max(1, math.ceil(numBuckets.toDouble / chunks).toInt)
+        (0 until numBuckets).grouped(groupSize).zipWithIndex.foreach {
+          case (bs, gi) =>
+            val want = bs.toSet
+            val files = staged.collect { case (b, f) if want(b) => f }
+            val part =
+              if (files.isEmpty)
+                s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+              else s.read.schema(df.schema).parquet(files.map(_.getPath): _*)
+            // group 0 creates the table (schema even when empty);
+            // later groups append through the catalog's bucket spec
+            if (gi == 0) writeBucketed(part, table, bucketCols, numBuckets)
+            else if (files.nonEmpty) appendBucketed(part, table)
+            files.foreach(_.delete())
+        }
+      }
     } finally { if (stagingLoc.exists()) rmTree(stagingLoc) }
   }
 

@@ -40,6 +40,19 @@ object PreLand {
       .config("spark.memory.storageFraction", "0.1")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // SPARK_GRAFT_EVENTLOG=1: write the event log so a landing's
+      // per-stage shuffle volume is auditable after the fact (the
+      // round-17 "encode is shuffle-free" evidence)
+      .config("spark.eventLog.enabled",
+        if (sys.env.get("SPARK_GRAFT_EVENTLOG").contains("1")) "true" else "false")
+      .config("spark.eventLog.dir", {
+        val d = sys.env.getOrElse("SPARK_GRAFT_EVENTLOG_DIR", "/tmp/graft-eventlog")
+        new java.io.File(d).mkdirs(); d
+      })
+      // plain single-file JSON so tools/eventlog_shuffle.py can read it
+      // (the box has no zstd bindings)
+      .config("spark.eventLog.rolling.enabled", "false")
+      .config("spark.eventLog.compress", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (src <- args.toSeq) {

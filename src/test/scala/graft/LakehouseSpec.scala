@@ -82,6 +82,37 @@ class LakehouseSpec extends SparkSpecBase with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("chunked pass-2 staged landing equals the one-shot landing (bucket layout intact)") {
+    // round 17 (the 40M-decade disk law): pass 2 in bucket groups with
+    // eager staging deletes caps peak disk at ~at-rest × (1 + 1/G)
+    // instead of 2×. Same rows, same bucket layout, same exchange-free
+    // join behavior as the one-shot write.
+    val s = spark
+    val events = Tables.events(s, sfDir)
+      .select("event_id", "user_id", "value")
+    try {
+      sys.props("graft.land.chunks") = "4"
+      Lakehouse.writeBucketedStaged(events, "lh_events_chunked", Seq("user_id"), 4)
+      sys.props.remove("graft.land.chunks")
+      Lakehouse.writeBucketedStaged(events, "lh_events_oneshot", Seq("user_id"), 4)
+      val a = s.table("lh_events_chunked")
+      val b = s.table("lh_events_oneshot")
+      assert(a.count() == b.count())
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      // bucket layout: the chunked table must still join exchange-free
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = a.join(b, "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"chunked landing broke bucketing:\n${plan.take(800)}")
+      assert(joined.count() > 0)
+    } finally {
+      sys.props.remove("graft.land.chunks")
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.sql("DROP TABLE IF EXISTS lh_events_chunked")
+      s.sql("DROP TABLE IF EXISTS lh_events_oneshot")
+    }
+  }
+
   test("registered q04b plans its fact join exchange-free over the bucketed landing") {
     val s = spark
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep the fact join SMJ
