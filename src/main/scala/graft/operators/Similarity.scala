@@ -265,10 +265,18 @@ object Similarity {
       // `seq` = 0 marks corpus rows; maintenance appends carry their
       // batch seq (IndexIngest), and tombstoned versions (deleted or
       // upserted ids since the last compaction) are masked at read.
-      val df = graft.sources.Lakehouse.landBucketed(
-        s, t, Seq("cell"), 16,
-        s"annidx|v2|$d|n=$n|k=${Dedup.dd7AnchorCount(n)}|p=${Dedup.Dd7Probes}")(
-        prefixIndexLandingFrame(s, d))
+      val fp = s"annidx|v2|$d|n=$n|k=${Dedup.dd7AnchorCount(n)}|p=${Dedup.Dd7Probes}"
+      val waves = graft.sources.Lakehouse.landWaves
+      // SAME fingerprint either way: the wave mode changes how the
+      // bytes are produced, not what they are (SimilaritySpec pins
+      // wave-union == single-frame rows)
+      val df =
+        if (waves <= 1)
+          graft.sources.Lakehouse.landBucketed(s, t, Seq("cell"), 16, fp)(
+            prefixIndexLandingFrame(s, d))
+        else
+          graft.sources.Lakehouse.landBucketedWaves(s, t, Seq("cell"), 16, fp)(
+            prefixIndexLandingWaves(s, d, waves))
       graft.sources.Lakehouse.maskTombstones(s, t, df, "vec_id")
     }
 
@@ -288,6 +296,50 @@ object Similarity {
       .select(col("cell"), col("vec_id")).hint("shuffle_hash")
       .join(normed(s, d), Seq("vec_id"))
       .select(col("cell"), col("vec_id"), col("v"), col("nrm"), lit(0L).as("seq"))
+
+  /** Drop the memoized normalized-corpus cache for (s, d): at a 40M
+    * landing the MEMORY_AND_DISK cache is ~18 GB of DISK (the landing
+    * JVMs squeeze storageFraction), and once the assignment is
+    * checkpointed nothing on the landing path needs it — the r17 40M
+    * ENOSPC budget counted it as a full live term. */
+  private[graft] def dropCorpusCache(s: SparkSession, d: String): Unit =
+    normCache.remove((s, d)).foreach(_.unpersist(false))
+
+  /** The prefix landing as PASS-1 WAVES for disk-constrained boxes
+    * ([[graft.sources.Lakehouse.writeBucketedStagedWaves]]; activated
+    * by SPARK_GRAFT_LAND_WAVES > 1). The r17 40M single-pass attempt
+    * ENOSPC'd at 93 GB: the corpus-side join shuffle (~22 GB), the
+    * bucket repartition shuffle (~28 GB), the corpus disk-cache
+    * (~18 GB) and the growing staging (~38 GB) all coexist in pass 1.
+    * Wave w instead joins the corpus SCAN against the BROADCAST slice
+    * `vec_id % waves == w` of the checkpointed assignment: the corpus
+    * never shuffles, each wave's repartition moves 1/waves of the
+    * index rows and is GC-reclaimed before the next wave, and the
+    * corpus cache is dropped up front (the assignment checkpoint
+    * supersedes it) — pass-1 transient ≈ staging + one wave's slice.
+    * Each slice is a BOUNDED broadcast by construction (caller picks
+    * `waves` so a slice fits comfortably; guarded here against the
+    * 8 GB broadcast hard limit). The default single-pass shuffle-hash
+    * form remains the cluster-shaped path: on a real cluster transient
+    * disk is distributed and one corpus shuffle beats `waves` corpus
+    * scans. */
+  private[graft] def prefixIndexLandingWaves(
+      s: SparkSession, d: String, waves: Int): Seq[DataFrame] = {
+    val n = corpusN(s, d)
+    val sliceBytes = n * Dedup.Dd7Probes * 32L / waves
+    require(sliceBytes < (4L << 30),
+      s"assignment slice ~$sliceBytes B too large to broadcast; raise SPARK_GRAFT_LAND_WAVES")
+    Dedup.rankedPrefix(s, d) // materialize the assignment checkpoint first…
+    dropCorpusCache(s, d) //    …then retire the corpus cache it consumed
+    val corpus = normedLazy(s, d)
+    (0 until waves).map { w =>
+      val slice = Dedup.rankedPrefix(s, d).filter(col("r") <= Dedup.Dd7Probes)
+        .filter(pmod(col("vec_id"), lit(waves)) === w)
+        .select(col("cell"), col("vec_id"))
+      corpus.join(broadcast(slice), Seq("vec_id"))
+        .select(col("cell"), col("vec_id"), col("v"), col("nrm"), lit(0L).as("seq"))
+    }
+  }
 
   /** Land (or re-register) the prefix-quantizer serving index for
     * `d`'s corpus and return its catalog table name — the handle

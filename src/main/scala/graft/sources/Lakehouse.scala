@@ -168,6 +168,16 @@ object Lakehouse {
     sys.props.get("graft.land.chunks").orElse(sys.env.get("SPARK_GRAFT_LAND_CHUNKS"))
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1)
 
+  /** Pass-1 waves for landings that can slice their frame (round 17 —
+    * see [[writeBucketedStagedWaves]] and the prefix landing's
+    * bounded-broadcast slices). 1 (default) = the cluster-shaped
+    * single-pass form; > 1 = the disk-constrained mode the single-box
+    * scale probes run. sys.prop `graft.land.waves` overrides for
+    * tests. */
+  private[graft] def landWaves: Int =
+    sys.props.get("graft.land.waves").orElse(sys.env.get("SPARK_GRAFT_LAND_WAVES"))
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1)
+
   /** Two-pass bucketed write — the SCALE path behind [[landBucketed]]
     * and the compaction swap (VERDICT r14 #1: the one-pass form fed the
     * V1 bucketed writer from join-partitioned input, whose injected
@@ -196,43 +206,69 @@ object Lakehouse {
       df: DataFrame,
       table: String,
       bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    writeBucketedStagedWaves(Seq(df), table, bucketCols, numBuckets)
+
+  /** [[writeBucketedStaged]] over a SEQUENCE of pass-1 frames (round 17
+    * — the 40M landing's pass-1 disk law): the r17 40M attempt showed
+    * the remaining ENOSPC term is pass-1 itself — the landing frame's
+    * join shuffle, its bucket-hash repartition shuffle, and the staging
+    * all coexist (~2.5× at-rest live at once). Callers that can slice
+    * the landing frame into independent waves (e.g. the prefix landing
+    * slicing its checkpointed assignment into bounded-broadcast pieces
+    * — [[graft.operators.Similarity]] `prefixIndexLandingWaves`) land
+    * one wave per job: each wave's shuffle is 1/W of the total and is
+    * GC-reclaimed before the next wave starts, so pass-1 transient ≈
+    * staging + one wave's shuffle. Waves write disjoint staging
+    * subdirs; pass 2 (one-shot or bucket-group chunked) reads across
+    * them — a staged file's `part-NNNNN` index still identifies its
+    * bucket (NNNNN mod numBuckets) because every wave uses the same
+    * bucket-aligned partition count. */
+  def writeBucketedStagedWaves(
+      dfs: Seq[DataFrame],
+      table: String,
+      bucketCols: Seq[String],
       numBuckets: Int): Unit = {
-    val s = df.sparkSession
+    require(dfs.nonEmpty, "writeBucketedStagedWaves needs at least one frame")
+    val s = dfs.head.sparkSession
+    val schema = dfs.head.schema
     val stagingLoc = warehouseLoc(s, table + "__landstage")
     if (stagingLoc.exists()) rmTree(stagingLoc)
     val parts = numBuckets * landSplitsPerBucket
     try {
-      df.repartition(parts, bucketCols.map(col): _*)
-        .write.mode(SaveMode.Overwrite).parquet(stagingLoc.toString)
-      // Pass-1 is done: the shuffle files behind `df`'s lineage (the
-      // quantization joins/aggs — corpus-scale at a big landing) are
-      // now garbage, but Spark's ContextCleaner only reclaims them
-      // after a DRIVER GC collects the dependency references, and the
-      // default periodic GC (spark.cleaner.periodicGC.interval) is
-      // 30 min — longer than a landing. Without this nudge the pass-2
-      // write stacks its own transient ON TOP of pass-1's dead shuffle
-      // files: measured at the 20M-vector landing, 55 GB of blockmgr
-      // at peak (ENOSPC) vs ~20 GB with the cleanup. On a cluster the
-      // same files pin executor disks; the GC is driver-side and cheap
-      // next to a corpus write. GATED on staged size (ADVICE r16): the
-      // 35-55 GB justification is corpus-scale; a maintenance
-      // compaction tick on a co-serving JVM must not inject an
-      // unconditional full-GC pause into query latency.
-      if (dirBytes(stagingLoc) >= GcNudgeMinStagedBytes) System.gc()
+      dfs.zipWithIndex.foreach { case (df, i) =>
+        df.repartition(parts, bucketCols.map(col): _*)
+          .write.mode(SaveMode.Overwrite).parquet(s"$stagingLoc/wave$i")
+        // Wave/pass-1 done: the shuffle files behind this frame's
+        // lineage (the quantization joins/aggs — corpus-scale at a big
+        // landing) are now garbage, but Spark's ContextCleaner only
+        // reclaims them after a DRIVER GC collects the dependency
+        // references, and the default periodic GC is 30 min — longer
+        // than a landing. Without this nudge the next wave / pass-2
+        // stacks its transient ON TOP of dead shuffle files: measured
+        // at the 20M-vector landing, 55 GB of blockmgr at peak
+        // (ENOSPC) vs ~20 GB with the cleanup. GATED on staged size
+        // (ADVICE r16): maintenance compaction ticks on a co-serving
+        // JVM must not inject a full-GC pause into query latency.
+        if (dirBytes(stagingLoc) >= GcNudgeMinStagedBytes) System.gc()
+      }
+      val waveDirs = (0 until dfs.length).map(i => s"$stagingLoc/wave$i")
       val chunks = landChunks
       if (chunks <= 1) {
         // explicit schema: an all-empty staging (empty df) has no files
         // to infer from, and the user schema also pins nullability so
         // the landed table's DDL equals df's
-        val staged = s.read.schema(df.schema).parquet(stagingLoc.toString)
+        val staged = s.read.schema(schema).parquet(waveDirs: _*)
         writeBucketed(staged, table, bucketCols, numBuckets)
       } else {
         // pass 2 in bucket groups, deleting consumed staging eagerly:
         // staged file part-NNNNN holds partition NNNNN of the
         // parts-way hash repartition, and numBuckets | parts means
         // that partition's rows belong to bucket NNNNN mod numBuckets
+        // (per wave — every wave used the same partitioner)
         val partIdx = "part-(\\d+)".r
-        val staged = Option(stagingLoc.listFiles()).getOrElse(Array.empty)
+        val staged = waveDirs
+          .flatMap(d => Option(new java.io.File(d).listFiles()).getOrElse(Array.empty))
           .flatMap(f => partIdx.findFirstMatchIn(f.getName)
             .map(m => (m.group(1).toInt % numBuckets, f)))
         val groupSize = math.max(1, math.ceil(numBuckets.toDouble / chunks).toInt)
@@ -242,8 +278,8 @@ object Lakehouse {
             val files = staged.collect { case (b, f) if want(b) => f }
             val part =
               if (files.isEmpty)
-                s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
-              else s.read.schema(df.schema).parquet(files.map(_.getPath): _*)
+                s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+              else s.read.schema(schema).parquet(files.map(_.getPath): _*)
             // group 0 creates the table (schema even when empty);
             // later groups append through the catalog's bucket spec
             if (gi == 0) writeBucketed(part, table, bucketCols, numBuckets)
@@ -280,7 +316,16 @@ object Lakehouse {
   def landBucketed(
       s: SparkSession, table: String,
       bucketCols: Seq[String], numBuckets: Int,
-      fingerprint: String)(df: => DataFrame): DataFrame = {
+      fingerprint: String)(df: => DataFrame): DataFrame =
+    landBucketedWaves(s, table, bucketCols, numBuckets, fingerprint)(Seq(df))
+
+  /** [[landBucketed]] whose landing computation arrives as pass-1
+    * WAVES ([[writeBucketedStagedWaves]]); the reuse path is identical
+    * (no wave is ever evaluated when the fingerprint matches). */
+  def landBucketedWaves(
+      s: SparkSession, table: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      fingerprint: String)(dfs: => Seq[DataFrame]): DataFrame = {
     require(!fingerprint.contains('\n'), "fingerprint must be single-line")
     lockFor(table).synchronized {
       adoptOrphanStage(s, table) // recover a crashed compaction swap first
@@ -302,14 +347,14 @@ object Lakehouse {
           }
           s.table(table)
         case _ =>
-          val data = df
-          writeBucketedStaged(data, table, bucketCols, numBuckets)
+          val data = dfs
+          writeBucketedStagedWaves(data, table, bucketCols, numBuckets)
           // a clean re-land invalidates any maintenance sidecar from the
           // previous landing: the commit log died with the location rm in
           // writeBucketed; the tombstone dir lives beside it — clear too
           locally { val td = tombsDir(s, table); if (td.exists()) rmTree(td) }
           java.nio.file.Files.write(marker.toPath,
-            s"$fingerprint\n$spec\n${data.schema.toDDL}".getBytes("UTF-8"))
+            s"$fingerprint\n$spec\n${data.head.schema.toDDL}".getBytes("UTF-8"))
           stampGeneration(loc) // volume-trigger denominator ([[compactionDue]])
           s.table(table)
       }

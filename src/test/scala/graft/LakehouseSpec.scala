@@ -113,6 +113,37 @@ class LakehouseSpec extends SparkSpecBase with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("wave pass-1 + chunked pass-2 landing equals the one-shot landing") {
+    // round 17 (the 40M pass-1 disk law): pass-1 arrives as independent
+    // wave frames (disjoint row slices), staged per wave; pass 2 is
+    // unchanged. Rows and bucket layout must match the one-shot form.
+    val s = spark
+    val events = Tables.events(s, sfDir).select("event_id", "user_id", "value")
+    try {
+      sys.props("graft.land.chunks") = "4"
+      Lakehouse.writeBucketedStagedWaves(
+        Seq(events.filter(pmod(col("user_id"), lit(2)) === 0),
+          events.filter(pmod(col("user_id"), lit(2)) === 1)),
+        "lh_events_waved", Seq("user_id"), 4)
+      sys.props.remove("graft.land.chunks")
+      Lakehouse.writeBucketedStaged(events, "lh_events_oneshot2", Seq("user_id"), 4)
+      val a = s.table("lh_events_waved")
+      val b = s.table("lh_events_oneshot2")
+      assert(a.count() == b.count())
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = a.join(b, "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"waved landing broke bucketing:\n${plan.take(800)}")
+      assert(joined.count() > 0)
+    } finally {
+      sys.props.remove("graft.land.chunks")
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.sql("DROP TABLE IF EXISTS lh_events_waved")
+      s.sql("DROP TABLE IF EXISTS lh_events_oneshot2")
+    }
+  }
+
   test("registered q04b plans its fact join exchange-free over the bucketed landing") {
     val s = spark
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep the fact join SMJ
