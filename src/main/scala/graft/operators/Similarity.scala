@@ -1068,11 +1068,10 @@ object Similarity {
     }
 
   /** sim4b — sim4 SERVED from the persisted code table: the
-    * linear-in-n encode pass (sub-vector explode + codebook join +
-    * per-subspace argmax over the whole corpus) is read back as 8 B/
-    * vector codes instead of being recomputed; ADC + re-rank run as in
-    * sim4. The deployable PQ shape: encode at ingest, serve from
-    * codes. */
+    * linear-in-n corpus encode pass (one [[pqEncodeCol]] scan since
+    * round 17) is read back as 8 B/vector codes instead of being
+    * recomputed; ADC + re-rank run as in sim4. The deployable PQ
+    * shape: encode at ingest, serve from codes. */
   val sim4b = QueryDef(
     "sim4b_ann_pq_served",
     (s, d) => pqServe(s, d, pqCodesServed(s, d)),

@@ -18,10 +18,12 @@ object PreLand {
     // Shuffle partitions scale the landing's PER-TASK memory: the
     // final aggregates and shuffle-hash builds hold totalRows/parts
     // rows per task, so a corpus decade crossed with parts fixed at 32
-    // crosses a heap line too (measured: the 20M ivfpq landing OOM'd a
-    // 64 GB heap at 32 parts in the encode fold; 64 parts fits). The
-    // r13 more-parts-means-more-spill-files penalty applied to
-    // SPILL-bound plans; the staged landing path spills nothing.
+    // crosses a heap line too (measured r16: the 20M ivfpq landing's
+    // then-existing encode fold OOM'd a 64 GB heap at 32 parts; 64
+    // fits. The fold is gone since r17 — codegen encode — but the
+    // ranking aggregates keep the same per-task law). The r13
+    // more-parts-means-more-spill-files penalty applied to SPILL-bound
+    // plans; the staged landing path spills nothing.
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_PROBE_PARTS", "32"))
