@@ -19,8 +19,18 @@ class StreamConfsSpec extends SparkSpecBase {
       "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage") == "true")
     assert(spark.conf.get(
       "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB") == "4096")
+    // r17: changelog checkpointing (commit ∝ batch delta, not total
+    // state) and no per-file checkpoint checksums are engine defaults;
+    // both env-overridable (SPARK_GRAFT_CHANGELOG_CKPT /
+    // SPARK_GRAFT_CKPT_CHECKSUM)
     assert(Graft.streamConfs(rocksdbMemoryMB = 0) ==
-      Map("spark.sql.streaming.minBatchesToRetain" -> "2"))
+      Map("spark.sql.streaming.minBatchesToRetain" -> "2",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false"))
+    assert(spark.conf.get(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled") == "true")
+    assert(spark.conf.get(
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled") == "false")
   }
 
   test("a started stateful stream runs under the hardened confs") {
