@@ -65,7 +65,23 @@ object Graft {
       // deployments on storage without end-to-end integrity can turn
       // it back on via env.
       "spark.sql.streaming.checkpoint.fileChecksum.enabled" ->
-        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false")) ++
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"),
+      // Don't maintain the numRowsTotal gauge on the write path (r17
+      // optimization, guide §1.2 "per-task work"): with tracking on,
+      // EVERY put/merge/delete does a read-before-write just to keep
+      // the per-store row count current — measured as ~half of every
+      // replay twin's addBatch (TwinProf r17 on the round's box: warm
+      // rep 5.85→3.40 s, per-batch addBatch 1888→871 ms, state commit
+      // 192→119 ms). Spark documents exactly this knob for write-heavy
+      // workloads. The trade is observability, not semantics:
+      // stateOperators.numRowsTotal reads 0; numRowsUpdated, commit
+      // times and sizes still report. The scale probes (WinScale/
+      // FkScale/Ingest/Restore) build their own sessions and keep
+      // Spark's default tracking ON — their stateRows plateau evidence
+      // is the reason the flag exists. Deployments that want the gauge
+      // back set SPARK_GRAFT_TRACK_STATE_ROWS=true.
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" ->
+        sys.env.getOrElse("SPARK_GRAFT_TRACK_STATE_ROWS", "false")) ++
       (if (rocksdbMemoryMB > 0) Map(
         "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
         "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" ->

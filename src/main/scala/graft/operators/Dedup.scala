@@ -735,7 +735,15 @@ object Dedup {
         prevSum = sum2
         rounds += 1
       }
-      ids.join(labels, Seq("id"), "left_outer")
+      // the closing population join inherits the same size gate: labels
+      // is bounded by the edge-touched node set (≤ 2·edges, tiny for a
+      // real near-dup graph), while ids is the CORPUS — without the
+      // broadcast the stats-less localCheckpoint'd labels side forces a
+      // sort-merge that shuffles AND sorts every corpus id just to
+      // attach a label to the few docs that have one (plans/r17
+      // dd9_before: 2 Exchange + 2 Sort → after: BroadcastHashJoin,
+      // corpus side untouched; guide §3.1)
+      ids.join(maybeB(labels), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("label"), col("id")).as("canonical_id"))
   }
 

@@ -120,8 +120,16 @@ object Pipeline {
       // rates in exact integer arithmetic (basis points, threshold as a
       // cross-multiplied integer compare): no double rounding, so both
       // engines agree bit-for-bit at any ratio
+      // shared is (doc_id, count) for only the docs overlapping any
+      // benchmark gram — typically far smaller than the corpus but not
+      // provably broadcast-safe, so take the middle strategy (guide
+      // §3.1): hash-build the shared side per partition instead of
+      // sort-merging, which drops both sides' sorts from the plan
+      // (plans/r17 td2 before: SortMergeJoin + 2 Sort → after:
+      // ShuffledHashJoin BuildRight). Build-side rows are 16-byte
+      // pairs, bounded per partition by AQE's advisory size.
       sizes.join(broadcast(benchIds), Seq("doc_id"), "left_anti")
-        .join(shared, Seq("doc_id"), "left_outer")
+        .join(shared.hint("shuffle_hash"), Seq("doc_id"), "left_outer")
         .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
         .select(col("doc_id"), col("n_shared"), col("sz").as("n_grams"),
           expr("(10000 * n_shared) div sz").as("contam_bp"),

@@ -52,8 +52,32 @@ object StreamTwins {
     // fixture-scale state fits a handful of partitions; 4 keeps the
     // replay's per-batch store cost ~flat vs the 32-partition default
     // (~8× fewer RocksDB opens+commits per micro-batch)
-    val h = TopologyTestHarness[Event](s, transform, "append", statePartitions = Some(4))
-    try (evs.grouped(chunkSize).toSeq :+ Vector(sentinel)).foreach(h.pipe)
+    //
+    // No-data micro-batches OFF for the replay (r17, guide §1.2 "cut
+    // the fixed per-batch cost"): with the default ON, every pipe runs
+    // a SECOND, empty micro-batch just to emit the windows its
+    // watermark advance closed — at replay scale that is half of all
+    // batches, each paying the full commit machinery (offsets WAL +
+    // commit log + one RocksDB commit per state partition) to move no
+    // data. With them off, emission of closed windows simply rides the
+    // NEXT data batch, and the final flush that the single far-future
+    // sentinel used to trigger via its trailing no-data batch is
+    // triggered by piping a second sentinel: watermarks advance at
+    // batch boundaries, so sentinel #2's batch runs with the watermark
+    // already past every real window and emits them all. The emitted
+    // set is identical (append mode emits each closed window exactly
+    // once, whichever batch it rides; both sentinels carry user_id −1
+    // and are filtered below) — the DuckDB oracle and the stream=batch
+    // parity suite grade exactly that.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = s.conf.get(ndKey)
+    s.conf.set(ndKey, "false")
+    val h =
+      try TopologyTestHarness[Event](s, transform, "append", statePartitions = Some(4))
+      finally s.conf.set(ndKey, prevNd)
+    val sentinel2 = sentinel.copy(event_id = -2L)
+    try (evs.grouped(chunkSize).toSeq :+ Vector(sentinel) :+ Vector(sentinel2))
+      .foreach(h.pipe)
     finally h.close()
     h.results().filter(col("user_id") =!= -1L)
   }

@@ -116,6 +116,12 @@ class MetricsSpec extends SparkSpecBase {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     implicit val sq = spark.sqlContext
+    // this test asserts the numRowsTotal gauge, which the engine's
+    // write-path default (trackTotalNumberOfRows=false, r17) turns off —
+    // opt this query back in (conf is read at stream start)
+    val trackKey = "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+    val prevTrack = spark.conf.get(trackKey)
+    spark.conf.set(trackKey, "true")
     val ms = MemoryStream[FkJoin.LeftRow]
     val q = ms.toDS().groupByKey(_.pk)
       .transformWithState(new FkJoin.FkRouter(), TimeMode.None(), OutputMode.Update())
@@ -136,6 +142,6 @@ class MetricsSpec extends SparkSpecBase {
       assert(gauges.forall(_.numShufflePartitions > 0))
       // gauges are per (batch, operator): distinct batch ids observed
       assert(gauges.map(_.batchId).distinct.size >= 2)
-    } finally q.stop()
+    } finally { q.stop(); spark.conf.set(trackKey, prevTrack) }
   }
 }

@@ -23,8 +23,25 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * TTL — and the no-TTL control must grow monotonically, so a plateau
   * can only come from expiry, not from the workload shape.
   */
-class StateSoakSpec extends SparkSpecBase {
+class StateSoakSpec extends SparkSpecBase
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  // The soak's whole point is reading the numRowsTotal plateau curve,
+  // which the engine's write-path default (trackTotalNumberOfRows=false,
+  // r17) turns off — every stream this suite starts opts back in, and
+  // afterAll restores the default (Graft.session's drift check would
+  // otherwise reject the session for the next suite in this JVM).
+  private val TrackKey =
+    "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows"
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set(TrackKey, "true")
+  }
+  override protected def afterAll(): Unit = {
+    spark.conf.set(TrackKey, "false")
+    super.afterAll()
+  }
 
   private val Batches = 12
   private val StepMs = 1000L

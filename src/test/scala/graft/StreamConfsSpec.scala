@@ -20,17 +20,21 @@ class StreamConfsSpec extends SparkSpecBase {
     assert(spark.conf.get(
       "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB") == "4096")
     // r17: changelog checkpointing (commit ∝ batch delta, not total
-    // state) and no per-file checkpoint checksums are engine defaults;
-    // both env-overridable (SPARK_GRAFT_CHANGELOG_CKPT /
-    // SPARK_GRAFT_CKPT_CHECKSUM)
+    // state), no per-file checkpoint checksums, and no write-path
+    // numRowsTotal tracking are engine defaults; all env-overridable
+    // (SPARK_GRAFT_CHANGELOG_CKPT / SPARK_GRAFT_CKPT_CHECKSUM /
+    // SPARK_GRAFT_TRACK_STATE_ROWS)
     assert(Graft.streamConfs(rocksdbMemoryMB = 0) ==
       Map("spark.sql.streaming.minBatchesToRetain" -> "2",
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
-        "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false"))
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
+        "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false"))
     assert(spark.conf.get(
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled") == "true")
     assert(spark.conf.get(
       "spark.sql.streaming.checkpoint.fileChecksum.enabled") == "false")
+    assert(spark.conf.get(
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows") == "false")
   }
 
   test("a started stateful stream runs under the hardened confs") {
