@@ -136,23 +136,36 @@ object StreamTwins {
     val inDir = s"$root/in"; val sink = s"$root/out"; val ckpt = s"$root/ckpt"
     new java.io.File(inDir).mkdirs() // file source requires the dir at start
     val chunkSize = math.max(1, (evs.size + ReplayChunks - 1) / ReplayChunks)
-    val chunks = evs.grouped(chunkSize).toVector :+ Vector(sentinel)
+    // same no-data-batch cut as replayEvents (r17): the second sentinel
+    // file is the final flush batch — it arrives with the watermark
+    // already past every real window, so the append sink receives the
+    // identical finalized set without any empty watermark-advance
+    // batches along the way (here each also cost a parquet sink commit).
+    val chunks = evs.grouped(chunkSize).toVector :+
+      Vector(sentinel) :+ Vector(sentinel.copy(event_id = -2L))
     val schema = chunks.head.toDS().toDF().schema
     def feed(i: Int): Unit =
       chunks(i).toDS().toDF().coalesce(1).write.mode("append").parquet(inDir)
     def start() = {
       val key = "spark.sql.shuffle.partitions"
+      val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
       val prev = s.conf.get(key)
+      val prevNd = s.conf.get(ndKey)
       s.conf.set(key, "4")
+      s.conf.set(ndKey, "false")
       try StreamOps.tumblingAgg(s.readStream.schema(schema).parquet(inDir))
         .writeStream.outputMode("append")
         .foreachBatch { (b: DataFrame, _: Long) =>
           b.write.mode("append").parquet(sink)
         }
         .option("checkpointLocation", ckpt).start()
-      finally s.conf.set(key, prev)
+      finally { s.conf.set(key, prev); s.conf.set(ndKey, prevNd) }
     }
-    val half = chunks.size / 2
+    // restart MID-DATA (the point of the twin): split on the data
+    // chunks only — the two trailing sentinel chunks are the flush, not
+    // the stream (pre-r17 the single sentinel fell out of the /2 split
+    // the same way for every even data-chunk count)
+    val half = (chunks.size - 2) / 2
     var q = start()
     try (0 until half).foreach { i => feed(i); q.processAllAvailable() }
     finally q.stop()
