@@ -119,10 +119,34 @@ object Lakehouse {
       .parquet(path)
   }
 
+  /** Row-group byte bound for bucketed table writes (r17 — the serve
+    * read-amplification lever, guide §6 "sort order and min/max
+    * skipping"): a probed-cell fetch filters a cell-sorted file on
+    * `cell IN (...)`, and parquet can skip only whole ROW GROUPS, so
+    * the fetch reads ceil(occupancy/rowGroup) × rowGroupBytes per
+    * probed cell. At parquet's 128 MB default a few-MB cell drags in a
+    * full 128 MB group — the measured 40M serve floor
+    * (SERVEPROF_r17_40M: re-rank fetch 5.95 s of a 7.07 s warm serve,
+    * amplification ∝ row-group bytes while occupancy stays ~constant
+    * across decades). Bounding groups keeps the fetch ∝ cell
+    * occupancy; the trade is more row-group metadata and slightly
+    * shorter compression runs on full scans (A/B at the 20M decade in
+    * OPTIMIZATION_r17.md "row-group bound"). Env-tunable; 0 disables
+    * the option (parquet default). */
+  private[graft] def indexRowGroupBytes: Long =
+    sys.env.get("SPARK_GRAFT_INDEX_ROWGROUP_MB").flatMap(_.toLongOption)
+      .map(_ * (1L << 20)).getOrElse(16L * (1 << 20))
+
   /** Write `df` as a bucketed session-catalog table: `numBuckets` hash
     * buckets on `bucketCols`, sorted within each bucket. Joins and
     * aggregations keyed on `bucketCols` against another table with the
-    * same bucketing read co-located — no Exchange in the plan. */
+    * same bucketing read co-located — no Exchange in the plan.
+    *
+    * Row groups are bounded by [[indexRowGroupBytes]] here (the
+    * landing and compaction writers both come through this method);
+    * chunked-landing APPEND groups ride `insertInto`, which ignores
+    * writer options, so their files keep parquet defaults until the
+    * next compaction folds them through this path. */
   def writeBucketed(
       df: DataFrame,
       table: String,
@@ -136,12 +160,14 @@ object Lakehouse {
     // refuses to CREATE over an existing location, so clear it
     val loc = warehouseLoc(s, table)
     if (loc.exists()) rmTree(loc)
-    df.write
+    val w = df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    (if (indexRowGroupBytes > 0)
+      w.option("parquet.block.size", indexRowGroupBytes.toString)
+    else w).saveAsTable(table)
   }
 
   /** Splits per bucket for [[writeBucketedStaged]]'s pass-1 shuffle —
