@@ -62,14 +62,28 @@ object Bench {
     // numbers 3-40x off a clean rerun. The min of two warm passes is
     // robust to one-off stalls while still measuring real plan cost; both
     // raw passes are emitted for auditability.
+    //
+    // The two passes run as two FULL SWEEPS over the registry (r18), not
+    // back-to-back per query: the measurement boxes exhibit multi-second
+    // hypervisor freezes (vmstat steal bursts to 20-27%), and back-to-back
+    // passes sit inside the SAME freeze window — BENCH_r17 recorded
+    // q39/q40/q41 at 10-17 s in BOTH passes (vs their 0.3-1.0 s clean
+    // cost, reproduced this round) because one burst covered the whole
+    // adjacent stretch twice. With a full sweep (~90 s) between a query's
+    // two timings, a burst can contaminate at most one of them, so the
+    // min stays the plan cost. Methodology is otherwise unchanged
+    // (same queries, same count() action, same min-of-2-warm-passes);
+    // session warm-state (codegen cache, page cache, memoized frames) is
+    // session-scoped, so sweep order does not change what pass 2 sees.
     def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val p1 = time(fn)
-      val p2 = time(fn)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (_, fn) => time(fn) }
+    val pass2 = ordered.map { case (_, fn) => time(fn) }
+    val results = ordered.zip(pass1.zip(pass2)).map { case ((name, _), (p1, p2)) =>
       (name, math.min(p1, p2), p1, p2)
     }
     val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }

@@ -436,6 +436,16 @@ object Similarity {
     * the same ∝√n bound EmbedDedupStream.collectCoarse holds to).
     * Sidecar-persisted: a cold session loads the collected anchors
     * instead of scanning the corpus prefix (VERDICT r12 #3). */
+  /** The frozen prefix quantizer's driver-resident coarse level, for
+    * [[graft.streaming.IndexIngest]]'s maintenance stream: (corpus n,
+    * √K anchors) off the memo/sidecar — the maintenance stream must
+    * assign under exactly the anchors the landing froze, and both
+    * values are already resident after any landing, so this is a
+    * zero-job read there (r18; was a corpus count + prefix collect per
+    * stream start). */
+  private[graft] def frozenCoarse(s: SparkSession, d: String): (Long, Array[Anchor]) =
+    (corpusN(s, d), coarsePrefixLocal(s, d))
+
   private val coarseLocalCache = Memo.newCache[Array[Anchor]]()
   private def coarsePrefixLocal(s: SparkSession, d: String): Array[Anchor] =
     Memo.get(coarseLocalCache, s, d) {

@@ -156,8 +156,24 @@ object IndexIngest {
     val corpus = graft.Tables.embeddings(s, corpusDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(graft.functions.VectorExprs.dot(col("v"), col("v"))))
-    val ci = EmbedDedupStream.collectCoarse(
-      corpus.select(col("vec_id"), col("v").as("embedding")))
+    // Coarse anchors via the landing's memo/sidecar (r18, guide §1.2 —
+    // cut redundant jobs): prefixIndexTable above just landed (or
+    // re-registered) the index, so the corpus count is already
+    // memo-resident and the coarse anchors are one memoized prefix
+    // collect shared with the serve path — where the old
+    // collectCoarse() re-paid a corpus count() + its own prefix
+    // collect() per maintenance-stream start. This is also the honest
+    // "frozen quantizer" semantics: maintenance assigns under the
+    // anchors THE LANDING froze rather than re-deriving them. The
+    // anchors are bit-identical either way (same first-K1 rows, same
+    // sequential-sum norms — the stream==batch assignment parity spec
+    // pins that equality).
+    val ci = {
+      val (n, anchors) = graft.operators.Similarity.frozenCoarse(s, corpusDir)
+      val k = graft.operators.Dedup.dd7AnchorCount(n)
+      EmbedDedupStream.CoarseIndex(k, graft.operators.Dedup.dd7CoarseCount(k),
+        anchors.map(an => (an.id, an.v, an.nrm)))
+    }
     val cells = EmbedDedupStream.fineCells(corpus, ci).cache()
     // the commit log's batchId counter is scoped to THIS stream's
     // checkpoint (ADVICE r12): a restart under a new checkpoint dir

@@ -20,6 +20,7 @@ import graft.streaming.{Event, StreamOps, TopologyTestHarness}
 object TwinProf {
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val parts = args.lift(1).map(_.toInt).getOrElse(4)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Graft.session(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
@@ -38,7 +39,7 @@ object TwinProf {
     for (r <- 1 to reps) {
       val t0 = System.nanoTime()
       val h = TopologyTestHarness[Event](spark, StreamOps.tumblingAgg(_), "append",
-        statePartitions = Some(4))
+        statePartitions = Some(parts))
       val tStart = System.nanoTime()
       var tFeed = 0L
       try (evs.grouped(chunkSize).toSeq :+ Vector(sentinel)).foreach { c =>
@@ -55,7 +56,7 @@ object TwinProf {
     }
     // one more instrumented run: print per-batch durations
     val h = TopologyTestHarness[Event](spark, StreamOps.tumblingAgg(_), "append",
-      statePartitions = Some(4))
+      statePartitions = Some(parts))
     try (evs.grouped(chunkSize).toSeq :+ Vector(sentinel)).foreach(h.pipe)
     finally {
       val q = hQuery(h)
