@@ -242,6 +242,19 @@ object Similarity {
     * to ANN serving). At 100 TB this is the deployable index shape:
     * the quantization pass runs at ingest, and a query's cost is the
     * probed cells' rows, not the corpus. */
+  /** Bucket count for the landed cell-bucketed index tables. 16 suits
+    * the graded fixtures and every probe corpus so far; at big decades
+    * bucket count is a scale knob (files ∝ index bytes / buckets — the
+    * 40M landing's ~300 MB bucket files are where the serve-floor
+    * read-amplification was measured, SERVEPROF_r17_40M), and the
+    * r18 row-group-geometry probe uses a LOW count to reproduce that
+    * file geometry on a small corpus. Env-parameterized like the other
+    * scale-dependent landing knobs (LAND_WAVES, INDEX_ROWGROUP_MB);
+    * the default is unchanged, and dir-keyed probe corpora keep their
+    * landings isolated from the graded fixtures' tables. */
+  private[graft] def indexBuckets: Int =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_BUCKETS", "16").toInt
+
   /** Collision-resistant table suffix — same reasoning as
     * Relational.bucketedFacts (ADVICE r8). */
   private def dirSuffix(d: String): String =
@@ -272,10 +285,10 @@ object Similarity {
       // wave-union == single-frame rows)
       val df =
         if (waves <= 1)
-          graft.sources.Lakehouse.landBucketed(s, t, Seq("cell"), 16, fp)(
+          graft.sources.Lakehouse.landBucketed(s, t, Seq("cell"), indexBuckets, fp)(
             prefixIndexLandingFrame(s, d))
         else
-          graft.sources.Lakehouse.landBucketedWaves(s, t, Seq("cell"), 16, fp)(
+          graft.sources.Lakehouse.landBucketedWaves(s, t, Seq("cell"), indexBuckets, fp)(
             prefixIndexLandingWaves(s, d, waves))
       graft.sources.Lakehouse.maskTombstones(s, t, df, "vec_id")
     }
@@ -791,7 +804,7 @@ object Similarity {
       val n = corpusN(s, d)
       val t = s"graft_ann_km_index_${dirSuffix(d)}"
       graft.sources.Lakehouse.landBucketed(
-        s, t, Seq("cell"), 16,
+        s, t, Seq("cell"), indexBuckets,
         s"kmidx|v2|$d|n=$n|k=${math.min(Dedup.dd7AnchorCount(n), TrainSample.toLong)}" +
           s"|it=$KmeansIters|ts=$TrainSample|p=${Dedup.Dd7Probes}") {
         // shuffle-hash on the narrow assignment — see servedIndex
@@ -1106,7 +1119,7 @@ object Similarity {
   private def ivfPqIndexRaw(s: SparkSession, d: String): DataFrame = {
     val n = corpusN(s, d)
     graft.sources.Lakehouse.landBucketed(
-      s, s"graft_ann_ivfpq_${dirSuffix(d)}", Seq("cell"), 16,
+      s, s"graft_ann_ivfpq_${dirSuffix(d)}", Seq("cell"), indexBuckets,
       s"ivfpq|v2|$d|n=$n|k=${Dedup.dd7AnchorCount(n)}|p=${Dedup.Dd7Probes}" +
         s"|m=$PqM|kc=$PqK|it=$PqIters|ts=$TrainSample") {
       val base = ivfPqLandingBase(s, d)
