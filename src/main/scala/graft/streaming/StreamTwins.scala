@@ -37,8 +37,17 @@ object StreamTwins {
   def ReplayChunks: Int =
     math.max(2, sys.props.get("graft.replay.chunks").map(_.toInt).getOrElse(4))
 
+  /** `flush = false` for transforms that emit EAGERLY (the inner
+    * interval join: matches emit on arrival, the watermark only evicts
+    * join state) — the flush sentinels exist to close windowed
+    * aggregates in append mode, and an eager pipe pays their batches
+    * (one full round of commit machinery each) for nothing. The
+    * sentinel rows themselves were always filtered from the graded
+    * output, so the emitted set is identical by construction (r18;
+    * oracle-checked). */
   private def replayEvents(
-      s: SparkSession, d: String, transform: DataFrame => DataFrame): DataFrame = {
+      s: SparkSession, d: String, transform: DataFrame => DataFrame,
+      flush: Boolean = true): DataFrame = {
     import s.implicits._
     val evs = orderedEvents(s, d)
     val maxTs = evs.map(_.ts.getTime).max
@@ -85,8 +94,10 @@ object StreamTwins {
     // per-batch machinery (offsets WAL + commit log + one RocksDB
     // commit per state partition + planning).
     val dataChunks = evs.grouped(chunkSize).toVector
-    try (dataChunks.init :+ (dataChunks.last :+ sentinel) :+ Vector(sentinel2))
-      .foreach(h.pipe)
+    val chunks =
+      if (flush) dataChunks.init :+ (dataChunks.last :+ sentinel) :+ Vector(sentinel2)
+      else dataChunks
+    try chunks.foreach(h.pipe)
     finally h.close()
     h.results().filter(col("user_id") =!= -1L)
   }
@@ -214,7 +225,7 @@ object StreamTwins {
     * (JoinWindows stream-stream join over the STREAM window schema). */
   val q10s = QueryDef(
     "q10s_interval_join_stream",
-    (s, d) => replayEvents(s, d, StreamOps.intervalJoin(_))
+    (s, d) => replayEvents(s, d, StreamOps.intervalJoin(_), flush = false)
       .select(col("purchase_id"), col("error_id"), col("user_id")),
     graft.operators.StatefulOps.q10.oracle,
     doc = "q10 replayed through the streaming runtime: oracle-grades two-sided join state buffering",
